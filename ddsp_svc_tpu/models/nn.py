@@ -1,0 +1,199 @@
+"""Building blocks with torch-compatible semantics, in flax.linen.
+
+All sequence modules operate feature-last (B, T, C) — the natural layout for
+XLA on TPU (the channel dim maps to lanes). Torch layout conversions happen
+only at weight-conversion time (convert/).
+
+Blocks:
+  - Conv1d: torch.nn.Conv1d semantics (explicit int padding, dilation,
+    groups) on (B, T, C).
+  - ConvTranspose1d: torch.nn.ConvTranspose1d semantics via lhs-dilated conv.
+  - WNDense / WNConv1d: weight-normalized variants with torch's
+    g = ||v|| initialization so from-scratch training dynamics match.
+  - GroupNorm/LayerNorm thin aliases with torch eps.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _kaiming_uniform_torch(fan_in: int):
+    """torch's default conv/linear init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    via kaiming_uniform(a=sqrt(5))."""
+    bound = 1.0 / np.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv1d(nn.Module):
+    """torch.nn.Conv1d on (B, T, C_in) -> (B, T_out, C_out)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int | tuple[int, int] = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    weight_norm: bool = False
+    kernel_init: Callable | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = (in_ch // self.groups) * self.kernel_size
+        kinit = self.kernel_init or _kaiming_uniform_torch(fan_in)
+        kshape = (self.kernel_size, in_ch // self.groups, self.features)
+        if self.weight_norm:
+            v = self.param("kernel_v", kinit, kshape)
+            g = self.param(
+                "kernel_g",
+                lambda rng: jnp.linalg.norm(v.reshape(-1, self.features), axis=0),
+            )
+            kernel = v * (g / (jnp.linalg.norm(v.reshape(-1, self.features), axis=0) + 1e-12))
+        else:
+            kernel = self.param("kernel", kinit, kshape)
+        pad = self.padding if isinstance(self.padding, tuple) else (self.padding, self.padding)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(self.stride,),
+            padding=[pad],
+            rhs_dilation=(self.dilation,),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", _kaiming_uniform_torch(fan_in), (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ConvTranspose1d(nn.Module):
+    """torch.nn.ConvTranspose1d on (B, T, C): out_len = (T-1)*stride - 2*pad + k.
+
+    Implemented as an lhs-dilated conv with the flipped kernel — the exact
+    transpose-conv equivalence, XLA lowers it to a single conv HLO.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        # torch convT weight is (in, out, k); fan_in for init = out * k / groups?
+        # torch uses kaiming_uniform on weight with fan_in = in_ch * k (dim 1,2
+        # of (in,out,k)) — actually _calculate_fan_in_and_fan_out on (in,out,k)
+        # gives fan_in = out*k; bias bound uses the same.
+        fan_in = self.features * self.kernel_size
+        kinit = _kaiming_uniform_torch(fan_in)
+        kshape = (self.kernel_size, in_ch, self.features)  # (k, in, out), conv layout
+        if self.weight_norm:
+            # torch weight_norm(ConvTranspose1d) norms over dims (1,2) of
+            # (in,out,k) i.e. per-input-channel: axis (0,2) in (k,in,out).
+            v = self.param("kernel_v", kinit, kshape)
+            norm = jnp.linalg.norm(v.transpose(1, 0, 2).reshape(in_ch, -1), axis=1)
+            g = self.param("kernel_g", lambda rng: norm)
+            kernel = v * (g / (norm + 1e-12))[None, :, None]
+        else:
+            kernel = self.param("kernel", kinit, kshape)
+        dtype = self.dtype or x.dtype
+        k, s, p = self.kernel_size, self.stride, self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            jnp.flip(kernel, 0).astype(dtype),
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(s,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", _kaiming_uniform_torch(fan_in), (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Dense(nn.Module):
+    """torch.nn.Linear-initialized dense layer (optionally weight-normed)."""
+
+    features: int
+    use_bias: bool = True
+    weight_norm: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kinit = _kaiming_uniform_torch(in_ch)
+        if self.weight_norm:
+            v = self.param("kernel_v", kinit, (in_ch, self.features))
+            g = self.param("kernel_g", lambda rng: jnp.linalg.norm(v, axis=0))
+            kernel = v * (g / (jnp.linalg.norm(v, axis=0) + 1e-12))
+        else:
+            kernel = self.param("kernel", kinit, (in_ch, self.features))
+        dtype = self.dtype or x.dtype
+        y = x.astype(dtype) @ kernel.astype(dtype)
+        if self.use_bias:
+            bias = self.param("bias", _kaiming_uniform_torch(in_ch), (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """torch eps=1e-5 LayerNorm over the last axis."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class GroupNorm(nn.Module):
+    """torch.nn.GroupNorm on (B, T, C) (normalizes over (T, C-within-group))."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, c = x.shape
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xg = x.reshape(b, t, g, c // g)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(b, t, c)
+        return y * scale + bias
+
+
+def glu(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+def leaky_relu(x, negative_slope=0.01):
+    return jnp.where(x >= 0, x, negative_slope * x)
