@@ -1,0 +1,408 @@
+"""Gaussian mel diffusion with shallow-diffusion support and fast samplers.
+
+Reference: diffusion/diffusion.py (DDPM chain, ddim, pndm/plms, shallow
+start via q_sample) plus the *used paths* of the vendored
+dpm_solver_pytorch.py (multistep order-2 dpmsolver++, time_uniform,
+lower_order_final) and uni_pc.py (bh2 variant, multistep order 2, data
+prediction) re-derived for JAX.
+
+TPU/XLA design:
+  - All schedule coefficients are host-side numpy: sampler step counts,
+    k_step and speedup are static, so every per-step scalar (alphas,
+    lambdas, phi terms, UniPC rho coefficients) is folded at trace time.
+    The compiled graph contains only the denoiser evaluations and fused
+    elementwise updates.
+  - The full 1000-step DDPM chain runs as a lax.scan with gathered buffers.
+  - Mel layout is feature-last (B, T, M) throughout.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=8)
+def linear_schedule(timesteps: int = 1000, max_beta: float = 0.02):
+    """Linear beta schedule and derived buffers (diffusion/diffusion.py:34-110)."""
+    betas = np.linspace(1e-4, max_beta, timesteps)
+    alphas = 1.0 - betas
+    alphas_cumprod = np.cumprod(alphas, axis=0)
+    alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
+    posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
+    return dict(
+        betas=betas,
+        alphas_cumprod=alphas_cumprod,
+        sqrt_alphas_cumprod=np.sqrt(alphas_cumprod),
+        sqrt_one_minus_alphas_cumprod=np.sqrt(1.0 - alphas_cumprod),
+        sqrt_recip_alphas_cumprod=np.sqrt(1.0 / alphas_cumprod),
+        sqrt_recipm1_alphas_cumprod=np.sqrt(1.0 / alphas_cumprod - 1.0),
+        posterior_log_variance_clipped=np.log(np.maximum(posterior_variance, 1e-20)),
+        posterior_mean_coef1=betas * np.sqrt(alphas_cumprod_prev) / (1.0 - alphas_cumprod),
+        posterior_mean_coef2=(1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod),
+    )
+
+
+@dataclass(frozen=True)
+class _DiscreteVPSchedule:
+    """Continuous-time view of the discrete schedule for DPM-Solver++/UniPC
+    (NoiseScheduleVP 'discrete': piecewise-linear log-alpha interpolation)."""
+
+    log_alpha_array: np.ndarray  # (N,)
+    t_array: np.ndarray  # (N,)
+
+    @classmethod
+    def from_betas(cls, betas: np.ndarray) -> "_DiscreteVPSchedule":
+        log_alphas = 0.5 * np.cumsum(np.log(1.0 - betas))
+        # numerical clip (only triggers for cosine-like schedules)
+        log_sigmas = 0.5 * np.log(1.0 - np.exp(2.0 * log_alphas))
+        lambs = log_alphas - log_sigmas
+        idx = int(np.searchsorted(np.flip(lambs), -5.1))
+        if idx > 0:
+            log_alphas = log_alphas[:-idx]
+        n = len(log_alphas)
+        t_array = np.linspace(0.0, 1.0, n + 1)[1:]
+        return cls(log_alphas, t_array)
+
+    @property
+    def total_n(self) -> int:
+        return len(self.t_array)
+
+    def log_alpha(self, t):
+        return np.interp(t, self.t_array, self.log_alpha_array)
+
+    def alpha(self, t):
+        return np.exp(self.log_alpha(t))
+
+    def sigma(self, t):
+        return np.sqrt(1.0 - np.exp(2.0 * self.log_alpha(t)))
+
+    def lam(self, t):
+        la = self.log_alpha(t)
+        return la - 0.5 * np.log(1.0 - np.exp(2.0 * la))
+
+    def model_input_time(self, t):
+        """Continuous t in [1/N, 1] -> discrete step label in [0, N-1]."""
+        return (t - 1.0 / self.total_n) * self.total_n
+
+
+class GaussianDiffusion(nn.Module):
+    """DDPM on normalized mel with shallow-diffusion and fast samplers.
+
+    __call__ mirrors the reference forward (diffusion/diffusion.py:216-378)
+    with (B, T, M) mel layout and static k_step / infer_speedup.
+    """
+
+    denoise_fn: nn.Module
+    out_dims: int = 128
+    timesteps: int = 1000
+    k_step: int = 1000
+    max_beta: float = 0.02
+    spec_min: float = -12.0
+    spec_max: float = 2.0
+
+    def norm_spec(self, x):
+        return (x - self.spec_min) / (self.spec_max - self.spec_min) * 2.0 - 1.0
+
+    def denorm_spec(self, x):
+        return (x + 1.0) / 2.0 * (self.spec_max - self.spec_min) + self.spec_min
+
+    def _sched(self):
+        return linear_schedule(self.timesteps, self.max_beta)
+
+    def q_sample(self, x_start, t, noise):
+        """t: (B,) int. x_start/noise: (B, T, M)."""
+        s = self._sched()
+        c0 = jnp.asarray(s["sqrt_alphas_cumprod"], x_start.dtype)[t][:, None, None]
+        c1 = jnp.asarray(s["sqrt_one_minus_alphas_cumprod"], x_start.dtype)[t][:, None, None]
+        return c0 * x_start + c1 * noise
+
+    @nn.compact
+    def __call__(
+        self,
+        condition,  # (B, T, H)
+        gt_spec=None,  # (B, T, M) un-normalized mel
+        infer: bool = True,
+        infer_speedup: int = 10,
+        sampler: str = "dpm-solver",
+        k_step: int | None = None,
+        key: jax.Array | None = None,
+        deterministic: bool = True,
+    ):
+        if key is None:
+            key = self.make_rng("diffusion")
+        b = condition.shape[0]
+        t_frames = condition.shape[1]
+
+        def eps_fn(x, t_float):
+            """noise prediction: x (B,T,M), t (B,) float step labels."""
+            return self.denoise_fn(x, t_float, condition, deterministic=deterministic)
+
+        if not infer:
+            spec = self.norm_spec(gt_spec)
+            t_max = self.k_step if k_step is None else k_step
+            key_t, key_n = jax.random.split(key)
+            t = jax.random.randint(key_t, (b,), 0, t_max)
+            noise = jax.random.normal(key_n, spec.shape, spec.dtype)
+            x_noisy = self.q_sample(spec, t, noise)
+            eps_pred = eps_fn(x_noisy, t.astype(spec.dtype))
+            return jnp.mean((noise - eps_pred) ** 2)
+
+        # ---------------- inference ----------------
+        shape = (b, t_frames, self.out_dims)
+        key_init, key_chain = jax.random.split(key)
+        if gt_spec is None or k_step is None:
+            t_start = self.k_step
+            x = jax.random.normal(key_init, shape)
+        else:
+            t_start = int(k_step)
+            norm = self.norm_spec(gt_spec)
+            noise = jax.random.normal(key_init, shape, norm.dtype)
+            x = self.q_sample(norm, jnp.full((b,), t_start - 1, jnp.int32), noise)
+
+        if sampler is not None and infer_speedup > 1:
+            if sampler == "dpm-solver":
+                x = self._sample_dpmpp_2m(x, eps_fn, t_start, t_start // infer_speedup)
+            elif sampler == "unipc":
+                x = self._sample_unipc_bh2(x, eps_fn, t_start, t_start // infer_speedup)
+            elif sampler == "pndm":
+                x = self._sample_plms(x, eps_fn, t_start, infer_speedup)
+            elif sampler == "ddim":
+                x = self._sample_ddim(x, eps_fn, t_start, infer_speedup)
+            else:
+                raise NotImplementedError(sampler)
+        else:
+            x = self._sample_ddpm_chain(x, eps_fn, t_start, key_chain)
+        return self.denorm_spec(x)
+
+    # ---- samplers -------------------------------------------------------
+
+    def _sample_ddpm_chain(self, x, eps_fn, t_start: int, key):
+        """Full ancestral chain via lax.scan (diffusion/diffusion.py:140-146)."""
+        s = self._sched()
+        c_recip = jnp.asarray(s["sqrt_recip_alphas_cumprod"], x.dtype)
+        c_recipm1 = jnp.asarray(s["sqrt_recipm1_alphas_cumprod"], x.dtype)
+        pm1 = jnp.asarray(s["posterior_mean_coef1"], x.dtype)
+        pm2 = jnp.asarray(s["posterior_mean_coef2"], x.dtype)
+        plv = jnp.asarray(s["posterior_log_variance_clipped"], x.dtype)
+        b = x.shape[0]
+
+        def body(x, inp):
+            t, k = inp
+            tb = jnp.full((b,), t, jnp.int32)
+            eps = eps_fn(x, tb.astype(x.dtype))
+            x_recon = c_recip[t] * x - c_recipm1[t] * eps
+            mean = pm1[t] * x_recon + pm2[t] * x
+            noise = jax.random.normal(k, x.shape, x.dtype)
+            mask = (t > 0).astype(x.dtype)
+            x = mean + mask * jnp.exp(0.5 * plv[t]) * noise
+            return x, None
+
+        ts = jnp.arange(t_start - 1, -1, -1)
+        keys = jax.random.split(key, t_start)
+        x, _ = jax.lax.scan(body, x, (ts, keys))
+        return x
+
+    def _sample_ddim(self, x, eps_fn, t_start: int, speedup: int):
+        """DDIM with static per-step coefficients (diffusion/diffusion.py:148-155)."""
+        ac = self._sched()["alphas_cumprod"]
+        b = x.shape[0]
+        for i in reversed(range(0, t_start, speedup)):
+            a_t = float(ac[i])
+            a_prev = float(ac[max(i - speedup, 0)])
+            eps = eps_fn(x, jnp.full((b,), i, x.dtype))
+            x = np.sqrt(a_prev) * (
+                x / np.sqrt(a_t)
+                + (np.sqrt((1 - a_prev) / a_prev) - np.sqrt((1 - a_t) / a_t)) * eps
+            )
+        return x
+
+    def _sample_plms(self, x, eps_fn, t_start: int, speedup: int):
+        """PLMS/PNDM (diffusion/diffusion.py:157-192), Adams-Bashforth on eps."""
+        ac = self._sched()["alphas_cumprod"]
+        b = x.shape[0]
+
+        def x_pred(x, eps, i):
+            a_t, a_prev = float(ac[i]), float(ac[max(i - speedup, 0)])
+            a_t_sq, a_prev_sq = np.sqrt(a_t), np.sqrt(a_prev)
+            x_delta = (a_prev - a_t) * (
+                (1.0 / (a_t_sq * (a_t_sq + a_prev_sq))) * x
+                - 1.0
+                / (a_t_sq * (np.sqrt((1 - a_prev) * a_t) + np.sqrt((1 - a_t) * a_prev)))
+                * eps
+            )
+            return x + x_delta
+
+        noise_list = []
+        for i in reversed(range(0, t_start, speedup)):
+            tb = jnp.full((b,), i, x.dtype)
+            eps = eps_fn(x, tb)
+            if len(noise_list) == 0:
+                x_p = x_pred(x, eps, i)
+                eps_prev = eps_fn(x_p, jnp.full((b,), max(i - speedup, 0), x.dtype))
+                eps_prime = (eps + eps_prev) / 2.0
+            elif len(noise_list) == 1:
+                eps_prime = (3.0 * eps - noise_list[-1]) / 2.0
+            elif len(noise_list) == 2:
+                eps_prime = (23.0 * eps - 16.0 * noise_list[-1] + 5.0 * noise_list[-2]) / 12.0
+            else:
+                eps_prime = (
+                    55.0 * eps
+                    - 59.0 * noise_list[-1]
+                    + 37.0 * noise_list[-2]
+                    - 9.0 * noise_list[-3]
+                ) / 24.0
+            x = x_pred(x, eps_prime, i)
+            noise_list.append(eps)
+            noise_list = noise_list[-3:]
+        return x
+
+    def _sample_dpmpp_2m(self, x, eps_fn, k_step: int, steps: int):
+        """Multistep DPM-Solver++ order 2, time_uniform, lower_order_final.
+
+        All per-step scalars precomputed host-side; `steps` denoiser calls.
+        """
+        ns = _DiscreteVPSchedule.from_betas(self._sched()["betas"][:k_step])
+        n = ns.total_n
+        b = x.shape[0]
+        timesteps = np.linspace(1.0, 1.0 / n, steps + 1)
+
+        def x0_fn(x, t_cont):
+            tin = jnp.full((b,), ns.model_input_time(t_cont), x.dtype)
+            eps = eps_fn(x, tin)
+            return (x - float(ns.sigma(t_cont)) * eps) / float(ns.alpha(t_cont))
+
+        def first_update(x, s, t, model_s):
+            h = ns.lam(t) - ns.lam(s)
+            phi_1 = np.expm1(-h)
+            return float(ns.sigma(t) / ns.sigma(s)) * x - float(
+                ns.alpha(t) * phi_1
+            ) * model_s
+
+        def second_update(x, t_prev_1, t_prev_0, t, m1, m0):
+            lam_p1, lam_p0, lam_t = ns.lam(t_prev_1), ns.lam(t_prev_0), ns.lam(t)
+            h0 = lam_p0 - lam_p1
+            h = lam_t - lam_p0
+            r0 = h0 / h
+            phi_1 = np.expm1(-h)
+            d1_0 = (1.0 / r0) * (m0 - m1)
+            return (
+                float(ns.sigma(t) / ns.sigma(t_prev_0)) * x
+                - float(ns.alpha(t) * phi_1) * m0
+                - 0.5 * float(ns.alpha(t) * phi_1) * d1_0
+            )
+
+        t_prev = [timesteps[0]]
+        m_prev = [x0_fn(x, timesteps[0])]
+        # first-order init step
+        if steps >= 2:
+            t = timesteps[1]
+            x = first_update(x, t_prev[-1], t, m_prev[-1])
+            t_prev.append(t)
+            m_prev.append(x0_fn(x, t))
+        lower_order_final = steps < 10
+        for step in range(2, steps + 1):
+            t = timesteps[step]
+            order = min(2, steps + 1 - step) if lower_order_final else 2
+            if order == 2:
+                x = second_update(x, t_prev[-2], t_prev[-1], t, m_prev[-2], m_prev[-1])
+            else:
+                x = first_update(x, t_prev[-1], t, m_prev[-1])
+            t_prev = [t_prev[-1], t]
+            if step < steps:
+                m_prev = [m_prev[-1], x0_fn(x, t)]
+        if steps == 1:
+            x = first_update(x, t_prev[0], timesteps[1], m_prev[0])
+        return x
+
+    def _sample_unipc_bh2(self, x, eps_fn, k_step: int, steps: int):
+        """Multistep UniPC (bh2 variant) order 2, data prediction.
+
+        Re-derivation of the used path of the vendored uni_pc.py: predictor
+        with rho_p = 0.5 for order 2, corrector from the 2x2 B(h) system,
+        order-1 final step without corrector (lower_order_final).
+        """
+        ns = _DiscreteVPSchedule.from_betas(self._sched()["betas"][:k_step])
+        n = ns.total_n
+        b = x.shape[0]
+        timesteps = np.linspace(1.0, 1.0 / n, steps + 1)
+
+        def x0_fn(x, t_cont):
+            tin = jnp.full((b,), ns.model_input_time(t_cont), x.dtype)
+            eps = eps_fn(x, tin)
+            return (x - float(ns.sigma(t_cont)) * eps) / float(ns.alpha(t_cont))
+
+        def bh2_coeffs(h, r0=None):
+            """Host-side scalar coefficients for one bh2 update of given order."""
+            hh = -h  # predict_x0
+            h_phi_1 = np.expm1(hh)
+            b_h = np.expm1(hh)
+            # b vector terms
+            h_phi_k = h_phi_1 / hh - 1.0
+            b0 = h_phi_k * 1.0 / b_h
+            h_phi_k = h_phi_k / hh - 1.0 / 2.0
+            b1 = h_phi_k * 2.0 / b_h
+            coeffs = {"h_phi_1": h_phi_1, "b_h": b_h, "b0": b0, "b1": b1}
+            if r0 is not None:
+                # solve [[1,1],[r0,1]] rho = [b0,b1]
+                a = (b1 - b0) / (r0 - 1.0)
+                coeffs["rhos_c"] = (a, b0 - a)
+            return coeffs
+
+        def update(x, t_prev_list, m_prev_list, t, order, use_corrector):
+            t_prev_0 = t_prev_list[-1]
+            m0 = m_prev_list[-1]
+            lam_t, lam_p0 = ns.lam(t), ns.lam(t_prev_0)
+            h = lam_t - lam_p0
+            sig_ratio = float(ns.sigma(t) / ns.sigma(t_prev_0))
+            alpha_t = float(ns.alpha(t))
+
+            if order == 2:
+                t_prev_1 = t_prev_list[-2]
+                m1 = m_prev_list[-2]
+                r0 = (ns.lam(t_prev_1) - lam_p0) / h
+                c = bh2_coeffs(h, r0)
+                d1_0 = (m1 - m0) / r0
+                x_t_ = sig_ratio * x - alpha_t * c["h_phi_1"] * m0
+                x_t = x_t_ - alpha_t * c["b_h"] * (0.5 * d1_0)  # rhos_p = [0.5]
+                if use_corrector:
+                    m_t = x0_fn(x_t, t)
+                    rc0, rc1 = c["rhos_c"]
+                    d1_t = m_t - m0
+                    x_t = x_t_ - alpha_t * c["b_h"] * (rc0 * d1_0 + rc1 * d1_t)
+                    return x_t, m_t
+                return x_t, None
+            else:  # order 1
+                c = bh2_coeffs(h)
+                x_t_ = sig_ratio * x - alpha_t * c["h_phi_1"] * m0
+                x_t = x_t_
+                if use_corrector:
+                    m_t = x0_fn(x_t, t)
+                    d1_t = m_t - m0
+                    x_t = x_t_ - alpha_t * c["b_h"] * (0.5 * d1_t)
+                    return x_t, m_t
+                return x_t, None
+
+        t_prev = [timesteps[0]]
+        m_prev = [x0_fn(x, timesteps[0])]
+        if steps >= 2:
+            t = timesteps[1]
+            x, m_t = update(x, t_prev, m_prev, t, order=1, use_corrector=True)
+            t_prev.append(t)
+            m_prev.append(m_t)
+        for step in range(2, steps + 1):
+            t = timesteps[step]
+            order = min(2, steps + 1 - step)
+            use_corrector = step != steps
+            x, m_t = update(x, t_prev, m_prev, t, order, use_corrector)
+            t_prev = [t_prev[-1], t]
+            if step < steps:
+                m_prev = [m_prev[-1], m_t if m_t is not None else x0_fn(x, t)]
+        if steps == 1:
+            x, _ = update(x, t_prev, m_prev, timesteps[1], order=1, use_corrector=False)
+        return x

@@ -1,0 +1,139 @@
+"""NaiveV2Diff: conv-only conformer denoiser (reference: diffusion/naive_v2_diff.py,
+identical copy at reflow/naive_v2_diff.py — unified here).
+
+Used by DiffusionFast (6 layers, 512 ch, use_mlp=False, cond = ddsp mel) and
+RectifiedFlow (same config). Feature-last layout; the per-layer 1x1
+projections are MXU matmuls and the depthwise k=31 conv rides the VPU.
+"""
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .conformer import ConformerConvModule
+from .nn import Conv1d, Dense, glu
+from .wavenet import sinusoidal_pos_emb
+
+
+class NaiveV2DiffLayer(nn.Module):
+    dim_model: int
+    dim_cond: int
+    use_norm: bool = False
+    conv_only: bool = True
+    expansion_factor: int = 2
+    kernel_size: int = 31
+    wavenet_like: bool = False
+    conv_dropout: float = 0.0
+    atten_dropout: float = 0.1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, condition, diffusion_step, deterministic=True):
+        """x: (B,T,C), condition: (B,T,Hc), diffusion_step: (B,1,C)."""
+        res_x = x
+        x = (
+            x
+            + Conv1d(self.dim_model, 1, dtype=self.dtype, name="diffusion_step_projection")(
+                diffusion_step
+            )
+            + Conv1d(self.dim_model, 1, dtype=self.dtype, name="condition_projection")(
+                condition
+            )
+        )
+        x = ConformerConvModule(
+            self.dim_model,
+            expansion_factor=self.expansion_factor,
+            kernel_size=self.kernel_size,
+            dropout=self.conv_dropout,
+            use_norm=self.use_norm,
+            dtype=self.dtype,
+            name="conformer",
+        )(x, deterministic=deterministic)
+
+        if self.wavenet_like:
+            y = Conv1d(2 * self.dim_model, 1, dtype=self.dtype, name="wavenet_like_proj")(x)
+            y = glu(y, axis=-1)
+            return (y + res_x) / math.sqrt(2.0), res_x
+        return x + res_x
+
+
+class NaiveV2Diff(nn.Module):
+    mel_channels: int = 128
+    dim: int = 512
+    use_mlp: bool = True
+    mlp_factor: int = 4
+    condition_dim: int = 256
+    num_layers: int = 20
+    expansion_factor: int = 2
+    kernel_size: int = 31
+    conv_only: bool = True
+    wavenet_like: bool = False
+    use_norm: bool = False
+    conv_dropout: float = 0.0
+    atten_dropout: float = 0.1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, spec, diffusion_step, cond, deterministic=True):
+        """spec: (B,T,M), diffusion_step: (B,) float, cond: (B,T,Hc) -> (B,T,M)."""
+        x = Conv1d(self.dim, 1, dtype=self.dtype, name="input_projection")(spec)
+        x = jax.nn.gelu(x, approximate=False)
+
+        step = sinusoidal_pos_emb(diffusion_step.astype(x.dtype), self.dim)
+        step = Dense(self.dim * self.mlp_factor, dtype=self.dtype, name="diff_emb_0")(step)
+        step = jax.nn.gelu(step, approximate=False)
+        step = Dense(self.dim, dtype=self.dtype, name="diff_emb_1")(step)
+        step = step[:, None, :]  # (B,1,dim)
+
+        if self.use_mlp:
+            c = Conv1d(self.dim * self.mlp_factor, 1, dtype=self.dtype, name="cond_proj_0")(cond)
+            c = jax.nn.gelu(c, approximate=False)
+            condition = Conv1d(self.dim, 1, dtype=self.dtype, name="cond_proj_1")(c)
+        else:
+            condition = cond
+
+        if self.wavenet_like:
+            sks = []
+            for i in range(self.num_layers):
+                x, sk = NaiveV2DiffLayer(
+                    self.dim,
+                    self.dim if self.use_mlp else self.condition_dim,
+                    use_norm=self.use_norm,
+                    conv_only=self.conv_only,
+                    expansion_factor=self.expansion_factor,
+                    kernel_size=self.kernel_size,
+                    wavenet_like=True,
+                    dtype=self.dtype,
+                    name=f"layer_{i}",
+                )(x, condition, step, deterministic=deterministic)
+                sks.append(sk)
+            x = sum(sks) / math.sqrt(len(sks))
+        else:
+            for i in range(self.num_layers):
+                x = NaiveV2DiffLayer(
+                    self.dim,
+                    self.dim if self.use_mlp else self.condition_dim,
+                    use_norm=self.use_norm,
+                    conv_only=self.conv_only,
+                    expansion_factor=self.expansion_factor,
+                    kernel_size=self.kernel_size,
+                    dtype=self.dtype,
+                    name=f"layer_{i}",
+                )(x, condition, step, deterministic=deterministic)
+
+        if self.use_mlp:
+            x = Conv1d(self.dim * self.mlp_factor, 1, dtype=self.dtype, name="out_proj_0")(x)
+            x = jax.nn.gelu(x, approximate=False)
+            x = Conv1d(
+                self.mel_channels, 1, kernel_init=nn.initializers.zeros,
+                dtype=self.dtype, name="out_proj_1",
+            )(x)
+        else:
+            x = Conv1d(
+                self.mel_channels, 1, kernel_init=nn.initializers.zeros,
+                dtype=self.dtype, name="output_projection",
+            )(x)
+        return x
