@@ -1,0 +1,67 @@
+"""Device mesh & sharding helpers.
+
+The reference is single-device (SURVEY.md §2.9: no torch.distributed anywhere;
+train.py:85-86 pins one GPU). The TPU framework is SPMD from the start:
+
+  - axis ``data``: data parallelism — the batch dimension of every step is
+    sharded across chips; gradients are all-reduced over ICI by XLA when the
+    jitted train step closes over replicated params.
+  - axis ``time``: sequence parallelism — frame/sample time axes of a batch
+    can additionally be sharded; the conformer depthwise convs (k=31) and
+    STFT framing have finite receptive fields, so XLA inserts halo-exchange
+    collectives automatically under pjit.
+
+``make_mesh(n, dp, sp)`` builds a (data, time) mesh; helpers produce
+NamedShardings for batches (leading-axis data, second-axis time for rank>=2
+feature arrays) and replicated params.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    dp: int | None = None,
+    sp: int = 1,
+    devices=None,
+) -> Mesh:
+    """Create a 2D (data, time) mesh over the first ``n_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if dp is None:
+        dp = n_devices // sp
+    assert dp * sp == n_devices, f"dp({dp}) * sp({sp}) != n_devices({n_devices})"
+    dev_array = np.asarray(devices).reshape(dp, sp)
+    return Mesh(dev_array, ("data", "time"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int, shard_time: bool = False) -> NamedSharding:
+    """Sharding for a batch array: axis0 over 'data', axis1 over 'time' if
+    requested (only meaningful for (B, T, ...) feature arrays)."""
+    if ndim == 0:
+        return NamedSharding(mesh, P())
+    spec = ["data"] + [None] * (ndim - 1)
+    if shard_time and ndim >= 2:
+        spec[1] = "time"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(mesh: Mesh, batch, shard_time: bool = False):
+    """device_put a pytree of batch arrays with data(+time) sharding."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, batch_sharding(mesh, getattr(x, "ndim", 0), shard_time)
+        ),
+        batch,
+    )
