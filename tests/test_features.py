@@ -1,0 +1,218 @@
+"""Feature front-end tests: volume, YIN f0, slicer, units alignment,
+HuBERT layer torch-parity, RMVPE decode."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def synth_tone(sr, seconds, hz, amp=0.5):
+    t = np.arange(int(sr * seconds)) / sr
+    return (amp * np.sin(2 * np.pi * hz * t)).astype(np.float32)
+
+
+class TestVolume:
+    def test_matches_reference_loop(self):
+        from ddsp_svc_tpu.features.volume import VolumeExtractor
+
+        rng = np.random.default_rng(0)
+        audio = rng.standard_normal(44100 * 2).astype(np.float32) * 0.3
+        hop = 512
+        vol = VolumeExtractor(hop).extract(audio)
+        # reference formula (ddsp/vocoder.py:147-157), straight loop
+        n_frames = len(audio) // hop + 1
+        a2 = np.pad(audio.astype(np.float64) ** 2, (hop // 2, (hop + 1) // 2),
+                    mode="reflect")
+        ref = np.sqrt(
+            np.array([a2[n * hop : (n + 1) * hop].mean() for n in range(n_frames)])
+        )
+        np.testing.assert_allclose(vol, ref, rtol=1e-5)
+
+
+class TestYin:
+    @pytest.mark.parametrize("hz", [110.0, 220.0, 523.25])
+    def test_steady_tone_within_5_cents(self, hz):
+        from ddsp_svc_tpu.features.f0 import yin_f0
+
+        sr = 44100
+        f0 = yin_f0(synth_tone(sr, 1.0, hz), sr, 512)
+        mid = f0[20:60]
+        assert (mid > 0).all()
+        err = 1200 * np.abs(np.log2(np.median(mid) / hz))
+        assert err < 5.0
+
+    def test_silence_unvoiced(self):
+        from ddsp_svc_tpu.features.f0 import yin_f0
+
+        f0 = yin_f0(np.zeros(44100, np.float32), 44100, 512)
+        assert (f0 == 0).all()
+
+    def test_extractor_contract(self):
+        from ddsp_svc_tpu.features.f0 import F0Extractor
+
+        sr, hop = 44100, 512
+        audio = synth_tone(sr, 2.0, 220.0)
+        fx = F0Extractor("yin", sr, hop)
+        f0 = fx.extract(audio, uv_interp=True, silence_front=0.3)
+        assert f0.shape == (len(audio) // hop + 1,)
+        assert (f0 >= fx.f0_min).all()
+        # silence_front frames are filled by uv interpolation but start at 0
+        f0_raw = fx.extract(audio, uv_interp=False, silence_front=0.3)
+        start_frame = int(0.3 * sr / hop)
+        assert (f0_raw[:start_frame] == 0).all()
+
+
+class TestSlicer:
+    def test_silence_split(self):
+        from ddsp_svc_tpu.features.slicer import Slicer, split_audio
+
+        sr = 44100
+        seg = synth_tone(sr, 6.0, 220.0)
+        sil = np.zeros(sr, np.float32)
+        audio = np.concatenate([seg, sil, seg])
+        chunks = Slicer(sr=sr).slice(audio)
+        kinds = [v["slice"] for v in chunks.values()]
+        assert True in kinds and False in kinds
+        # split_time ranges tile the signal without overlap
+        times = [tuple(map(int, v["split_time"].split(","))) for v in chunks.values()]
+        for (a, b) in times:
+            assert 0 <= a <= b <= len(audio) + Slicer(sr=sr).hop_size
+        segs = split_audio(audio, sr)
+        assert len(segs) >= 2
+        assert all(len(s) > 0 for _, s in segs)
+
+    def test_short_input_passthrough(self):
+        from ddsp_svc_tpu.features.slicer import Slicer
+
+        audio = np.zeros(1000, np.float32)
+        chunks = Slicer(sr=44100).slice(audio)
+        assert chunks == {"0": {"slice": False, "split_time": "0,1000"}}
+
+
+class TestUnitsAlignment:
+    def test_nearest_index_gather(self):
+        from ddsp_svc_tpu.features.hubert import UnitsEncoder
+
+        enc = UnitsEncoder("hubertsoft")
+        sr, hop = 44100, 512
+        audio = jnp.zeros((1, sr), jnp.float32)
+        units = enc.encode(audio, sr, hop)
+        n_frames = sr // hop + 1
+        assert units.shape == (1, n_frames, 256)
+        # alignment ratio: hop/sr vs 320/16000 -> last index clamps to T-1
+        assert not np.isnan(np.asarray(units)).any()
+
+
+class TestHubertTorchParity:
+    def test_feature_extractor_matches_torch(self):
+        import torch
+
+        from ddsp_svc_tpu.features.hubert import FeatureExtractor
+
+        rng = np.random.default_rng(0)
+        audio = rng.standard_normal((1, 4000)).astype(np.float32)
+
+        fx = FeatureExtractor()
+        variables = fx.init(jax.random.PRNGKey(0), jnp.asarray(audio))
+
+        # torch mirror (encoder/hubert/model.py:96-116)
+        convs = []
+        specs = [(10, 5), (3, 2), (3, 2), (3, 2), (3, 2), (2, 2), (2, 2)]
+        p = variables["params"]
+        tx = torch.from_numpy(audio).unsqueeze(1)
+        for i, (k, s) in enumerate(specs):
+            w = np.asarray(p[f"conv{i}"]["kernel"])  # (k, in, out)
+            conv = torch.nn.Conv1d(w.shape[1], w.shape[2], k, s, bias=False)
+            with torch.no_grad():
+                conv.weight.copy_(torch.from_numpy(w.transpose(2, 1, 0)))
+            tx = conv(tx)
+            if i == 0:
+                gn = torch.nn.GroupNorm(512, 512)
+                with torch.no_grad():
+                    gn.weight.copy_(torch.from_numpy(np.asarray(p["norm0"]["scale"])))
+                    gn.bias.copy_(torch.from_numpy(np.asarray(p["norm0"]["bias"])))
+                tx = gn(tx)
+            tx = torch.nn.functional.gelu(tx)
+        expected = tx.transpose(1, 2).detach().numpy()
+
+        got = np.asarray(fx.apply(variables, jnp.asarray(audio)))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+
+    def test_transformer_layer_matches_torch_postln(self):
+        import torch
+
+        from ddsp_svc_tpu.features.hubert import TransformerLayer
+
+        dim, heads, ffn = 64, 4, 128
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((1, 7, dim)).astype(np.float32)
+
+        layer = TransformerLayer(dim, heads, ffn, pre_norm=False)
+        variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        p = variables["params"]
+
+        tl = torch.nn.TransformerEncoderLayer(
+            dim, heads, ffn, activation="gelu", batch_first=True, dropout=0.0
+        )
+        with torch.no_grad():
+            attn = p["attn"]
+            wq = np.asarray(attn["query"]["kernel"]).reshape(dim, dim)
+            wk = np.asarray(attn["key"]["kernel"]).reshape(dim, dim)
+            wv = np.asarray(attn["value"]["kernel"]).reshape(dim, dim)
+            bq = np.asarray(attn["query"]["bias"]).reshape(dim)
+            bk = np.asarray(attn["key"]["bias"]).reshape(dim)
+            bv = np.asarray(attn["value"]["bias"]).reshape(dim)
+            wo = np.asarray(attn["out"]["kernel"]).reshape(dim, dim)
+            bo = np.asarray(attn["out"]["bias"])
+            tl.self_attn.in_proj_weight.copy_(
+                torch.from_numpy(np.concatenate([wq.T, wk.T, wv.T], axis=0))
+            )
+            tl.self_attn.in_proj_bias.copy_(
+                torch.from_numpy(np.concatenate([bq, bk, bv]))
+            )
+            tl.self_attn.out_proj.weight.copy_(torch.from_numpy(wo.T))
+            tl.self_attn.out_proj.bias.copy_(torch.from_numpy(bo))
+            tl.linear1.weight.copy_(torch.from_numpy(np.asarray(p["fc1"]["kernel"]).T))
+            tl.linear1.bias.copy_(torch.from_numpy(np.asarray(p["fc1"]["bias"])))
+            tl.linear2.weight.copy_(torch.from_numpy(np.asarray(p["fc2"]["kernel"]).T))
+            tl.linear2.bias.copy_(torch.from_numpy(np.asarray(p["fc2"]["bias"])))
+            tl.norm1.weight.copy_(torch.from_numpy(np.asarray(p["norm1"]["scale"])))
+            tl.norm1.bias.copy_(torch.from_numpy(np.asarray(p["norm1"]["bias"])))
+            tl.norm2.weight.copy_(torch.from_numpy(np.asarray(p["norm2"]["scale"])))
+            tl.norm2.bias.copy_(torch.from_numpy(np.asarray(p["norm2"]["bias"])))
+        tl.eval()
+        with torch.no_grad():
+            expected = tl(torch.from_numpy(x)).numpy()
+
+        got = np.asarray(layer.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+class TestRmvpeDecode:
+    def test_local_average_decode(self):
+        from ddsp_svc_tpu.features.rmvpe import CONST, N_CLASS, to_local_average_f0
+
+        # salience peaked at bin k -> f0 = 10*2^((20k + CONST)/1200)
+        hidden = np.zeros((5, N_CLASS), np.float32)
+        k = 180
+        hidden[:, k] = 1.0
+        f0 = to_local_average_f0(hidden)
+        expected = 10 * 2 ** ((20 * k + CONST) / 1200)
+        np.testing.assert_allclose(f0, expected, rtol=1e-4)
+
+    def test_threshold_unvoiced(self):
+        from ddsp_svc_tpu.features.rmvpe import N_CLASS, to_local_average_f0
+
+        hidden = np.full((3, N_CLASS), 0.01, np.float32)
+        assert (to_local_average_f0(hidden, thred=0.03) == 0).all()
+
+    def test_e2e0_shapes(self):
+        from ddsp_svc_tpu.features.rmvpe import E2E0
+
+        model = E2E0()
+        mel = jnp.zeros((1, 32, 128))
+        variables = model.init(jax.random.PRNGKey(0), mel)
+        out = model.apply(variables, mel)
+        assert out.shape == (1, 32, 360)
+        assert ((np.asarray(out) >= 0) & (np.asarray(out) <= 1)).all()
