@@ -1,0 +1,79 @@
+"""Shared CLI helpers: building extractors/models from a config."""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..features.f0 import F0Extractor
+from ..features.hubert import UnitsEncoder
+from ..features.volume import VolumeExtractor
+from ..ops.mel import LogMelSpectrogram
+from ..utils.config import DotDict
+
+
+def load_encoder_params(path: str | None):
+    """Load converted flax params (.npz/.msgpack) if present, else None
+    (random init with a warning — converters live in convert/)."""
+    if not path:
+        return None
+    if os.path.exists(path) and path.endswith(".msgpack"):
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+    if os.path.exists(path) and path.endswith(".npz"):
+        from ..convert.flatdict import unflatten
+
+        return unflatten(dict(np.load(path)))
+    print(f" [!] encoder checkpoint {path!r} not found/convertible — "
+          "using random init (convert with python -m ddsp_svc_tpu.convert)")
+    return None
+
+
+def build_f0_extractor(args: DotDict) -> F0Extractor:
+    kind = args.data.f0_extractor
+    rmvpe_params = None
+    if kind == "rmvpe":
+        ckpt = "pretrain/rmvpe/model.msgpack"
+        if os.path.exists(ckpt):
+            rmvpe_params = load_encoder_params(ckpt)
+        else:
+            print(" [!] no converted rmvpe weights found — falling back to "
+                  "the built-in YIN extractor")
+            kind = "yin"
+    return F0Extractor(
+        kind,
+        sample_rate=args.data.sampling_rate,
+        hop_size=args.data.block_size,
+        f0_min=args.data.f0_min,
+        f0_max=args.data.f0_max,
+        rmvpe_params=rmvpe_params,
+    )
+
+
+def build_units_encoder(args: DotDict) -> UnitsEncoder:
+    return UnitsEncoder(
+        args.data.encoder,
+        params=load_encoder_params(args.data.encoder_ckpt),
+        encoder_sample_rate=args.data.encoder_sample_rate,
+        encoder_hop_size=args.data.encoder_hop_size,
+    )
+
+
+def build_mel_extractor(args: DotDict) -> LogMelSpectrogram:
+    return LogMelSpectrogram(
+        sr=args.data.sampling_rate,
+        n_mels=128,
+        n_fft=2048,
+        win_size=2048,
+        hop_length=args.data.block_size,
+        fmin=40.0,
+        fmax=16000.0,
+    )
+
+
+def needs_mel(args: DotDict) -> bool:
+    return args.model.type in (
+        "Diffusion", "DiffusionNew", "DiffusionFast", "RectifiedFlow"
+    )

@@ -67,6 +67,7 @@ def make_cascade_train_step(
     lambda_ddsp: float = 1.0,
     k_step_max: int | None = None,
     family: str = "diffusion",
+    t_start: float = 0.0,
     donate: bool = True,
 ):
     """Train step for Unit2Wav / Unit2WavFast / ReflowUnit2Wav cascades.
@@ -89,6 +90,8 @@ def make_cascade_train_step(
         )
         if family == "diffusion":
             kwargs["k_step"] = k_step_max
+        else:  # reflow: train-time t ~ U[t_start, 1] (reflow/reflow.py:63-68)
+            kwargs["t_start"] = t_start
         ddsp_loss, diff_loss = apply_fn(
             {"params": params},
             batch["units"],
