@@ -36,12 +36,16 @@ class ConformerConvModule(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, edge_mask=None):
         inner = self.dim * self.expansion_factor
         if self.use_norm:
             x = LayerNorm()(x)
         x = Conv1d(inner * 2, 1, dtype=self.dtype)(x)
         x = glu(x, axis=-1)
+        if edge_mask is not None:
+            # streaming: zero activations at frames outside the utterance so
+            # the depthwise conv sees the whole-utterance zero padding
+            x = x * edge_mask
         pad = calc_same_padding(self.kernel_size)
         x = Conv1d(
             inner, self.kernel_size, padding=pad, groups=inner, dtype=self.dtype
@@ -88,7 +92,7 @@ class CFNEncoderLayer(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, edge_mask=None):
         if not self.conv_only:
             x = x + ExactSelfAttention(
                 self.dim_model, self.num_heads, self.atten_dropout, dtype=self.dtype
@@ -98,7 +102,7 @@ class CFNEncoderLayer(nn.Module):
             use_norm=self.use_norm,
             dropout=self.conv_dropout,
             dtype=self.dtype,
-        )(x, deterministic=deterministic)
+        )(x, deterministic=deterministic, edge_mask=edge_mask)
         return x
 
 
@@ -113,7 +117,7 @@ class ConformerNaiveEncoder(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, edge_mask=None):
         for _ in range(self.num_layers):
             x = CFNEncoderLayer(
                 self.dim_model,
@@ -123,5 +127,5 @@ class ConformerNaiveEncoder(nn.Module):
                 self.conv_dropout,
                 self.atten_dropout,
                 dtype=self.dtype,
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, edge_mask=edge_mask)
         return x

@@ -110,10 +110,32 @@ class Sins(nn.Module):
         return signal, hidden, (harmonic, noise)
 
 
+def combsub_stft_synthesis(
+    combtooth, noise, src_filter, noise_filter, win_length, block_size,
+    pad_mode="reflect",
+):
+    """Parameter-free STFT-domain filtering (ddsp/vocoder.py:676-708):
+    stft(comb)*H_src + stft(noise)*H_noise -> istft. Filters: (B, T+1, F)."""
+    window = jnp.asarray(hann_window(win_length))
+    combtooth_stft = stft(
+        combtooth, win_length, block_size, window=window, pad_mode=pad_mode
+    )
+    noise_stft = stft(
+        noise, win_length, block_size, window=window, pad_mode=pad_mode
+    )
+    signal_stft = combtooth_stft * src_filter.transpose(
+        0, 2, 1
+    ) + noise_stft * noise_filter.transpose(0, 2, 1)
+    return istft(signal_stft, win_length, block_size, window=window)
+
+
 class CombSubSuperFast(nn.Module):
     """Combtooth subtractive synthesiser, STFT-domain (ddsp/vocoder.py:613-710).
 
-    The flagship/default model (configs/combsub.yaml).
+    The flagship/default model (configs/combsub.yaml). The forward is split
+    into ``controls`` (the parameterized Unit2Control part — finite receptive
+    field over frames) and the pure ``combsub_stft_synthesis`` so the
+    streaming engine (parallel/stream.py) can run both on haloed time blocks.
     """
 
     sampling_rate: int
@@ -125,23 +147,22 @@ class CombSubSuperFast(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(
+    def controls(
         self,
         units_frames,
         f0_frames,
+        phase_frames,
         volume_frames,
         spk_id=None,
         spk_mix_dict=None,
         aug_shift=None,
-        initial_phase=None,
-        infer=True,
         deterministic=True,
-        noise_key=None,
+        frame_mask=None,
+        stream_axis=None,
+        edge_mask=None,
     ):
-        combtooth, phase_frames = fast_source_gen(
-            f0_frames, self.sampling_rate, self.block_size
-        )
-
+        """(B, T, ...) frames -> (src_filter, noise_filter, hidden), filters
+        (B, T, win//2+1) complex (without the reference's +1 edge frame)."""
         ctrls, hidden = Unit2Control(
             self.n_unit,
             self.n_spk,
@@ -165,34 +186,61 @@ class CombSubSuperFast(nn.Module):
             spk_mix_dict=spk_mix_dict,
             aug_shift=aug_shift,
             deterministic=deterministic,
+            frame_mask=frame_mask,
+            stream_axis=stream_axis,
+            edge_mask=edge_mask,
         )
-
         src_filter = jnp.exp(
             ctrls["harmonic_magnitude"] + 1j * np.pi * ctrls["harmonic_phase"]
         )
-        src_filter = jnp.concatenate([src_filter, src_filter[:, -1:, :]], axis=1)
         noise_filter = (
             jnp.exp(ctrls["noise_magnitude"] + 1j * np.pi * ctrls["noise_phase"]) / 128.0
         )
-        noise_filter = jnp.concatenate([noise_filter, noise_filter[:, -1:, :]], axis=1)
+        return src_filter, noise_filter, hidden
 
-        pad_mode = "reflect" if combtooth.shape[-1] > self.win_length // 2 else "constant"
-        window = jnp.asarray(hann_window(self.win_length))
-        combtooth_stft = stft(
-            combtooth, self.win_length, self.block_size, window=window, pad_mode=pad_mode
+    def __call__(
+        self,
+        units_frames,
+        f0_frames,
+        volume_frames,
+        spk_id=None,
+        spk_mix_dict=None,
+        aug_shift=None,
+        initial_phase=None,
+        infer=True,
+        deterministic=True,
+        noise_key=None,
+        noise=None,
+    ):
+        combtooth, phase_frames = fast_source_gen(
+            f0_frames, self.sampling_rate, self.block_size
         )
-        if noise_key is None:
-            noise_key = self.make_rng("noise")
-        noise = jax.random.normal(noise_key, combtooth.shape, combtooth.dtype)
-        noise_stft = stft(
-            noise, self.win_length, self.block_size, window=window, pad_mode=pad_mode
+        src_filter, noise_filter, hidden = self.controls(
+            units_frames,
+            f0_frames,
+            phase_frames,
+            volume_frames,
+            spk_id=spk_id,
+            spk_mix_dict=spk_mix_dict,
+            aug_shift=aug_shift,
+            deterministic=deterministic,
         )
-
-        signal_stft = combtooth_stft * src_filter.transpose(
-            0, 2, 1
-        ) + noise_stft * noise_filter.transpose(0, 2, 1)
-
-        signal = istft(signal_stft, self.win_length, self.block_size, window=window)
+        # duplicate the last filter frame for the (T+1)-th stft frame
+        src_filter = jnp.concatenate([src_filter, src_filter[:, -1:, :]], axis=1)
+        noise_filter = jnp.concatenate(
+            [noise_filter, noise_filter[:, -1:, :]], axis=1
+        )
+        if noise is None:
+            if noise_key is None:
+                noise_key = self.make_rng("noise")
+            noise = jax.random.normal(noise_key, combtooth.shape, combtooth.dtype)
+        pad_mode = (
+            "reflect" if combtooth.shape[-1] > self.win_length // 2 else "constant"
+        )
+        signal = combsub_stft_synthesis(
+            combtooth, noise, src_filter, noise_filter,
+            self.win_length, self.block_size, pad_mode,
+        )
         return signal, hidden, (signal, signal)
 
 

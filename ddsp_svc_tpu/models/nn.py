@@ -172,20 +172,43 @@ class LayerNorm(nn.Module):
 
 
 class GroupNorm(nn.Module):
-    """torch.nn.GroupNorm on (B, T, C) (normalizes over (T, C-within-group))."""
+    """torch.nn.GroupNorm on (B, T, C) (normalizes over (T, C-within-group)).
+
+    Streaming support: torch GroupNorm statistics span the whole time axis,
+    so a time-sharded forward must reduce stats globally. Pass ``frame_mask``
+    (B, T, 1; 1 = own frame, 0 = halo) and ``axis_name`` (the shard_map time
+    axis): masked local sums are psum'd over the axis so every device
+    normalizes with the exact global statistics.
+    """
 
     num_groups: int
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, frame_mask=None, axis_name=None):
         b, t, c = x.shape
         g = self.num_groups
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         xg = x.reshape(b, t, g, c // g)
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        if frame_mask is None and axis_name is None:
+            mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+            var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        else:
+            m = (
+                jnp.ones((b, t, 1, 1), x.dtype)
+                if frame_mask is None
+                else frame_mask.reshape(b, t, 1, 1).astype(x.dtype)
+            )
+            cnt = jnp.sum(m, axis=1, keepdims=True) * (c // g)
+            s1 = jnp.sum(xg * m, axis=(1, 3), keepdims=True)
+            s2 = jnp.sum(xg * xg * m, axis=(1, 3), keepdims=True)
+            if axis_name is not None:
+                cnt = jax.lax.psum(cnt, axis_name)
+                s1 = jax.lax.psum(s1, axis_name)
+                s2 = jax.lax.psum(s2, axis_name)
+            mean = s1 / cnt
+            var = s2 / cnt - mean * mean
         y = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(b, t, c)
         return y * scale + bias
 

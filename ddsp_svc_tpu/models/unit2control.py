@@ -50,11 +50,18 @@ class Unit2Control(nn.Module):
         spk_mix_dict: Mapping[int, float] | None = None,
         aug_shift=None,  # (B, 1)
         deterministic: bool = True,
+        frame_mask=None,  # (B, T, 1) streaming: 1 = own frame, 0 = halo
+        stream_axis: str | None = None,  # shard_map time-axis name
+        edge_mask=None,  # (B, T, 1) streaming: 0 = frame outside the utterance
     ):
         if self.use_conv_stack:
             x = Conv1d(256, 3, padding=1, dtype=self.dtype, name="stack_conv0")(units)
-            x = GroupNorm(4, name="stack_norm")(x)
+            x = GroupNorm(4, name="stack_norm")(
+                x, frame_mask=frame_mask, axis_name=stream_axis
+            )
             x = leaky_relu(x)
+            if edge_mask is not None:
+                x = x * edge_mask
             x = Conv1d(256, 3, padding=1, dtype=self.dtype, name="stack_conv1")(x)
         else:
             x = Conv1d(256, 3, padding=1, dtype=self.dtype, name="stack_conv0")(units)
@@ -92,7 +99,7 @@ class Unit2Control(nn.Module):
                 atten_dropout=0.1,
                 dtype=self.dtype,
                 name="decoder",
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, edge_mask=edge_mask)
         else:
             x = PCmer(
                 num_layers=3,

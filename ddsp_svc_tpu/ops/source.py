@@ -28,14 +28,62 @@ def _wrap_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.fmod(x + 0.5, 1.0) - 0.5
 
 
-def fast_source_gen(
+PHASE_Q_BITS = 22  # phase carries quantized to 2^-22 cycles (~1e-4 cents)
+
+
+def frame_phase_increments_q(
     f0_frames: jnp.ndarray, sampling_rate: int, block_size: int
+) -> jnp.ndarray:
+    """Per-frame wrapped end-of-frame phase increments, quantized to int32
+    units of 2^-PHASE_Q_BITS cycles.
+
+    Integer accumulation of these is exact and associative (int32 natural
+    overflow preserves the residue mod 2^PHASE_Q_BITS since 2^22 | 2^32), so
+    any blocking of the cumulative carry — per-device prefix sums in the
+    streaming engine vs one whole-utterance cumsum — yields bit-identical
+    phases. This replaces the reference's float64 cumsum
+    (ddsp/vocoder.py:645-647) on TPUs, which have no fast f64.
+
+    Returns q: (B, T, 1) int32.
+    """
+    n_last = jnp.asarray(block_size - 1, f0_frames.dtype)
+    s0 = f0_frames / sampling_rate
+    ds0 = jnp.pad(s0[:, 1:, :] - s0[:, :-1, :], ((0, 0), (0, 1), (0, 0)))
+    rad_last = s0 * (n_last + 1.0) + 0.5 * ds0 * n_last * (n_last + 1.0) / block_size
+    rad2 = _wrap_half(rad_last)
+    return jnp.round(rad2 * (1 << PHASE_Q_BITS)).astype(jnp.int32)
+
+
+def carry_from_increments_q(q: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix of quantized increments -> float carry per frame.
+
+    q: (B, T, 1) int32 -> (B, T, 1) float carry in cycles (mod 1).
+    """
+    acc = jnp.cumsum(q, axis=1)  # int32, exact mod 2^32
+    carry_q = jnp.pad(acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    return _dequantize_carry(carry_q, q.dtype)
+
+
+def _dequantize_carry(carry_q: jnp.ndarray, _=None) -> jnp.ndarray:
+    mask = (1 << PHASE_Q_BITS) - 1
+    frac = jnp.bitwise_and(carry_q, mask)  # value mod 1 cycle, in [0, 2^22)
+    return frac.astype(jnp.float32) / (1 << PHASE_Q_BITS)
+
+
+def fast_source_gen(
+    f0_frames: jnp.ndarray,
+    sampling_rate: int,
+    block_size: int,
+    carry_offset_q: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Combtooth exciter with per-frame linear f0 ramps and phase continuity.
 
     Args:
         f0_frames: (B, T, 1) frame-level f0 in Hz.
         sampling_rate, block_size: static ints.
+        carry_offset_q: optional (B, 1, 1) int32 quantized phase offset added
+            to every frame's carry — the streaming engine passes the exact
+            global prefix of the frames before this block.
 
     Returns:
         combtooth: (B, T * block_size)
@@ -47,10 +95,14 @@ def fast_source_gen(
     # phase ramp within each frame (trapezoid integration of the linear ramp)
     rad = s0 * (n + 1.0) + 0.5 * ds0 * n * (n + 1.0) / block_size  # (B, T, block)
     s0_eff = s0 + ds0 * n / block_size
-    # cross-frame carry: wrapped end-of-frame phase, accumulated over frames
-    rad2 = _wrap_half(rad[..., -1:])
-    rad_acc = jnp.fmod(jnp.cumsum(rad2, axis=1), 1.0)
-    rad = rad + jnp.pad(rad_acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    # cross-frame carry: exact int-quantized accumulation (see
+    # frame_phase_increments_q) — bit-identical under any blocking
+    q = frame_phase_increments_q(f0_frames, sampling_rate, block_size)
+    acc = jnp.cumsum(q, axis=1)
+    carry_q = jnp.pad(acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    if carry_offset_q is not None:
+        carry_q = carry_q + carry_offset_q.astype(jnp.int32)
+    rad = rad + _dequantize_carry(carry_q)
     rad = rad - jnp.round(rad)
     combtooth = jnp.sinc(rad / (s0_eff + 1e-5))
     combtooth = combtooth.reshape(f0_frames.shape[0], -1)
