@@ -1,0 +1,94 @@
+"""HTTP voice-change endpoint — flask_api.py / flask_api_diff.py parity on
+the Python stdlib (no flask wheel in this image).
+
+POST /voiceChangeModel with multipart form data:
+  sample        — wav bytes
+  fPitchChange  — semitone shift (float)
+  sSpeakId      — speaker id (int)
+  sampleRate    — output sample rate
+  [fSafePrefixPadLength, sampler steps for diffusion models]
+Responds with the converted wav (flask_api.py:23-48 contract).
+"""
+from __future__ import annotations
+
+import argparse
+import io
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_handler(pipeline, default_kwargs):
+    from ..features.audio import to_mono
+    from scipy.io import wavfile
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/voiceChangeModel":
+                self.send_error(404)
+                return
+            import cgi
+
+            form = cgi.FieldStorage(
+                fp=self.rfile, headers=self.headers,
+                environ={"REQUEST_METHOD": "POST",
+                         "CONTENT_TYPE": self.headers["Content-Type"]},
+            )
+            wav_bytes = form["sample"].file.read()
+            pitch = float(form.getvalue("fPitchChange", 0.0))
+            spk_id = int(float(form.getvalue("sSpeakId", 1)))
+            out_rate = int(form.getvalue("sampleRate", 44100))
+            pad = float(form.getvalue("fSafePrefixPadLength", 0.0))
+
+            in_sr, data = wavfile.read(io.BytesIO(wav_bytes))
+            if data.dtype == np.int16:
+                audio = data.astype(np.float32) / 32768.0
+            else:
+                audio = data.astype(np.float32)
+            audio = to_mono(audio)
+
+            out, sr = pipeline.infer(
+                audio, in_sr, spk_id=spk_id, key_shift=pitch,
+                silence_front=pad, **default_kwargs,
+            )
+            if sr != out_rate:
+                import jax.numpy as jnp
+
+                from ..ops.resample import resample
+
+                out = np.asarray(
+                    resample(jnp.asarray(out)[None, :], sr, out_rate)
+                )[0]
+            buf = io.BytesIO()
+            wavfile.write(buf, out_rate,
+                          np.clip(out * 32767.0, -32768, 32767).astype(np.int16))
+            payload = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-m", "--model_path", required=True)
+    p.add_argument("-p", "--port", type=int, default=6842)
+    p.add_argument("-pe", "--pitch_extractor", default="yin")
+    cmd = p.parse_args(argv)
+
+    from ..infer.pipeline import SvcPipeline
+
+    pipeline = SvcPipeline(cmd.model_path, pitch_extractor=cmd.pitch_extractor)
+    server = ThreadingHTTPServer(("0.0.0.0", cmd.port), make_handler(pipeline, {}))
+    print(f"voiceChangeModel API on :{cmd.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

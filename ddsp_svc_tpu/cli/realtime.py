@@ -1,0 +1,79 @@
+"""Realtime VC CLI (the gui.py replacement, audio-backend optional).
+
+File mode (always available — drives the exact realtime block engine):
+  python -m ddsp_svc_tpu.cli.realtime -m model.ckpt -i in.wav -o out.wav
+
+Live mode (requires the optional sounddevice wheel):
+  python -m ddsp_svc_tpu.cli.realtime -m model.ckpt --live
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("-m", "--model_path", required=True)
+    p.add_argument("-i", "--input")
+    p.add_argument("-o", "--output")
+    p.add_argument("--live", action="store_true")
+    p.add_argument("-id", "--spk_id", type=int, default=1)
+    p.add_argument("-k", "--key", type=float, default=0.0)
+    p.add_argument("-th", "--threhold", type=float, default=-45.0)
+    p.add_argument("-pe", "--pitch_extractor", default="yin")
+    p.add_argument("--block_time", type=float, default=0.3)
+    p.add_argument("--crossfade_time", type=float, default=0.04)
+    p.add_argument("--extra_time", type=float, default=2.0)
+    p.add_argument("--phase_vocoder", action="store_true")
+    cmd = p.parse_args(argv)
+
+    from ..infer.pipeline import SvcPipeline
+    from ..infer.realtime import RealtimeVC
+
+    pipeline = SvcPipeline(cmd.model_path, pitch_extractor=cmd.pitch_extractor)
+    sr = pipeline.args.data.sampling_rate
+    vc = RealtimeVC(
+        pipeline,
+        sample_rate=sr,
+        block_time=cmd.block_time,
+        crossfade_time=cmd.crossfade_time,
+        extra_time=cmd.extra_time,
+        use_phase_vocoder=cmd.phase_vocoder,
+        spk_id=cmd.spk_id,
+        key_shift=cmd.key,
+        threhold=cmd.threhold,
+    )
+
+    if cmd.live:
+        import sounddevice as sd  # optional dependency
+
+        def callback(indata, outdata, frames, time_info, status):
+            out = vc.process_block(indata[:, 0].astype(np.float32))
+            outdata[:, 0] = out
+
+        with sd.Stream(
+            samplerate=sr, blocksize=vc.block_frame, channels=1, callback=callback
+        ):
+            print("realtime VC running — Ctrl-C to stop")
+            import time
+
+            while True:
+                time.sleep(1)
+    else:
+        from ..features.audio import load_wav, save_wav
+        from ..ops.resample import resample
+        import jax.numpy as jnp
+
+        audio, in_sr = load_wav(cmd.input)
+        if in_sr != sr:
+            audio = np.asarray(resample(jnp.asarray(audio)[None, :], in_sr, sr))[0]
+        out = vc.process_stream(audio.astype(np.float32))
+        save_wav(cmd.output, out, sr)
+        print(f"Saved: {cmd.output} ({len(out) / sr:.2f}s, "
+              f"{int(np.ceil(len(audio) / vc.block_frame))} blocks)")
+
+
+if __name__ == "__main__":
+    main()

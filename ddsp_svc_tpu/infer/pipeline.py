@@ -1,0 +1,133 @@
+"""End-to-end voice-conversion pipeline object.
+
+The reusable core behind the offline CLI, the realtime engine, and the HTTP
+API — the equivalent of gui.py's SvcDDSP.infer (gui.py:75-147): audio in ->
+f0/volume/units -> model -> (enhancer | vocoder) -> audio out.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..features.f0 import F0Extractor
+from ..features.volume import VolumeExtractor
+from ..models.registry import load_model
+from ..models.vocoder import Enhancer, Vocoder
+from ..ops.interp import upsample
+from ..train.solver import model_family
+from .. import cli
+
+
+class SvcPipeline:
+    def __init__(
+        self,
+        model_path: str,
+        pitch_extractor: str = "yin",
+        f0_min: float = 50.0,
+        f0_max: float = 1100.0,
+        enhance: bool = False,
+    ):
+        from ..cli.common import build_units_encoder
+
+        self.model, self.variables, self.args = load_model(model_path)
+        self.family = model_family(self.args.model.type)
+        self.units_encoder = build_units_encoder(self.args)
+        self.pitch_extractor_name = pitch_extractor
+        self.f0_min, self.f0_max = f0_min, f0_max
+        self._f0_extractors: dict[int, F0Extractor] = {}
+        self.enhancer = None
+        self.vocoder = None
+        if self.family == "ddsp" and enhance and self.args.enhancer:
+            self.enhancer = Enhancer(self.args.enhancer.type, self.args.enhancer.ckpt)
+        if self.family != "ddsp":
+            vc = self.args.vocoder or {}
+            self.vocoder = Vocoder(vc.get("type", "nsf-hifigan"), vc.get("ckpt"))
+        self._key = jax.random.PRNGKey(0)
+
+    def _f0_extractor(self, sample_rate: int, hop: int) -> F0Extractor:
+        if sample_rate not in self._f0_extractors:
+            self._f0_extractors[sample_rate] = F0Extractor(
+                self.pitch_extractor_name, sample_rate, hop, self.f0_min, self.f0_max
+            )
+        return self._f0_extractors[sample_rate]
+
+    def infer(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        spk_id: int = 1,
+        key_shift: float = 0.0,
+        threhold: float = -60.0,
+        silence_front: float = 0.0,
+        enhancer_adaptive_key: float = 0.0,
+        spk_mix_dict=None,
+        **model_kwargs,
+    ) -> tuple[np.ndarray, int]:
+        """1-D float audio -> (converted audio, out_sample_rate)."""
+        args = self.args
+        hop = int(args.data.block_size * sample_rate / args.data.sampling_rate)
+
+        f0 = self._f0_extractor(sample_rate, hop).extract(
+            audio, uv_interp=True, silence_front=silence_front
+        )
+        f0 = jnp.asarray(f0, jnp.float32)[None, :, None] * 2 ** (key_shift / 12.0)
+
+        volume = VolumeExtractor(hop).extract(audio)
+        mask = (volume > 10 ** (threhold / 20.0)).astype("float32")
+        mask = np.pad(mask, (4, 4), constant_values=(mask[0], mask[-1]))
+        mask = np.array([np.max(mask[n : n + 9]) for n in range(len(mask) - 8)])
+        mask = upsample(jnp.asarray(mask)[None, :, None], args.data.block_size)[..., 0]
+        volume_j = jnp.asarray(volume, jnp.float32)[None, :, None]
+
+        units = self.units_encoder.encode(
+            jnp.asarray(audio, jnp.float32)[None, :], sample_rate, hop
+        )
+        t = units.shape[1]
+        f0 = f0[:, :t]
+        volume_j = volume_j[:, :t]
+
+        self._key, sub = jax.random.split(self._key)
+        spk = jnp.array([[spk_id]], jnp.int32)
+        common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
+        if self.family == "ddsp":
+            out, _, _ = self.model.apply(
+                {"params": self.variables["params"]},
+                units, f0, volume_j, rngs={"noise": sub}, **common,
+            )
+            out_sr = args.data.sampling_rate
+        else:
+            kwargs = dict(common)
+            if self.family in ("diffusion", "unit2mel"):
+                kwargs.update(
+                    infer_speedup=model_kwargs.get("speedup", 10),
+                    sampler=model_kwargs.get("method", "dpm-solver"),
+                    k_step=model_kwargs.get("k_step", args.model.k_step_max or 300),
+                )
+            else:
+                kwargs.update(
+                    infer_step=model_kwargs.get("infer_step", 20),
+                    sampler=model_kwargs.get("method", "euler"),
+                    t_start=model_kwargs.get(
+                        "t_start", float(args.model.t_start or 0.0)
+                    ),
+                )
+            if self.family != "unit2mel":
+                kwargs["mel_extract_fn"] = (
+                    lambda wav: self.vocoder.extract(wav, args.data.sampling_rate)
+                )
+            mel = self.model.apply(
+                {"params": self.variables["params"]},
+                units, f0, volume_j, key=sub, rngs={"noise": sub}, **kwargs,
+            )
+            out = self.vocoder.infer(mel, f0, key=sub)
+            out_sr = self.vocoder.vocoder_sample_rate
+
+        out = out * mask[:, : out.shape[-1]]
+        if self.enhancer is not None:
+            out, out_sr = self.enhancer.enhance(
+                out, args.data.sampling_rate, f0, args.data.block_size,
+                adaptive_key=enhancer_adaptive_key, silence_front=silence_front,
+            )
+        return np.asarray(out)[0], out_sr
