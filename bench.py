@@ -51,51 +51,63 @@ def main():
     from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
 
     sr, block, win, n_unit = 44100, 512, 2048, 768
-    batch, seconds = 64, 30.0
-    t = int(seconds * sr) // block  # frames per utterance
     model = CombSubSuperFast(
         sampling_rate=sr, block_size=block, win_length=win, n_unit=n_unit, n_spk=1
     )
 
-    key = jax.random.PRNGKey(0)
-    k_units, k_f0, k_init, k_noise = jax.random.split(key, 4)
-    units = jax.random.normal(k_units, (batch, t, n_unit), jnp.float32)
-    f0 = 220.0 * jnp.exp(jax.random.normal(k_f0, (batch, t, 1)) * 0.1)
-    volume = 0.5 * jnp.ones((batch, t, 1), jnp.float32)
-    spk_id = jnp.zeros((batch, 1), jnp.int32)
-    params = model.init(
-        {"params": k_init, "noise": k_noise}, units, f0, volume, spk_id=spk_id
-    )["params"]
+    def measure(batch: int, seconds: float) -> float:
+        t = int(seconds * sr) // block  # frames per utterance
+        key = jax.random.PRNGKey(0)
+        k_units, k_f0, k_init, k_noise = jax.random.split(key, 4)
+        units = jax.random.normal(k_units, (batch, t, n_unit), jnp.float32)
+        f0 = 220.0 * jnp.exp(jax.random.normal(k_f0, (batch, t, 1)) * 0.1)
+        volume = 0.5 * jnp.ones((batch, t, 1), jnp.float32)
+        spk_id = jnp.zeros((batch, 1), jnp.int32)
+        params = model.init(
+            {"params": k_init, "noise": k_noise}, units, f0, volume, spk_id=spk_id
+        )["params"]
 
-    @jax.jit
-    def synth_checksum(params, units, f0, volume, spk_id, key):
-        signal, _, _ = model.apply(
-            {"params": params}, units, f0, volume, spk_id=spk_id, infer=True,
-            rngs={"noise": key},
-        )
-        return jnp.sum(jnp.abs(signal))
-
-    k = jax.random.PRNGKey(1)
-    _sync_scalar(synth_checksum(params, units, f0, volume, spk_id, k))  # compile
-
-    def window(n_iter: int) -> float:
-        start = time.perf_counter()
-        out = None
-        for i in range(n_iter):
-            out = synth_checksum(
-                params, units, f0, volume, spk_id, jax.random.fold_in(k, i)
+        @jax.jit
+        def synth_checksum(params, units, f0, volume, spk_id, key):
+            signal, _, _ = model.apply(
+                {"params": params}, units, f0, volume, spk_id=spk_id, infer=True,
+                rngs={"noise": key},
             )
-        _sync_scalar(out)
-        return time.perf_counter() - start
+            return jnp.sum(jnp.abs(signal))
 
-    n_iter = 8
-    elapsed = window(n_iter)
-    while elapsed < MIN_WINDOW_S and n_iter < 4096:
-        n_iter *= 2
+        k = jax.random.PRNGKey(1)
+        _sync_scalar(synth_checksum(params, units, f0, volume, spk_id, k))
+
+        def window(n_iter: int) -> float:
+            start = time.perf_counter()
+            out = None
+            for i in range(n_iter):
+                out = synth_checksum(
+                    params, units, f0, volume, spk_id, jax.random.fold_in(k, i)
+                )
+            _sync_scalar(out)
+            return time.perf_counter() - start
+
+        n_iter = 8
         elapsed = window(n_iter)
+        while elapsed < MIN_WINDOW_S and n_iter < 4096:
+            n_iter *= 2
+            elapsed = window(n_iter)
+        return n_iter * batch * (t * block) / sr / elapsed
 
-    audio_seconds = n_iter * batch * (t * block) / sr
-    rtf = audio_seconds / elapsed
+    # the tunneled backend intermittently rejects large graphs — fall back
+    # to smaller workloads rather than failing the round
+    last_err = None
+    rtf = None
+    for batch, seconds in ((64, 30.0), (16, 10.0), (2, 2.0)):
+        try:
+            rtf = measure(batch, seconds)
+            break
+        except Exception as e:
+            last_err = e
+            print(f"# bench config ({batch}, {seconds}) failed: {e}", flush=True)
+    if rtf is None:
+        raise last_err
     print(
         json.dumps(
             {

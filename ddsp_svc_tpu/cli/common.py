@@ -58,6 +58,7 @@ def build_units_encoder(args: DotDict) -> UnitsEncoder:
         params=load_encoder_params(args.data.encoder_ckpt),
         encoder_sample_rate=args.data.encoder_sample_rate,
         encoder_hop_size=args.data.encoder_hop_size,
+        cnhubertsoft_gate=args.data.cnhubertsoft_gate or 10,
     )
 
 

@@ -52,7 +52,19 @@ def main(argv=None):
     cmd = parser.parse_args(argv)
     args = load_config(cmd.config)
 
-    model = build_model(args)
+    # multi-host: initialize the distributed runtime when launched under a
+    # multi-process coordinator (JAX_COORDINATOR_ADDRESS set per host)
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+    amp = (args.train.amp_dtype or "fp32").lower()
+    dtype = jnp.bfloat16 if amp in ("bf16", "bfloat16") else None
+    if amp in ("fp16", "float16"):
+        print(" [!] fp16 requested; using bf16 (the TPU-native low precision)")
+        dtype = jnp.bfloat16
+    model = build_model(args, dtype=dtype)
     family = model_family(args.model.type)
     print(f" [*] model: {args.model.type} ({family})")
 

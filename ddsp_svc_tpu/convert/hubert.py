@@ -66,8 +66,46 @@ def _layer_from_fairseq(sd: dict, i: int, heads: int) -> dict:
     }
 
 
+def _layer_from_hf(sd: dict, i: int, heads: int) -> dict:
+    pre = f"encoder.layers.{i}."
+    return {
+        "attn": mha_params(
+            sd[pre + "attention.q_proj.weight"],
+            sd[pre + "attention.k_proj.weight"],
+            sd[pre + "attention.v_proj.weight"],
+            sd[pre + "attention.q_proj.bias"],
+            sd[pre + "attention.k_proj.bias"],
+            sd[pre + "attention.v_proj.bias"],
+            sd[pre + "attention.out_proj.weight"],
+            sd[pre + "attention.out_proj.bias"], heads,
+        ),
+        "fc1": {"kernel": linear_kernel(sd[pre + "feed_forward.intermediate_dense.weight"]),
+                "bias": sd[pre + "feed_forward.intermediate_dense.bias"]},
+        "fc2": {"kernel": linear_kernel(sd[pre + "feed_forward.output_dense.weight"]),
+                "bias": sd[pre + "feed_forward.output_dense.bias"]},
+        "norm1": {"scale": sd[pre + "layer_norm.weight"],
+                  "bias": sd[pre + "layer_norm.bias"]},
+        "norm2": {"scale": sd[pre + "final_layer_norm.weight"],
+                  "bias": sd[pre + "final_layer_norm.bias"]},
+    }
+
+
 def convert_hubert_state_dict(sd: dict, config: HubertConfig) -> dict:
-    """{torch name: ndarray} -> flax {'params': ...} for HubertModel."""
+    """{torch name: ndarray} -> flax {'params': ...} for HubertModel.
+
+    Auto-detects bshall / fairseq / HF-transformers (CNHubertSoftFish)
+    layouts.
+    """
+    # CNHubertSoftFish wraps the HF model under 'model.' with a 'proj.1'
+    # head (ddsp/vocoder.py:330-364)
+    if any(k.startswith("model.") for k in sd):
+        sd = dict(sd)
+        for k in list(sd):
+            if k.startswith("model."):
+                sd[k[len("model.") :]] = sd.pop(k)
+    hf = any("pos_conv_embed" in k for k in sd)
+    if hf:
+        return _convert_hf(sd, config)
     fairseq = any(k.startswith("feature_extractor.conv_layers") for k in sd)
     params: dict = {}
 
@@ -133,6 +171,43 @@ def convert_hubert_state_dict(sd: dict, config: HubertConfig) -> dict:
         elif "proj.weight" in sd:
             params["proj"] = {"kernel": linear_kernel(sd["proj.weight"]),
                               "bias": sd["proj.bias"]}
+    return {"params": params}
+
+
+def _convert_hf(sd: dict, config: HubertConfig) -> dict:
+    """HF transformers HubertModel layout (chinese-hubert-base etc.)."""
+    params: dict = {}
+    fe = {}
+    for i in range(7):
+        fe[f"conv{i}"] = {
+            "kernel": conv1d_kernel(sd[f"feature_extractor.conv_layers.{i}.conv.weight"])
+        }
+    fe["norm0"] = {
+        "scale": sd["feature_extractor.conv_layers.0.layer_norm.weight"],
+        "bias": sd["feature_extractor.conv_layers.0.layer_norm.bias"],
+    }
+    params["feature_extractor"] = fe
+    params["fp_norm"] = {"scale": sd["feature_projection.layer_norm.weight"],
+                         "bias": sd["feature_projection.layer_norm.bias"]}
+    params["fp_proj"] = {"kernel": linear_kernel(sd["feature_projection.projection.weight"]),
+                         "bias": sd["feature_projection.projection.bias"]}
+    pos = "encoder.pos_conv_embed.conv."
+    if pos + "weight_v" in sd:
+        w = fold_weight_norm(sd[pos + "weight_g"], sd[pos + "weight_v"], dim=2)
+    else:  # torch >= 2.1 parametrized weight norm
+        w = fold_weight_norm(
+            sd[pos + "parametrizations.weight.original0"],
+            sd[pos + "parametrizations.weight.original1"], dim=2,
+        )
+    params["pos_conv"] = {"conv": {"kernel": conv1d_kernel(w), "bias": sd[pos + "bias"]}}
+    params["norm"] = {"scale": sd["encoder.layer_norm.weight"],
+                      "bias": sd["encoder.layer_norm.bias"]}
+    n = config.output_layer or config.num_layers
+    for i in range(n):
+        params[f"layer{i}"] = _layer_from_hf(sd, i, config.heads)
+    if config.proj_dim and "proj.1.weight" in sd:
+        params["proj"] = {"kernel": linear_kernel(sd["proj.1.weight"]),
+                          "bias": sd["proj.1.bias"]}
     return {"params": params}
 
 

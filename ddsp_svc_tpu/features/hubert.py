@@ -99,6 +99,8 @@ class HubertConfig:
     proj_dim: int | None = None  # final projection (256 for hubert-soft)
     pre_norm: bool = False  # True for hubert-large (layer_norm_first)
     pad_center: bool = True  # hubert-soft pads (40, 40) before the convs
+    input_normalize: bool = False  # HF Wav2Vec2FeatureExtractor zero-mean/unit-var
+    topk_gate: int | None = None  # CNHubertSoftFish top-k gating (vocoder.py:358-362)
 
 
 class HubertModel(nn.Module):
@@ -107,6 +109,10 @@ class HubertModel(nn.Module):
     @nn.compact
     def __call__(self, audio, deterministic=True):  # (B, L) 16 kHz
         cfg = self.config
+        if cfg.input_normalize:
+            mean = jnp.mean(audio, axis=-1, keepdims=True)
+            var = jnp.var(audio, axis=-1, keepdims=True)
+            audio = (audio - mean) / jnp.sqrt(var + 1e-7)
         if cfg.pad_center:
             audio = jnp.pad(audio, ((0, 0), (40, 40)))
         x = FeatureExtractor(name="feature_extractor")(audio)
@@ -121,6 +127,15 @@ class HubertModel(nn.Module):
             )(x, deterministic=deterministic)
         if cfg.proj_dim:
             x = nn.Dense(cfg.proj_dim, name="proj")(x)
+        if cfg.topk_gate:
+            # keep only the top-k channels per frame, renormalize to sum 1
+            # (CNHubertSoftFish gating, ddsp/vocoder.py:358-362)
+            k = cfg.topk_gate
+            thresh = jnp.sort(x, axis=-1)[..., -k : -k + 1] if k > 1 else jnp.max(
+                x, axis=-1, keepdims=True
+            )
+            gated = jnp.where(x >= thresh, x, 0.0)
+            x = gated / jnp.sum(gated, axis=-1, keepdims=True)
         return x
 
 
@@ -137,6 +152,10 @@ ENCODER_CONFIGS: dict[str, HubertConfig] = {
     "contentvec": HubertConfig(output_layer=9, proj_dim=256),
     "contentvec768": HubertConfig(output_layer=9),
     "contentvec768l12": HubertConfig(output_layer=12),
+    # chinese-hubert-base + Linear proj + top-k gate (ddsp/vocoder.py:330-364)
+    "cnhubertsoftfish": HubertConfig(
+        proj_dim=256, pad_center=False, input_normalize=True, topk_gate=10
+    ),
 }
 
 
@@ -149,10 +168,16 @@ class UnitsEncoder:
         params=None,
         encoder_sample_rate: int = 16000,
         encoder_hop_size: int = 320,
+        cnhubertsoft_gate: int = 10,
     ):
         if encoder not in ENCODER_CONFIGS:
             raise ValueError(f" [x] Unknown units encoder: {encoder}")
-        self.model = HubertModel(ENCODER_CONFIGS[encoder])
+        from dataclasses import replace
+
+        cfg = ENCODER_CONFIGS[encoder]
+        if cfg.topk_gate and cnhubertsoft_gate:
+            cfg = replace(cfg, topk_gate=cnhubertsoft_gate)
+        self.model = HubertModel(cfg)
         self.encoder_sample_rate = encoder_sample_rate
         self.encoder_hop_size = encoder_hop_size
         if params is None:

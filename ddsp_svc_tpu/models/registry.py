@@ -13,9 +13,10 @@ from .cascade import ReflowUnit2Wav, Unit2Mel, Unit2Wav, Unit2WavFast
 from .ddsp import CombSub, CombSubFast, CombSubSuperFast, Sins
 
 
-def build_model(args, vocoder_dimension: int = 128) -> nn.Module:
+def build_model(args, vocoder_dimension: int = 128, dtype=None) -> nn.Module:
     """args: DotDict config (see configs/*.yaml). Returns an un-initialized
-    flax module."""
+    flax module. ``dtype`` = activation dtype (bf16 mixed precision when
+    jnp.bfloat16; params stay f32)."""
     mtype = args.model.type
     if mtype == "Sins":
         return Sins(
@@ -26,6 +27,7 @@ def build_model(args, vocoder_dimension: int = 128) -> nn.Module:
             n_mag_noise=args.model.n_mag_noise,
             n_unit=args.data.encoder_out_channels,
             n_spk=args.model.n_spk,
+            dtype=dtype,
         )
     if mtype == "CombSub":
         return CombSub(
@@ -36,6 +38,7 @@ def build_model(args, vocoder_dimension: int = 128) -> nn.Module:
             n_mag_noise=args.model.n_mag_noise,
             n_unit=args.data.encoder_out_channels,
             n_spk=args.model.n_spk,
+            dtype=dtype,
         )
     if mtype == "CombSubFast":
         return CombSubFast(
@@ -43,6 +46,7 @@ def build_model(args, vocoder_dimension: int = 128) -> nn.Module:
             block_size=args.data.block_size,
             n_unit=args.data.encoder_out_channels,
             n_spk=args.model.n_spk,
+            dtype=dtype,
         )
     if mtype == "CombSubSuperFast":
         return CombSubSuperFast(
@@ -51,6 +55,7 @@ def build_model(args, vocoder_dimension: int = 128) -> nn.Module:
             win_length=args.model.win_length,
             n_unit=args.data.encoder_out_channels,
             n_spk=args.model.n_spk,
+            dtype=dtype,
         )
     if mtype == "Diffusion":
         return Unit2Mel(
@@ -62,6 +67,7 @@ def build_model(args, vocoder_dimension: int = 128) -> nn.Module:
             args.model.n_chans,
             args.model.n_hidden,
             k_step_max=args.model.k_step_max or 1000,
+            dtype=dtype,
         )
     if mtype == "DiffusionNew":
         return Unit2Wav(
@@ -75,6 +81,7 @@ def build_model(args, vocoder_dimension: int = 128) -> nn.Module:
             args.model.n_chans,
             pcmer_norm=bool(args.model.pcmer_norm),
             k_step_max=args.model.k_step_max or 1000,
+            dtype=dtype,
         )
     if mtype == "DiffusionFast":
         return Unit2WavFast(
@@ -88,6 +95,7 @@ def build_model(args, vocoder_dimension: int = 128) -> nn.Module:
             args.model.n_layers,
             args.model.n_chans,
             k_step_max=args.model.k_step_max or 1000,
+            dtype=dtype,
         )
     if mtype == "RectifiedFlow":
         return ReflowUnit2Wav(
@@ -100,6 +108,7 @@ def build_model(args, vocoder_dimension: int = 128) -> nn.Module:
             vocoder_dimension,
             args.model.n_layers,
             args.model.n_chans,
+            dtype=dtype,
         )
     raise ValueError(f" [x] Unknown Model: {mtype}")
 

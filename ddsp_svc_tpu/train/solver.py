@@ -163,7 +163,9 @@ def train(args, model, state, mesh=None, mel_extract_fn=None,
 
     from ..data.dataset import get_datasets
 
-    train_ds, valid_ds = get_datasets(args)
+    train_ds, valid_ds = get_datasets(
+        args, rank=jax.process_index(), world_size=jax.process_count()
+    )
     sampler = BatchSampler(train_ds, int(args.train.batch_size))
     saver.log_info(f" [*] {len(train_ds)} train files, {len(valid_ds)} valid files")
 
