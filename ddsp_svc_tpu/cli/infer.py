@@ -60,6 +60,7 @@ def parse_args(argv=None):
     p.add_argument("-th", "--threhold", type=float, default=-60.0)
     p.add_argument("-eak", "--enhancer_adaptive_key", default="0")
     # diffusion / reflow options
+    p.add_argument("-fs", "--formant_shift_key", type=float, default=0.0)
     p.add_argument("-kstep", "--k_step", type=int, default=None)
     p.add_argument("-speedup", "--speedup", type=int, default=10)
     p.add_argument("-method", "--method", default=None)
@@ -135,6 +136,9 @@ def main(argv=None):
         key, sub = jax.random.split(key)
 
         common = dict(spk_id=spk_id, spk_mix_dict=spk_mix_dict, infer=True)
+        if family != "ddsp" and cmd.formant_shift_key:
+            # formant change via the pitch-aug embedding (main_diff.py:356-371)
+            common["aug_shift"] = jnp.full((1, 1, 1), cmd.formant_shift_key)
         if family == "ddsp":
             seg_output, _, _ = model.apply(
                 {"params": variables["params"]},
