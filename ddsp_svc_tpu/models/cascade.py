@@ -77,7 +77,7 @@ class Unit2Mel(nn.Module):
 
         return GaussianDiffusion(
             WaveNet(self.out_dims, self.n_layers, self.n_chans, self.n_hidden,
-                    dtype=self.dtype),
+                    dtype=self.dtype, name="denoise_fn"),
             out_dims=self.out_dims,
             timesteps=self.timesteps,
             k_step=self.k_step_max,
@@ -145,7 +145,8 @@ class Unit2Wav(nn.Module):
         ddsp_mel = mel_extract_fn(ddsp_wav) if mel_extract_fn is not None else None
 
         diff_model = GaussianDiffusion(
-            WaveNet(self.out_dims, self.n_layers, self.n_chans, 256, dtype=self.dtype),
+            WaveNet(self.out_dims, self.n_layers, self.n_chans, 256,
+                    dtype=self.dtype, name="denoise_fn"),
             out_dims=self.out_dims,
             timesteps=self.timesteps,
             k_step=self.k_step_max,
@@ -202,6 +203,9 @@ class Unit2WavFast(nn.Module):
         k_step=None,
         key=None,
         deterministic=True,
+        ddsp_noise=None,
+        init_noise=None,
+        denoise_wrapper=None,
     ):
         ddsp_wav, hidden, _ = CombSubSuperFast(
             self.sampling_rate,
@@ -215,6 +219,7 @@ class Unit2WavFast(nn.Module):
         )(
             units, f0, volume, spk_id=spk_id, spk_mix_dict=spk_mix_dict,
             aug_shift=aug_shift, infer=infer, deterministic=deterministic,
+            noise=ddsp_noise,
         )
         ddsp_mel = mel_extract_fn(ddsp_wav) if mel_extract_fn is not None else None
 
@@ -222,7 +227,7 @@ class Unit2WavFast(nn.Module):
             NaiveV2Diff(
                 mel_channels=self.out_dims, dim=self.n_chans,
                 num_layers=self.n_layers, condition_dim=self.out_dims,
-                use_mlp=False, dtype=self.dtype,
+                use_mlp=False, dtype=self.dtype, name="denoise_fn",
             ),
             out_dims=self.out_dims,
             timesteps=self.timesteps,
@@ -242,6 +247,7 @@ class Unit2WavFast(nn.Module):
             return diff_model(
                 ddsp_mel, gt_spec=ddsp_mel, infer=True, infer_speedup=infer_speedup,
                 sampler=sampler, k_step=k_step, key=key, deterministic=deterministic,
+                init_noise=init_noise, denoise_wrapper=denoise_wrapper,
             )
         return ddsp_mel
 
@@ -279,6 +285,9 @@ class ReflowUnit2Wav(nn.Module):
         t_start=0.0,
         key=None,
         deterministic=True,
+        ddsp_noise=None,
+        init_noise=None,
+        velocity_wrapper=None,
     ):
         ddsp_wav, hidden, _ = CombSubSuperFast(
             self.sampling_rate,
@@ -292,6 +301,7 @@ class ReflowUnit2Wav(nn.Module):
         )(
             units, f0, volume, spk_id=spk_id, spk_mix_dict=spk_mix_dict,
             aug_shift=aug_shift, infer=infer, deterministic=deterministic,
+            noise=ddsp_noise,
         )
         ddsp_mel = mel_extract_fn(ddsp_wav) if mel_extract_fn is not None else None
 
@@ -299,7 +309,7 @@ class ReflowUnit2Wav(nn.Module):
             NaiveV2Diff(
                 mel_channels=self.out_dims, dim=self.n_chans,
                 num_layers=self.n_layers, condition_dim=self.out_dims,
-                use_mlp=False, dtype=self.dtype,
+                use_mlp=False, dtype=self.dtype, name="velocity_fn",
             ),
             out_dims=self.out_dims,
             name="reflow_model",
@@ -317,5 +327,6 @@ class ReflowUnit2Wav(nn.Module):
             return reflow_model(
                 ddsp_mel, gt_spec=ddsp_mel, infer=True, infer_step=infer_step,
                 sampler=sampler, t_start=t_start, key=key, deterministic=deterministic,
+                init_noise=init_noise, velocity_wrapper=velocity_wrapper,
             )
         return ddsp_mel

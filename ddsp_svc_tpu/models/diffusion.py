@@ -133,6 +133,8 @@ class GaussianDiffusion(nn.Module):
         k_step: int | None = None,
         key: jax.Array | None = None,
         deterministic: bool = True,
+        init_noise=None,  # streaming: blocking-invariant initial noise
+        denoise_wrapper=None,  # streaming: wraps eps_fn (halo exchange)
     ):
         if key is None:
             key = self.make_rng("diffusion")
@@ -142,6 +144,9 @@ class GaussianDiffusion(nn.Module):
         def eps_fn(x, t_float):
             """noise prediction: x (B,T,M), t (B,) float step labels."""
             return self.denoise_fn(x, t_float, condition, deterministic=deterministic)
+
+        if denoise_wrapper is not None:
+            eps_fn = denoise_wrapper(eps_fn)
 
         if not infer:
             spec = self.norm_spec(gt_spec)
@@ -158,11 +163,15 @@ class GaussianDiffusion(nn.Module):
         key_init, key_chain = jax.random.split(key)
         if gt_spec is None or k_step is None:
             t_start = self.k_step
-            x = jax.random.normal(key_init, shape)
+            x = init_noise if init_noise is not None else jax.random.normal(
+                key_init, shape
+            )
         else:
             t_start = int(k_step)
             norm = self.norm_spec(gt_spec)
-            noise = jax.random.normal(key_init, shape, norm.dtype)
+            noise = init_noise if init_noise is not None else jax.random.normal(
+                key_init, shape, norm.dtype
+            )
             x = self.q_sample(norm, jnp.full((b,), t_start - 1, jnp.int32), noise)
 
         if sampler is not None and infer_speedup > 1:

@@ -31,7 +31,8 @@ class NaiveV2DiffLayer(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, condition, diffusion_step, deterministic=True):
+    def __call__(self, x, condition, diffusion_step, deterministic=True,
+                 edge_mask=None):
         """x: (B,T,C), condition: (B,T,Hc), diffusion_step: (B,1,C)."""
         res_x = x
         x = (
@@ -51,7 +52,7 @@ class NaiveV2DiffLayer(nn.Module):
             use_norm=self.use_norm,
             dtype=self.dtype,
             name="conformer",
-        )(x, deterministic=deterministic)
+        )(x, deterministic=deterministic, edge_mask=edge_mask)
 
         if self.wavenet_like:
             y = Conv1d(2 * self.dim_model, 1, dtype=self.dtype, name="wavenet_like_proj")(x)
@@ -77,8 +78,12 @@ class NaiveV2Diff(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, spec, diffusion_step, cond, deterministic=True):
-        """spec: (B,T,M), diffusion_step: (B,) float, cond: (B,T,Hc) -> (B,T,M)."""
+    def __call__(self, spec, diffusion_step, cond, deterministic=True,
+                 edge_mask=None):
+        """spec: (B,T,M), diffusion_step: (B,) float, cond: (B,T,Hc) -> (B,T,M).
+
+        ``edge_mask`` (streaming): zeros activations at frames outside the
+        utterance before each depthwise conv (see models/conformer.py)."""
         x = Conv1d(self.dim, 1, dtype=self.dtype, name="input_projection")(spec)
         x = jax.nn.gelu(x, approximate=False)
 
@@ -108,7 +113,8 @@ class NaiveV2Diff(nn.Module):
                     wavenet_like=True,
                     dtype=self.dtype,
                     name=f"layer_{i}",
-                )(x, condition, step, deterministic=deterministic)
+                )(x, condition, step, deterministic=deterministic,
+                  edge_mask=edge_mask)
                 sks.append(sk)
             x = sum(sks) / math.sqrt(len(sks))
         else:
@@ -122,7 +128,8 @@ class NaiveV2Diff(nn.Module):
                     kernel_size=self.kernel_size,
                     dtype=self.dtype,
                     name=f"layer_{i}",
-                )(x, condition, step, deterministic=deterministic)
+                )(x, condition, step, deterministic=deterministic,
+                  edge_mask=edge_mask)
 
         if self.use_mlp:
             x = Conv1d(self.dim * self.mlp_factor, 1, dtype=self.dtype, name="out_proj_0")(x)

@@ -72,14 +72,16 @@ def linear_attention(q, k, v):
 class FAVORSelfAttention(nn.Module):
     dim: int
     heads: int = 8
-    dim_head: int | None = None
+    # the reference SelfAttention uses dim_head=64 regardless of dim
+    # (ddsp/pcmer.py:327-344: inner = 64 * heads = 512 for dim_model 256)
+    dim_head: int = 64
     pcmer_norm: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         b, n, _ = x.shape
-        dim_head = self.dim_head or self.dim // self.heads
+        dim_head = self.dim_head
         nb_features = int(dim_head * math.log(dim_head))
         inner = dim_head * self.heads
 
@@ -93,9 +95,9 @@ class FAVORSelfAttention(nn.Module):
             ),
         ).value
 
-        q = Dense(inner, dtype=self.dtype)(x)
-        k = Dense(inner, dtype=self.dtype)(x)
-        v = Dense(inner, dtype=self.dtype)(x)
+        q = Dense(inner, dtype=self.dtype, name="to_q")(x)
+        k = Dense(inner, dtype=self.dtype, name="to_k")(x)
+        v = Dense(inner, dtype=self.dtype, name="to_v")(x)
         q, k, v = (
             t.reshape(b, n, self.heads, dim_head).transpose(0, 2, 1, 3) for t in (q, k, v)
         )
@@ -106,7 +108,7 @@ class FAVORSelfAttention(nn.Module):
         k = softmax_kernel(k, projection, is_query=False)
         out = linear_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
-        return Dense(self.dim, dtype=self.dtype)(out)
+        return Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 
 class PCmerLayer(nn.Module):
@@ -119,12 +121,13 @@ class PCmerLayer(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = x + FAVORSelfAttention(
-            self.dim_model, self.num_heads, pcmer_norm=self.pcmer_norm, dtype=self.dtype
-        )(LayerNorm()(x), deterministic=deterministic)
+            self.dim_model, self.num_heads, pcmer_norm=self.pcmer_norm,
+            dtype=self.dtype, name="attn",
+        )(LayerNorm(name="norm")(x), deterministic=deterministic)
         # PCmer's ConformerConvModule always layer-norms first (ddsp/pcmer.py:203)
-        x = x + ConformerConvModule(self.dim_model, use_norm=True, dtype=self.dtype)(
-            x, deterministic=deterministic
-        )
+        x = x + ConformerConvModule(
+            self.dim_model, use_norm=True, dtype=self.dtype, name="conformer"
+        )(x, deterministic=deterministic)
         return x
 
 
@@ -148,5 +151,6 @@ class PCmer(nn.Module):
                 self.residual_dropout,
                 self.pcmer_norm,
                 dtype=self.dtype,
+                name=f"layer_{_}",
             )(x, deterministic=deterministic)
         return x

@@ -38,6 +38,8 @@ class RectifiedFlow(nn.Module):
         use_tqdm: bool = False,
         deterministic: bool = True,
         loss_type: str = "l2_lognorm",
+        init_noise=None,  # streaming: blocking-invariant initial noise
+        velocity_wrapper=None,  # streaming: wraps v_fn (halo exchange)
     ):
         if key is None:
             key = self.make_rng("diffusion")
@@ -49,6 +51,9 @@ class RectifiedFlow(nn.Module):
             return self.velocity_fn(
                 x, 1000.0 * t, condition, deterministic=deterministic
             )
+
+        if velocity_wrapper is not None:
+            v_fn = velocity_wrapper(v_fn)
 
         if not infer:
             x_1 = self.norm_spec(gt_spec)
@@ -75,12 +80,15 @@ class RectifiedFlow(nn.Module):
 
         # ---------------- inference (ODE) ----------------
         shape = (b, t_frames, self.out_dims)
+        noise = init_noise if init_noise is not None else jax.random.normal(
+            key, shape
+        )
         if gt_spec is None:
-            x = jax.random.normal(key, shape)
+            x = noise
             t0, dt = 0.0, 1.0 / infer_step
         else:
             norm = self.norm_spec(gt_spec)
-            x = t_start * norm + (1.0 - t_start) * jax.random.normal(key, shape, norm.dtype)
+            x = t_start * norm + (1.0 - t_start) * noise.astype(norm.dtype)
             t0, dt = t_start, (1.0 - t_start) / infer_step
 
         def tb(tv):

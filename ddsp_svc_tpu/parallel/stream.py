@@ -102,6 +102,102 @@ def _sample_halo_reflect(x, hs, axis, d, n_dev):
     return jnp.concatenate([left, x, right], axis=1)
 
 
+def blocked_noise_frames(
+    key: jax.Array, batch: int, n_frames: int, dim: int
+) -> jnp.ndarray:
+    """(B, n_frames, dim) unit normal drawn per frame from split keys."""
+    keys = jax.random.split(key, n_frames)
+    blocks = jax.vmap(lambda k: jax.random.normal(k, (batch, dim), jnp.float32))(
+        keys
+    )  # (T, B, dim)
+    return blocks.transpose(1, 0, 2)
+
+
+def _combsub_block(
+    model, variables, units_b, f0_b, vol_b, keys_b, spk_id_b, axis, n_dev, t, tb
+):
+    """Per-device CombSubSuperFast synthesis on haloed blocks — the body of
+    streamed_combsub_forward, reusable by the cascade engine. Returns own
+    audio (B, tb*hop)."""
+    hop, win = model.block_size, model.win_length
+    hf = FRAME_HALO
+    hs = 3 * hop + win // 2
+    b = units_b.shape[0]
+    window = jnp.asarray(hann_window(win))
+    d = lax.axis_index(axis)
+
+    # ---- control nets on frame-haloed inputs ------------------------------
+    f0_ext = _frame_halo(f0_b, hf, hf, axis, d, n_dev, edge_value=None)
+    units_ext = _frame_halo(units_b, hf, hf, axis, d, n_dev, edge_value=0.0)
+    vol_ext = _frame_halo(vol_b, hf, hf, axis, d, n_dev, edge_value=0.0)
+
+    # exact phase carry: int32 increments, cross-device prefix
+    q_ext = frame_phase_increments_q(f0_ext, model.sampling_rate, hop)
+    q_own = q_ext[:, hf : hf + tb]
+    s_own = jnp.sum(q_own, axis=1, keepdims=True)  # (B,1,1) int32
+    gathered = lax.all_gather(s_own, axis)  # (D, B, 1, 1)
+    dev_mask = (jnp.arange(n_dev) < d).astype(jnp.int32)
+    prefix = jnp.tensordot(dev_mask, gathered, axes=(0, 0))  # (B,1,1)
+    offset_ext = prefix - jnp.sum(q_ext[:, :hf], axis=1, keepdims=True)
+
+    combtooth_ext, phase_ext = fast_source_gen(
+        f0_ext, model.sampling_rate, hop, carry_offset_q=offset_ext
+    )
+
+    kg = jnp.arange(tb + 2 * hf) + d * tb - hf  # global frame index
+    edge_mask = ((kg >= 0) & (kg < t)).astype(units_b.dtype)[None, :, None]
+    frame_mask = jnp.zeros((tb + 2 * hf,), units_b.dtype)
+    frame_mask = frame_mask.at[hf : hf + tb].set(1.0)[None, :, None]
+
+    src_f_ext, noise_f_ext, _hidden_ext = model.apply(
+        variables,
+        units_ext,
+        f0_ext,
+        phase_ext,
+        vol_ext,
+        spk_id=spk_id_b,
+        frame_mask=jnp.broadcast_to(frame_mask, (b, tb + 2 * hf, 1)),
+        stream_axis=axis,
+        edge_mask=jnp.broadcast_to(edge_mask, (b, tb + 2 * hf, 1)),
+        method=CombSubSuperFast.controls,
+    )
+    src_own = src_f_ext[:, hf : hf + tb]
+    nf_own = noise_f_ext[:, hf : hf + tb]
+
+    # ---- filters for stft frames [s-3, e+3] -------------------------------
+    # (frame T uses the duplicated last filter, ddsp/vocoder.py:732)
+    src_fr = _frame_halo(src_own, 3, 4, axis, d, n_dev, edge_value=None)
+    nf_fr = _frame_halo(nf_own, 3, 4, axis, d, n_dev, edge_value=None)
+
+    # ---- sources on sample-haloed blocks ----------------------------------
+    comb_own = combtooth_ext[:, hf * hop : (hf + tb) * hop]
+    noise_blocks = jax.vmap(
+        lambda k: jax.random.normal(k, (b, hop), jnp.float32)
+    )(keys_b)
+    noise_own = noise_blocks.transpose(1, 0, 2).reshape(b, tb * hop)
+
+    comb_sh = _sample_halo_reflect(comb_own, hs, axis, d, n_dev)
+    noise_sh = _sample_halo_reflect(noise_own, hs, axis, d, n_dev)
+
+    # ---- blocked STFT filter iSTFT ----------------------------------------
+    comb_frames = frame_signal(comb_sh, win, hop) * window
+    noise_frames = frame_signal(noise_sh, win, hop) * window
+    s_comb = jnp.fft.rfft(comb_frames, win, axis=-1)
+    s_noise = jnp.fft.rfft(noise_frames, win, axis=-1)
+    sig_spec = s_comb * src_fr + s_noise * nf_fr  # (B, tb+7, F)
+
+    y_frames = jnp.fft.irfft(sig_spec, win, axis=-1) * window
+    fg = jnp.arange(tb + 7) + d * tb - 3  # global stft frame index
+    valid = ((fg >= 0) & (fg <= t)).astype(y_frames.dtype)[None, :, None]
+    y_frames = y_frames * valid
+
+    y = overlap_add(y_frames, hop)
+    wsq = jnp.broadcast_to((window * window)[None, None, :], (1, tb + 7, win))
+    norm = overlap_add(wsq * valid[:1], hop)
+    y = y / jnp.maximum(norm, 1e-11)
+    return y[:, hs : hs + tb * hop]
+
+
 def streamed_combsub_forward(
     model: CombSubSuperFast,
     variables,
@@ -124,90 +220,20 @@ def streamed_combsub_forward(
     assert t % n_dev == 0, f"frames {t} not divisible by {n_dev} devices"
     tb = t // n_dev
     hf = FRAME_HALO
-    hs = 3 * hop + win // 2  # sample halo: istft frame reach
+    hs = 3 * hop + win // 2
     assert tb >= max(hf, 4) and tb * hop >= hs, (
         f"block of {tb} frames too small for halos (need >= {hf} frames and "
         f">= {hs} samples)"
     )
-    window = jnp.asarray(hann_window(win))
     noise_keys = jax.random.split(key, t)  # (T, 2) uint32
-
     if spk_id is None:
         spk_id = jnp.ones((b, 1), jnp.int32)
 
     def block(variables, units_b, f0_b, vol_b, keys_b, spk_id_b):
-        d = lax.axis_index(axis)
-
-        # ---- control nets on frame-haloed inputs --------------------------
-        f0_ext = _frame_halo(f0_b, hf, hf, axis, d, n_dev, edge_value=None)
-        units_ext = _frame_halo(units_b, hf, hf, axis, d, n_dev, edge_value=0.0)
-        vol_ext = _frame_halo(vol_b, hf, hf, axis, d, n_dev, edge_value=0.0)
-
-        # exact phase carry: int32 increments, cross-device prefix
-        q_ext = frame_phase_increments_q(f0_ext, model.sampling_rate, hop)
-        q_own = q_ext[:, hf : hf + tb]
-        s_own = jnp.sum(q_own, axis=1, keepdims=True)  # (B,1,1) int32
-        gathered = lax.all_gather(s_own, axis)  # (D, B, 1, 1)
-        dev_mask = (jnp.arange(n_dev) < d).astype(jnp.int32)
-        prefix = jnp.tensordot(dev_mask, gathered, axes=(0, 0))  # (B,1,1)
-        offset_ext = prefix - jnp.sum(q_ext[:, :hf], axis=1, keepdims=True)
-
-        combtooth_ext, phase_ext = fast_source_gen(
-            f0_ext, model.sampling_rate, hop, carry_offset_q=offset_ext
+        return _combsub_block(
+            model, variables, units_b, f0_b, vol_b, keys_b, spk_id_b,
+            axis, n_dev, t, tb,
         )
-
-        kg = jnp.arange(tb + 2 * hf) + d * tb - hf  # global frame index
-        edge_mask = ((kg >= 0) & (kg < t)).astype(units_b.dtype)[None, :, None]
-        frame_mask = jnp.zeros((tb + 2 * hf,), units_b.dtype)
-        frame_mask = frame_mask.at[hf : hf + tb].set(1.0)[None, :, None]
-
-        src_f_ext, noise_f_ext, hidden_ext = model.apply(
-            variables,
-            units_ext,
-            f0_ext,
-            phase_ext,
-            vol_ext,
-            spk_id=spk_id_b,
-            frame_mask=jnp.broadcast_to(frame_mask, (b, tb + 2 * hf, 1)),
-            stream_axis=axis,
-            edge_mask=jnp.broadcast_to(edge_mask, (b, tb + 2 * hf, 1)),
-            method=CombSubSuperFast.controls,
-        )
-        src_own = src_f_ext[:, hf : hf + tb]
-        nf_own = noise_f_ext[:, hf : hf + tb]
-
-        # ---- filters for stft frames [s-3, e+3] ---------------------------
-        # (frame T uses the duplicated last filter, ddsp/vocoder.py:732)
-        src_fr = _frame_halo(src_own, 3, 4, axis, d, n_dev, edge_value=None)
-        nf_fr = _frame_halo(nf_own, 3, 4, axis, d, n_dev, edge_value=None)
-
-        # ---- sources on sample-haloed blocks ------------------------------
-        comb_own = combtooth_ext[:, hf * hop : (hf + tb) * hop]
-        noise_blocks = jax.vmap(
-            lambda k: jax.random.normal(k, (b, hop), jnp.float32)
-        )(keys_b)
-        noise_own = noise_blocks.transpose(1, 0, 2).reshape(b, tb * hop)
-
-        comb_sh = _sample_halo_reflect(comb_own, hs, axis, d, n_dev)
-        noise_sh = _sample_halo_reflect(noise_own, hs, axis, d, n_dev)
-
-        # ---- blocked STFT filter iSTFT ------------------------------------
-        comb_frames = frame_signal(comb_sh, win, hop) * window
-        noise_frames = frame_signal(noise_sh, win, hop) * window
-        s_comb = jnp.fft.rfft(comb_frames, win, axis=-1)
-        s_noise = jnp.fft.rfft(noise_frames, win, axis=-1)
-        sig_spec = s_comb * src_fr + s_noise * nf_fr  # (B, tb+7, F)
-
-        y_frames = jnp.fft.irfft(sig_spec, win, axis=-1) * window
-        fg = jnp.arange(tb + 7) + d * tb - 3  # global stft frame index
-        valid = ((fg >= 0) & (fg <= t)).astype(y_frames.dtype)[None, :, None]
-        y_frames = y_frames * valid
-
-        y = overlap_add(y_frames, hop)
-        wsq = jnp.broadcast_to((window * window)[None, None, :], (1, tb + 7, win))
-        norm = overlap_add(wsq * valid[:1], hop)
-        y = y / jnp.maximum(norm, 1e-11)
-        return y[:, hs : hs + tb * hop]
 
     spec_frames = P(None, axis, None)
     fn = jax.shard_map(
@@ -228,3 +254,189 @@ def whole_utterance_reference(model, variables, units, f0, volume, key, spk_id=N
         variables, units, f0, volume, spk_id=spk_id, infer=True, noise=noise
     )
     return signal
+
+
+# ---------------------------------------------------------------------------
+# Streamed cascade: DDSP -> blocked log-mel -> halo-exchanging diffusion /
+# rectified-flow sampling (BASELINE "reflow euler/rk4 streamed blocks")
+# ---------------------------------------------------------------------------
+
+DENOISER_HALO = 96  # NaiveV2Diff: 6 conv layers x (k=31)//2 = 90 + margin
+
+
+def _blocked_logmel(audio_own, mel, axis, d, n_dev, tb):
+    """Per-device log-mel on sample-haloed audio, matching
+    ops/mel.LogMelSpectrogram.extract frame-for-frame.
+
+    audio_own: (B, tb*hop) -> (B, tb, M).
+    """
+    w, h = mel.win_size, mel.hop_length
+    pad_left = (w - h) // 2
+    h2 = pad_left + h  # halo; first wanted window starts at ext[h]
+    assert h2 >= w - h - pad_left, "halo too small for mel framing"
+    ext = _sample_halo_reflect(audio_own, h2, axis, d, n_dev)
+    window = jnp.asarray(hann_window(w))
+    frames = frame_signal(ext, w, h)[:, 1 : 1 + tb] * window
+    spec = jnp.fft.rfft(frames, w, axis=-1)
+    mag = jnp.sqrt(spec.real**2 + spec.imag**2 + 1e-9)  # (B, tb, F)
+    melspec = jnp.matmul(mag, mel.mel_basis.T)
+    return jnp.log(jnp.clip(melspec, min=mel.clip_val))
+
+
+def streamed_cascade_mel(
+    model,  # Unit2WavFast or ReflowUnit2Wav
+    variables,
+    units: jnp.ndarray,  # (B, T, C)
+    f0: jnp.ndarray,  # (B, T, 1)
+    volume: jnp.ndarray,  # (B, T, 1)
+    key: jax.Array,
+    mel,  # ops/mel.LogMelSpectrogram with hop == model.block_size
+    spk_id=None,
+    mesh: Mesh | None = None,
+    axis: str = "time",
+    family: str = "reflow",  # 'reflow' | 'diffusion'
+    infer_step: int = 10,
+    sampler: str | None = None,
+    t_start: float = 0.7,
+    k_step: int = 100,
+    infer_speedup: int = 10,
+) -> jnp.ndarray:
+    """Time-sharded cascade inference to refined mel (B, T, M).
+
+    Every denoiser evaluation exchanges DENOISER_HALO frames of the evolving
+    x_t with ring neighbors (ppermute), so the conv-only denoiser computes
+    exactly the whole-utterance values for its own frames; the initial noise
+    is drawn per frame (blocking-invariant) and the ODE/ancestral updates
+    are elementwise — the streamed sample path equals the whole-utterance
+    path up to float summation order.
+    """
+    from ..models.ddsp import combsub_stft_synthesis  # noqa: F401 (doc link)
+    from ..models.diffusion import GaussianDiffusion
+    from ..models.naive_v2_diff import NaiveV2Diff
+    from ..models.reflow import RectifiedFlow
+
+    b, t, _ = units.shape
+    hop = model.block_size
+    n_dev = mesh.shape[axis]
+    assert t % n_dev == 0, f"frames {t} not divisible by {n_dev} devices"
+    tb = t // n_dev
+    hd = DENOISER_HALO
+    assert tb >= max(FRAME_HALO, hd), (
+        f"block of {tb} frames too small (needs >= {max(FRAME_HALO, hd)})"
+    )
+    assert mel.hop_length == hop and mel.sr == model.sampling_rate
+
+    key_ddsp, key_init = jax.random.split(key)
+    ddsp_keys = jax.random.split(key_ddsp, t)  # (T, 2)
+    init_keys = jax.random.split(key_init, t)  # (T, 2)
+    if spk_id is None:
+        spk_id = jnp.ones((b, 1), jnp.int32)
+
+    ddsp_module = CombSubSuperFast(
+        sampling_rate=model.sampling_rate,
+        block_size=model.block_size,
+        win_length=model.win_length,
+        n_unit=model.n_unit,
+        n_spk=model.n_spk,
+        use_pitch_aug=model.use_pitch_aug,
+        dtype=model.dtype,
+    )
+    net_key = "velocity_fn" if family == "reflow" else "denoise_fn"
+    naive = NaiveV2Diff(
+        mel_channels=model.out_dims, dim=model.n_chans,
+        num_layers=model.n_layers, condition_dim=model.out_dims,
+        use_mlp=False, dtype=model.dtype, name=net_key,
+    )
+    if family == "reflow":
+        net_mod = RectifiedFlow(naive, out_dims=model.out_dims)
+    else:
+        net_mod = GaussianDiffusion(
+            naive, out_dims=model.out_dims, k_step=model.k_step_max
+        )
+
+    def block(variables, units_b, f0_b, vol_b, dkeys_b, ikeys_b, spk_id_b):
+        d = lax.axis_index(axis)
+        p = variables["params"]
+        audio_own = _combsub_block(
+            ddsp_module, {"params": p["ddsp_model"]},
+            units_b, f0_b, vol_b, dkeys_b, spk_id_b, axis, n_dev, t, tb,
+        )
+        mel_own = _blocked_logmel(audio_own, mel, axis, d, n_dev, tb)
+
+        # blocking-invariant initial noise (per frame)
+        noise_own = jax.vmap(
+            lambda k: jax.random.normal(k, (b, model.out_dims), jnp.float32)
+        )(ikeys_b).transpose(1, 0, 2)
+
+        kg = jnp.arange(tb + 2 * hd) + d * tb - hd
+        edge_ext = ((kg >= 0) & (kg < t)).astype(mel_own.dtype)[None, :, None]
+        edge_ext = jnp.broadcast_to(edge_ext, (b, tb + 2 * hd, 1))
+        p_net = p[net_key]
+
+        def cond_halo(x):
+            return _frame_halo(x, hd, hd, axis, d, n_dev, edge_value=0.0)
+
+        cond_ext = cond_halo(mel_own)
+
+        def wrapper(_inner):
+            def fn(x, tv):
+                x_ext = cond_halo(x)
+                tt = 1000.0 * tv if family == "reflow" else tv
+                out = naive.apply(
+                    {"params": p_net}, x_ext, tt, cond_ext, edge_mask=edge_ext
+                )
+                return out[:, hd : hd + tb]
+
+            return fn
+
+        kwargs = dict(
+            gt_spec=mel_own, infer=True, key=jax.random.PRNGKey(0),
+            init_noise=noise_own,
+        )
+        net_vars = {"params": {net_key: p_net}}
+        if family == "reflow":
+            out = net_mod.apply(
+                net_vars, mel_own,
+                infer_step=infer_step, sampler=sampler or "euler",
+                t_start=t_start, velocity_wrapper=wrapper, **kwargs,
+            )
+        else:
+            out = net_mod.apply(
+                net_vars, mel_own,
+                infer_speedup=infer_speedup, sampler=sampler or "dpm-solver",
+                k_step=k_step, denoise_wrapper=wrapper, **kwargs,
+            )
+        return out
+
+    spec_frames = P(None, axis, None)
+    fn = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(
+            P(), spec_frames, spec_frames, spec_frames,
+            P(axis, None), P(axis, None), P(),
+        ),
+        out_specs=spec_frames,
+        check_vma=False,
+    )
+    return fn(variables, units, f0, volume, ddsp_keys, init_keys, spk_id)
+
+
+def whole_cascade_reference(
+    model, variables, units, f0, volume, key, mel, spk_id=None,
+    family: str = "reflow", **kwargs,
+):
+    """Whole-utterance cascade with the identical blocking-invariant noise
+    draws, for consistency checks against streamed_cascade_mel."""
+    b, t, _ = units.shape
+    key_ddsp, key_init = jax.random.split(key)
+    ddsp_noise = blocked_noise(key_ddsp, b, t, model.block_size)
+    init_noise = blocked_noise_frames(key_init, b, t, model.out_dims)
+    extra = (
+        dict(velocity_wrapper=None) if family == "reflow" else dict()
+    )
+    return model.apply(
+        variables, units, f0, volume, spk_id=spk_id,
+        mel_extract_fn=mel.extract, infer=True, key=jax.random.PRNGKey(0),
+        ddsp_noise=ddsp_noise, init_noise=init_noise, **extra, **kwargs,
+    )

@@ -1,0 +1,99 @@
+"""Training-harness tests: checkpoint contract, LR schedule, train steps."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_svc_tpu.train import checkpoint as ckpt
+from ddsp_svc_tpu.train.state import create_train_state, make_lr_schedule
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        params = {"a": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)},
+                  "b": {"bias": np.zeros(4, np.float32)}}
+        path = ckpt.save_checkpoint(str(tmp_path), 120, params)
+        assert path.endswith("model_120.ckpt")
+        payload, step = ckpt.load_checkpoint(path)
+        assert step == 120
+        np.testing.assert_array_equal(payload["params"]["a"]["kernel"],
+                                      params["a"]["kernel"])
+
+    def test_latest_scan(self, tmp_path):
+        for s in (5, 100, 30):
+            ckpt.save_checkpoint(str(tmp_path), s, {"x": np.zeros(1)})
+        assert ckpt.latest_checkpoint(str(tmp_path)).endswith("model_100.ckpt")
+
+    def test_strict_false_warm_start(self, tmp_path):
+        """A ckpt with extra/missing/mismatched keys merges like torch
+        strict=False (logger/utils.py:97-122 contract)."""
+        loaded = {
+            "a": {"kernel": np.ones((2, 3), np.float32)},
+            "extra": {"w": np.ones(2)},
+            "c": {"w": np.ones((9, 9))},  # shape mismatch
+        }
+        template = {
+            "a": {"kernel": np.zeros((2, 3), np.float32)},
+            "b": {"bias": np.zeros(4, np.float32)},  # missing in ckpt
+            "c": {"w": np.zeros((2, 2), np.float32)},
+        }
+        merged = ckpt.restore_into(template, loaded)
+        assert (merged["a"]["kernel"] == 1).all()  # loaded
+        assert (merged["b"]["bias"] == 0).all()  # kept template
+        assert merged["c"]["w"].shape == (2, 2)  # mismatched -> template
+
+    def test_retention(self, tmp_path):
+        for s in (1000, 2000, 10000):
+            ckpt.save_checkpoint(str(tmp_path), s, {"x": np.zeros(1)})
+        ckpt.apply_retention(str(tmp_path), 2000, interval_force_save=10000)
+        assert not os.path.exists(tmp_path / "model_2000.ckpt")
+        ckpt.apply_retention(str(tmp_path), 10000, interval_force_save=10000)
+        assert os.path.exists(tmp_path / "model_10000.ckpt")  # multiple kept
+
+
+class TestLrSchedule:
+    def test_step_decay(self):
+        sched = make_lr_schedule(1e-3, decay_step=100, gamma=0.5)
+        assert float(sched(0)) == pytest.approx(1e-3)
+        assert float(sched(99)) == pytest.approx(1e-3)
+        assert float(sched(100)) == pytest.approx(5e-4)
+        assert float(sched(250)) == pytest.approx(2.5e-4)
+
+    def test_constant_when_no_decay(self):
+        sched = make_lr_schedule(2e-4, None, None)
+        assert float(sched(12345)) == pytest.approx(2e-4)
+
+
+class TestDdspStep:
+    def test_loss_decreases_and_params_update(self):
+        from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+        from ddsp_svc_tpu.train.steps import make_ddsp_train_step
+
+        model = CombSubSuperFast(
+            sampling_rate=16000, block_size=64, win_length=256, n_unit=16, n_spk=1
+        )
+        b, t = 2, 32
+        key = jax.random.PRNGKey(0)
+        batch = {
+            "units": jax.random.normal(key, (b, t, 16)),
+            "f0": 220.0 * jnp.ones((b, t, 1)),
+            "volume": 0.5 * jnp.ones((b, t, 1)),
+            "spk_id": jnp.ones((b, 1), jnp.int32),
+            "audio": 0.1 * jax.random.normal(key, (b, t * 64)),
+        }
+        params = model.init(
+            {"params": key, "noise": key},
+            batch["units"], batch["f0"], batch["volume"],
+        )["params"]
+        state = create_train_state(model, params, lr=1e-3)
+        step = make_ddsp_train_step(64, 256, n_scale=2, donate=False)
+        losses = []
+        for i in range(5):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i + 1))
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert int(state.step) == 5
+        assert losses[-1] < losses[0]  # fixed batch: loss must drop
