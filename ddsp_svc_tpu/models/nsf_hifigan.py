@@ -87,7 +87,7 @@ class SourceModuleHnNSF(nn.Module):
     voiced_threshold: float = 0.0
 
     @nn.compact
-    def __call__(self, f0, upp: int, key):
+    def __call__(self, f0, upp: int, key, sine_kwargs=None):
         sines = sine_gen(
             f0,
             upp,
@@ -97,6 +97,7 @@ class SourceModuleHnNSF(nn.Module):
             sine_amp=self.sine_amp,
             noise_std=self.add_noise_std,
             voiced_threshold=self.voiced_threshold,
+            **(sine_kwargs or {}),
         )
         sines = jax.lax.stop_gradient(sines)  # reference SineGen is @no_grad
         merged = Dense(1, name="l_linear")(sines)
@@ -122,8 +123,8 @@ class Generator(nn.Module):
         return int(np.prod(self.upsample_rates))
 
     @nn.compact
-    def __call__(self, mel, f0, key=None):
-        if key is None:
+    def __call__(self, mel, f0, key=None, sine_kwargs=None):
+        if key is None and sine_kwargs is None:
             key = self.make_rng("noise")
         num_kernels = len(self.resblock_kernel_sizes)
         num_upsamples = len(self.upsample_rates)
@@ -131,7 +132,7 @@ class Generator(nn.Module):
 
         har_source = SourceModuleHnNSF(
             self.sampling_rate, harmonic_num=8, name="m_source"
-        )(f0, self.upp, key)  # (B, T*upp, 1)
+        )(f0, self.upp, key, sine_kwargs=sine_kwargs)  # (B, T*upp, 1)
 
         x = Conv1d(
             self.upsample_initial_channel, 7, padding=3,

@@ -143,15 +143,25 @@ def cumsum_phase_source(
     return x.reshape(b, l, 1)
 
 
+def sine_increments_q(f0: jnp.ndarray, upp: int, sampling_rate: int) -> jnp.ndarray:
+    """Per-frame wrapped end-of-frame phase increments of the NSF sine
+    source, int32-quantized (see frame_phase_increments_q). f0: (B, T)."""
+    rad_last = f0[..., None] / sampling_rate * upp
+    return jnp.round(_wrap_half(rad_last) * (1 << PHASE_Q_BITS)).astype(jnp.int32)
+
+
 def sine_gen(
     f0: jnp.ndarray,
     upp: int,
     sampling_rate: int,
     n_harmonics: int,
-    key: jax.Array,
+    key: jax.Array | None = None,
     sine_amp: float = 0.1,
     noise_std: float = 0.003,
     voiced_threshold: float = 0.0,
+    rand_ini: jnp.ndarray | None = None,
+    noise: jnp.ndarray | None = None,
+    carry_offset_q: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """NSF sine-bank excitation (nsf_hifigan/models.py:101-165).
 
@@ -159,7 +169,12 @@ def sine_gen(
         f0: (B, T) frame-level f0 in Hz.
         upp: upsample factor (product of the generator's upsample rates).
         n_harmonics: number of overtones; output dim is n_harmonics + 1.
-        key: PRNG key for the random initial phases and the additive noise.
+        key: PRNG key for the random initial phases and the additive noise
+            (unused when rand_ini and noise are given).
+        rand_ini / noise / carry_offset_q: streaming hooks — precomputed
+            per-harmonic initial phases (1,1,dim), per-sample noise
+            (B, T*upp, dim), and the exact int32 phase-carry prefix (B,1,1)
+            of the frames before this block.
 
     Returns:
         sine_waves: (B, T * upp, n_harmonics + 1)
@@ -169,20 +184,26 @@ def sine_gen(
     f0 = f0[..., None]  # (B, T, 1)
     pos = jnp.arange(1, upp + 1, dtype=f0.dtype)
     rad = f0 / sampling_rate * pos  # (B, T, upp)
-    rad2 = _wrap_half(rad[..., -1:])
-    rad_acc = jnp.fmod(jnp.cumsum(rad2, axis=1), 1.0)
-    # shift: prepend zero, drop last (F.pad(rad_acc, (0,0,1,-1)))
-    rad = rad + jnp.pad(rad_acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    # cross-frame carry: exact int32 accumulation (blocking-invariant)
+    q = sine_increments_q(f0[..., 0], upp, sampling_rate)
+    acc = jnp.cumsum(q, axis=1)
+    carry_q = jnp.pad(acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    if carry_offset_q is not None:
+        carry_q = carry_q + carry_offset_q.astype(jnp.int32)
+    rad = rad + _dequantize_carry(carry_q)
     rad = rad.reshape(b, t * upp, 1)
     rad = rad * jnp.arange(1, dim + 1, dtype=f0.dtype).reshape(1, 1, dim)
-    key_ini, key_noise = jax.random.split(key)
-    rand_ini = jax.random.uniform(key_ini, (1, 1, dim), dtype=f0.dtype)
-    rand_ini = rand_ini.at[..., 0].set(0.0)
+    if rand_ini is None or noise is None:
+        key_ini, key_noise = jax.random.split(key)
+    if rand_ini is None:
+        rand_ini = jax.random.uniform(key_ini, (1, 1, dim), dtype=f0.dtype)
+        rand_ini = rand_ini.at[..., 0].set(0.0)
     rad = rad + rand_ini
     sines = jnp.sin(2.0 * np.pi * rad) * sine_amp
 
     uv = (f0 > voiced_threshold).astype(f0.dtype)  # (B, T, 1)
     uv = jnp.repeat(uv, upp, axis=1)  # nearest upsample to (B, T*upp, 1)
     noise_amp = uv * noise_std + (1.0 - uv) * sine_amp / 3.0
-    noise = noise_amp * jax.random.normal(key_noise, sines.shape, dtype=f0.dtype)
-    return sines * uv + noise
+    if noise is None:
+        noise = jax.random.normal(key_noise, sines.shape, dtype=f0.dtype)
+    return sines * uv + noise_amp * noise

@@ -440,3 +440,122 @@ def whole_cascade_reference(
         mel_extract_fn=mel.extract, infer=True, key=jax.random.PRNGKey(0),
         ddsp_noise=ddsp_noise, init_noise=init_noise, **extra, **kwargs,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streamed NSF-HiFiGAN vocoder: mel time blocks -> 44.1 kHz audio
+# ---------------------------------------------------------------------------
+
+VOCODER_HALO = 32  # mel frames; must exceed the Generator's receptive field
+
+
+def _sine_noise_from_keys(keys, batch, upp, dim):
+    """Per-frame keyed sine-source noise: (n, 2) keys -> (B, n*upp, dim)."""
+    blocks = jax.vmap(
+        lambda k: jax.random.normal(k, (batch, upp, dim), jnp.float32)
+    )(keys)  # (n, B, upp, dim)
+    n = blocks.shape[0]
+    return blocks.transpose(1, 0, 2, 3).reshape(batch, n * upp, dim)
+
+
+def _sine_rand_ini(key, dim):
+    rand_ini = jax.random.uniform(key, (1, 1, dim), jnp.float32)
+    return rand_ini.at[..., 0].set(0.0)
+
+
+def nsf_hifigan_padded_forward(gen, params, mel, f0, key, halo=VOCODER_HALO):
+    """Whole-utterance reference for the streamed vocoder: the generator run
+    with ``halo`` zero mel-frames of context on each side (cropped after).
+
+    This silence padding makes the utterance-level operator shift-invariant,
+    so blocked and whole execution see literally identical arrays — the
+    price is edge output that differs from the unpadded reference within
+    the receptive field of the utterance boundaries (silence context
+    instead of SAME-conv zeros), which is the same kind of boundary choice
+    the reference makes implicitly.
+    """
+    b, t, _ = mel.shape
+    upp = gen.upp
+    dim = 9  # 8 harmonics + fundamental (m_source harmonic_num=8)
+    key_ini, key_noise = jax.random.split(key)
+    rand_ini = _sine_rand_ini(key_ini, dim)
+    keys_all = jax.random.split(key_noise, t + 2 * halo)
+    noise = _sine_noise_from_keys(keys_all, b, upp, dim)
+    mel_pad = jnp.pad(mel, ((0, 0), (halo, halo), (0, 0)))
+    f0_pad = jnp.pad(f0, ((0, 0), (halo, halo)))
+    audio = gen.apply(
+        {"params": params}, mel_pad, f0_pad,
+        sine_kwargs=dict(rand_ini=rand_ini, noise=noise),
+    )
+    return audio[:, halo * upp : (halo + t) * upp]
+
+
+def streamed_nsf_hifigan(
+    gen,
+    params,
+    mel: jnp.ndarray,  # (B, T, M)
+    f0: jnp.ndarray,  # (B, T)
+    key: jax.Array,
+    mesh: Mesh,
+    axis: str = "time",
+    halo: int = VOCODER_HALO,
+) -> jnp.ndarray:
+    """Time-sharded NSF-HiFiGAN synthesis matching nsf_hifigan_padded_forward.
+
+    The generator is norm-free (convs + elementwise only), so a halo of
+    real neighbor frames >= its receptive field makes interior outputs
+    exact; the sine source uses the int32 phase-carry prefix and per-frame
+    keyed noise so the excitation is blocking-invariant.
+    """
+    from ..ops.source import sine_increments_q
+
+    b, t, _ = mel.shape
+    upp = gen.upp
+    dim = 9
+    n_dev = mesh.shape[axis]
+    assert t % n_dev == 0
+    tb = t // n_dev
+    assert tb >= halo, f"block of {tb} frames < vocoder halo {halo}"
+
+    key_ini, key_noise = jax.random.split(key)
+    rand_ini = _sine_rand_ini(key_ini, dim)
+    keys_all = jax.random.split(key_noise, t + 2 * halo)  # frames [-H, T+H)
+
+    def block(params, mel_b, f0_b, keys_all_b, rand_ini_b):
+        d = lax.axis_index(axis)
+        mel_ext = _frame_halo(mel_b, halo, halo, axis, d, n_dev, edge_value=0.0)
+        f0_ext = _frame_halo(
+            f0_b[..., None], halo, halo, axis, d, n_dev, edge_value=0.0
+        )[..., 0]
+
+        # exact sine-phase carry prefix over devices
+        q_own = sine_increments_q(f0_b, upp, gen.sampling_rate)
+        s_own = jnp.sum(q_own, axis=1, keepdims=True)
+        gathered = lax.all_gather(s_own, axis)
+        dev_mask = (jnp.arange(n_dev) < d).astype(jnp.int32)
+        prefix = jnp.tensordot(dev_mask, gathered, axes=(0, 0))
+        q_ext = sine_increments_q(f0_ext, upp, gen.sampling_rate)
+        offset_ext = prefix - jnp.sum(q_ext[:, :halo], axis=1, keepdims=True)
+
+        # per-frame keyed noise for ext frames: padded coords [d*tb, ...)
+        keys_ext = lax.dynamic_slice(
+            keys_all_b, (d * tb, 0), (tb + 2 * halo, 2)
+        )
+        noise_ext = _sine_noise_from_keys(keys_ext, b, upp, dim)
+
+        audio_ext = gen.apply(
+            {"params": params}, mel_ext, f0_ext,
+            sine_kwargs=dict(
+                rand_ini=rand_ini_b, noise=noise_ext, carry_offset_q=offset_ext
+            ),
+        )
+        return audio_ext[:, halo * upp : (halo + tb) * upp]
+
+    fn = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(None, axis), P(), P()),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    return fn(params, mel, f0, keys_all, rand_ini)
