@@ -1,0 +1,141 @@
+"""Data pipeline tests: dataset crops, augmentation, batch assembly,
+speaker-id parsing, preprocess round-trip."""
+import os
+
+import numpy as np
+import pytest
+
+from ddsp_svc_tpu.features.audio import save_wav
+
+
+def make_layout(root, names, sr=16000, seconds=3.0, hop=64, with_mel=False,
+                n_mels=8, keyshift=2.0):
+    rng = np.random.default_rng(0)
+    aug_dict = {}
+    for name in names:
+        audio = (0.3 * rng.standard_normal(int(sr * seconds))).astype(np.float32)
+        wav = os.path.join(root, "audio", name)
+        os.makedirs(os.path.dirname(wav), exist_ok=True)
+        save_wav(wav, audio, sr)
+        n_frames = len(audio) // hop + 1
+        feats = {
+            "f0": 200 + 50 * rng.random(n_frames),
+            "volume": rng.random(n_frames),
+        }
+        feats["units"] = rng.standard_normal((n_frames, 16)).astype(np.float32)
+        if with_mel:
+            feats["mel"] = rng.standard_normal((n_frames, n_mels)).astype(np.float32)
+            feats["aug_mel"] = rng.standard_normal((n_frames, n_mels)).astype(np.float32)
+            feats["aug_vol"] = rng.random(n_frames)
+            aug_dict[name] = keyshift
+        for kind, arr in feats.items():
+            p = os.path.join(root, kind, name + ".npy")
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            np.save(p, arr)
+    if with_mel:
+        np.save(os.path.join(root, "pitch_aug_dict.npy"), aug_dict)
+
+
+class TestAudioDataset:
+    def test_crop_shapes(self, tmp_path):
+        from ddsp_svc_tpu.data.dataset import AudioDataset, BatchSampler
+
+        make_layout(str(tmp_path), ["a.wav", "b.wav"])
+        ds = AudioDataset(str(tmp_path), waveform_sec=1.0, hop_size=64,
+                          sample_rate=16000, load_all_data=True)
+        sampler = BatchSampler(ds, batch_size=3, seed=0)
+        batch = sampler.sample()
+        tf = ds.crop_frames
+        assert batch["units"].shape == (3, tf, 16)
+        assert batch["f0"].shape == (3, tf, 1)
+        assert batch["volume"].shape == (3, tf, 1)
+        assert batch["audio"].shape == (3, tf * 64)
+        assert batch["spk_id"].shape == (3, 1)
+
+    def test_short_file_skipped(self, tmp_path):
+        from ddsp_svc_tpu.data.dataset import AudioDataset
+
+        make_layout(str(tmp_path), ["long.wav"], seconds=3.0)
+        make_layout(str(tmp_path), ["short.wav"], seconds=0.5)
+        ds = AudioDataset(str(tmp_path), waveform_sec=1.0, hop_size=64,
+                          sample_rate=16000, load_all_data=True)
+        assert "short.wav" not in ds.usable()
+        assert "long.wav" in ds.usable()
+
+    def test_mel_aug_pair(self, tmp_path):
+        from ddsp_svc_tpu.data.dataset import AudioDataset
+
+        make_layout(str(tmp_path), ["a.wav"], with_mel=True, keyshift=2.0)
+        ds = AudioDataset(str(tmp_path), waveform_sec=1.0, hop_size=64,
+                          sample_rate=16000, load_all_data=True,
+                          with_mel=True, use_aug=True)
+        rng = np.random.default_rng(1)
+        seen_shift = set()
+        for _ in range(20):
+            item = ds.sample_crop("a.wav", rng)
+            assert item["mel"].shape[-1] == 8
+            shift = float(item["aug_shift"][0, 0])
+            seen_shift.add(shift)
+            if shift != 0.0:
+                assert shift == 2.0  # the recorded keyshift
+        assert seen_shift == {0.0, 2.0}  # both branches exercised
+
+    def test_spk_id_from_dirname(self, tmp_path):
+        from ddsp_svc_tpu.data.dataset import AudioDataset
+
+        make_layout(str(tmp_path), ["1/a.wav", "2/b.wav"])
+        ds = AudioDataset(str(tmp_path), waveform_sec=1.0, hop_size=64,
+                          sample_rate=16000, load_all_data=True, n_spk=2)
+        assert ds.buffer["1/a.wav"]["spk_id"][0] == 1
+        assert ds.buffer["2/b.wav"]["spk_id"][0] == 2
+
+    def test_bad_spk_id_raises(self, tmp_path):
+        from ddsp_svc_tpu.data.dataset import AudioDataset
+
+        make_layout(str(tmp_path), ["7/a.wav"])
+        with pytest.raises(ValueError):
+            AudioDataset(str(tmp_path), waveform_sec=1.0, hop_size=64,
+                         sample_rate=16000, load_all_data=True, n_spk=2)
+
+    def test_host_sharding_partitions_files(self, tmp_path):
+        from ddsp_svc_tpu.data.dataset import AudioDataset
+
+        make_layout(str(tmp_path), [f"{c}.wav" for c in "abcd"])
+        parts = [
+            AudioDataset(str(tmp_path), waveform_sec=1.0, hop_size=64,
+                         sample_rate=16000, load_all_data=False,
+                         rank=r, world_size=2).paths
+            for r in range(2)
+        ]
+        assert sorted(parts[0] + parts[1]) == sorted(f"{c}.wav" for c in "abcd")
+        assert not set(parts[0]) & set(parts[1])
+
+
+class TestSpeakerMix:
+    def test_spk_mix_forward(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+        model = CombSubSuperFast(16000, 64, 256, n_unit=16, n_spk=4)
+        t = 8
+        units = jnp.zeros((1, t, 16))
+        f0 = 220.0 * jnp.ones((1, t, 1))
+        vol = jnp.ones((1, t, 1))
+        spk = jnp.array([[2]], jnp.int32)
+        v = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            units, f0, vol, spk_id=spk,
+        )
+        out_single, _, _ = model.apply(
+            v, units, f0, vol, spk_id=spk, rngs={"noise": jax.random.PRNGKey(2)}
+        )
+        out_mix, _, _ = model.apply(
+            v, units, f0, vol, spk_mix_dict={1: 0.3, 3: 0.7},
+            rngs={"noise": jax.random.PRNGKey(2)},
+        )
+        assert np.isfinite(np.asarray(out_single)).all()
+        assert np.isfinite(np.asarray(out_mix)).all()
+        # different speaker conditioning must change the output
+        assert not np.allclose(np.asarray(out_single), np.asarray(out_mix))
