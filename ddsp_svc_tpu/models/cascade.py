@@ -55,6 +55,8 @@ class Unit2Mel(nn.Module):
         k_step=300,
         key=None,
         deterministic=True,
+        init_noise=None,
+        denoise_wrapper=None,
     ):
         x = (
             Dense(self.n_hidden, dtype=self.dtype, name="unit_embed")(units)
@@ -91,6 +93,8 @@ class Unit2Mel(nn.Module):
             k_step=k_step,
             key=key,
             deterministic=deterministic,
+            init_noise=init_noise,
+            denoise_wrapper=denoise_wrapper,
         )
 
 
@@ -128,6 +132,9 @@ class Unit2Wav(nn.Module):
         k_step=None,
         key=None,
         deterministic=True,
+        ddsp_noise=None,
+        init_noise=None,
+        denoise_wrapper=None,
     ):
         ddsp_wav, hidden, _ = CombSubFast(
             self.sampling_rate,
@@ -141,6 +148,7 @@ class Unit2Wav(nn.Module):
         )(
             units, f0, volume, spk_id=spk_id, spk_mix_dict=spk_mix_dict,
             aug_shift=aug_shift, infer=infer, deterministic=deterministic,
+            noise=ddsp_noise,
         )
         ddsp_mel = mel_extract_fn(ddsp_wav) if mel_extract_fn is not None else None
 
@@ -165,6 +173,7 @@ class Unit2Wav(nn.Module):
             return diff_model(
                 hidden, gt_spec=ddsp_mel, infer=True, infer_speedup=infer_speedup,
                 sampler=sampler, k_step=k_step, key=key, deterministic=deterministic,
+                init_noise=init_noise, denoise_wrapper=denoise_wrapper,
             )
         return ddsp_mel
 

@@ -244,8 +244,30 @@ class CombSubSuperFast(nn.Module):
         return signal, hidden, (signal, signal)
 
 
+def combsub_fast_synthesis(combtooth, noise, src_filter, noise_filter, block):
+    """Parameter-free framed-rFFT filtering + OLA (ddsp/vocoder.py:763-784).
+
+    Filters: (B, T+1, block+1); signals (B, T*block) -> (B, T*block).
+    """
+    window = jnp.asarray(sqrt_hann_window(2 * block))
+
+    def filtered_frames(sig, filt):
+        frames = frame_signal(jnp.pad(sig, ((0, 0), (block, block))), 2 * block, block)
+        frames = frames * window
+        fft = jnp.fft.rfft(frames, 2 * block, axis=-1)
+        return jnp.fft.irfft(fft * filt, 2 * block, axis=-1) * window
+
+    ct_frames = filtered_frames(combtooth, src_filter)
+    ns_frames = filtered_frames(noise, noise_filter + 0j)
+    return overlap_add(ct_frames + ns_frames, block)[:, block:-block]
+
+
 class CombSubFast(nn.Module):
-    """Combtooth subtractive synthesiser, framed-rFFT OLA (ddsp/vocoder.py:712-786)."""
+    """Combtooth subtractive synthesiser, framed-rFFT OLA (ddsp/vocoder.py:712-786).
+
+    Split into ``controls`` + pure ``combsub_fast_synthesis`` for the
+    streaming engine, like CombSubSuperFast.
+    """
 
     sampling_rate: int
     block_size: int
@@ -256,24 +278,23 @@ class CombSubFast(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(
+    def controls(
         self,
         units_frames,
         f0_frames,
+        phase_frames,
         volume_frames,
         spk_id=None,
         spk_mix_dict=None,
         aug_shift=None,
-        initial_phase=None,
-        infer=True,
         deterministic=True,
-        noise_key=None,
+        frame_mask=None,
+        stream_axis=None,
+        edge_mask=None,
     ):
+        """-> (src_filter complex, noise_filter real, hidden), filters
+        (B, T, block+1) without the +1 edge frame."""
         block = self.block_size
-        f0 = upsample(f0_frames, block)
-        x = cumsum_phase_source(f0, self.sampling_rate, block, initial_phase)
-        phase_frames = 2.0 * np.pi * x[:, ::block, :]
-
         ctrls, hidden = Unit2Control(
             self.n_unit,
             self.n_spk,
@@ -295,33 +316,59 @@ class CombSubFast(nn.Module):
             spk_mix_dict=spk_mix_dict,
             aug_shift=aug_shift,
             deterministic=deterministic,
+            frame_mask=frame_mask,
+            stream_axis=stream_axis,
+            edge_mask=edge_mask,
         )
-
         src_filter = jnp.exp(
             ctrls["harmonic_magnitude"] + 1j * np.pi * ctrls["harmonic_phase"]
         )
-        src_filter = jnp.concatenate([src_filter, src_filter[:, -1:, :]], axis=1)
         noise_filter = jnp.exp(ctrls["noise_magnitude"]) / 128.0
+        return src_filter, noise_filter, hidden
+
+    def __call__(
+        self,
+        units_frames,
+        f0_frames,
+        volume_frames,
+        spk_id=None,
+        spk_mix_dict=None,
+        aug_shift=None,
+        initial_phase=None,
+        infer=True,
+        deterministic=True,
+        noise_key=None,
+        noise=None,
+    ):
+        block = self.block_size
+        f0 = upsample(f0_frames, block)
+        x = cumsum_phase_source(f0, self.sampling_rate, block, initial_phase)
+        phase_frames = 2.0 * np.pi * x[:, ::block, :]
+
+        src_filter, noise_filter, hidden = self.controls(
+            units_frames,
+            f0_frames,
+            phase_frames,
+            volume_frames,
+            spk_id=spk_id,
+            spk_mix_dict=spk_mix_dict,
+            aug_shift=aug_shift,
+            deterministic=deterministic,
+        )
+        src_filter = jnp.concatenate([src_filter, src_filter[:, -1:, :]], axis=1)
         noise_filter = jnp.concatenate([noise_filter, noise_filter[:, -1:, :]], axis=1)
 
         combtooth = jnp.sinc(self.sampling_rate * x / (f0 + 1e-3))[..., 0]
-        window = jnp.asarray(sqrt_hann_window(2 * block))
-
-        def filtered_frames(sig, filt):
-            frames = frame_signal(jnp.pad(sig, ((0, 0), (block, block))), 2 * block, block)
-            frames = frames * window
-            fft = jnp.fft.rfft(frames, 2 * block, axis=-1)
-            out = jnp.fft.irfft(fft * filt, 2 * block, axis=-1) * window
-            return out
-
-        if noise_key is None:
-            noise_key = self.make_rng("noise")
-        noise = (
-            jax.random.uniform(noise_key, combtooth.shape, combtooth.dtype) * 2.0 - 1.0
+        if noise is None:
+            if noise_key is None:
+                noise_key = self.make_rng("noise")
+            noise = (
+                jax.random.uniform(noise_key, combtooth.shape, combtooth.dtype) * 2.0
+                - 1.0
+            )
+        signal = combsub_fast_synthesis(
+            combtooth, noise, src_filter, noise_filter, block
         )
-        ct_frames = filtered_frames(combtooth, src_filter)
-        ns_frames = filtered_frames(noise, noise_filter + 0j)
-        signal = overlap_add(ct_frames + ns_frames, block)[:, block:-block]
         return signal, hidden, (signal, signal)
 
 

@@ -61,11 +61,19 @@ def softmax_kernel(data, projection_matrix, is_query: bool, eps: float = 1e-4):
     return out
 
 
-def linear_attention(q, k, v):
-    """Non-causal linear attention (ddsp/pcmer.py:218-232)."""
+def linear_attention(q, k, v, stream_axis=None):
+    """Non-causal linear attention (ddsp/pcmer.py:218-232).
+
+    The global sums (k_sum and the M x E context) are the ONLY cross-frame
+    quantities — under time-sharding they are psum'd over ``stream_axis``,
+    making FAVOR+ attention exactly sequence-parallel (the caller masks
+    halo/duplicate frames out of k and v first)."""
     k_sum = jnp.sum(k, axis=-2)  # (B,H,M)
-    d_inv = 1.0 / (jnp.einsum("bhnm,bhm->bhn", q, k_sum) + 1e-8)
     context = jnp.einsum("bhnm,bhne->bhme", k, v)
+    if stream_axis is not None:
+        k_sum = jax.lax.psum(k_sum, stream_axis)
+        context = jax.lax.psum(context, stream_axis)
+    d_inv = 1.0 / (jnp.einsum("bhnm,bhm->bhn", q, k_sum) + 1e-8)
     return jnp.einsum("bhme,bhnm,bhn->bhne", context, q, d_inv)
 
 
@@ -79,7 +87,8 @@ class FAVORSelfAttention(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, frame_mask=None,
+                 stream_axis=None):
         b, n, _ = x.shape
         dim_head = self.dim_head
         nb_features = int(dim_head * math.log(dim_head))
@@ -106,7 +115,12 @@ class FAVORSelfAttention(nn.Module):
             k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-8)
         q = softmax_kernel(q, projection, is_query=True)
         k = softmax_kernel(k, projection, is_query=False)
-        out = linear_attention(q, k, v)
+        if frame_mask is not None:
+            # streaming: count each global frame's k/v exactly once
+            m = frame_mask.reshape(b, 1, n, 1)
+            k = k * m
+            v = v * m
+        out = linear_attention(q, k, v, stream_axis=stream_axis)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
@@ -119,15 +133,17 @@ class PCmerLayer(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, frame_mask=None,
+                 stream_axis=None, edge_mask=None):
         x = x + FAVORSelfAttention(
             self.dim_model, self.num_heads, pcmer_norm=self.pcmer_norm,
             dtype=self.dtype, name="attn",
-        )(LayerNorm(name="norm")(x), deterministic=deterministic)
+        )(LayerNorm(name="norm")(x), deterministic=deterministic,
+          frame_mask=frame_mask, stream_axis=stream_axis)
         # PCmer's ConformerConvModule always layer-norms first (ddsp/pcmer.py:203)
         x = x + ConformerConvModule(
             self.dim_model, use_norm=True, dtype=self.dtype, name="conformer"
-        )(x, deterministic=deterministic)
+        )(x, deterministic=deterministic, edge_mask=edge_mask)
         return x
 
 
@@ -143,7 +159,8 @@ class PCmer(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, frame_mask=None,
+                 stream_axis=None, edge_mask=None):
         for _ in range(self.num_layers):
             x = PCmerLayer(
                 self.dim_model,
@@ -152,5 +169,6 @@ class PCmer(nn.Module):
                 self.pcmer_norm,
                 dtype=self.dtype,
                 name=f"layer_{_}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, frame_mask=frame_mask,
+              stream_axis=stream_axis, edge_mask=edge_mask)
         return x

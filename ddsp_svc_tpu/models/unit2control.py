@@ -112,7 +112,8 @@ class Unit2Control(nn.Module):
                 pcmer_norm=self.pcmer_norm,
                 dtype=self.dtype,
                 name="decoder",
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, frame_mask=frame_mask,
+              stream_axis=stream_axis, edge_mask=edge_mask)
         x = LayerNorm(name="norm")(x)
         n_out = sum(self.output_splits.values())
         e = Dense(n_out, weight_norm=True, dtype=self.dtype, name="dense_out")(x)

@@ -33,11 +33,14 @@ class WaveNetResidualBlock(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, cond, diffusion_step):
+    def __call__(self, x, cond, diffusion_step, edge_mask=None):
         """x: (B,T,C), cond: (B,T,H), diffusion_step: (B,C)."""
         c = self.residual_channels
         step = Dense(c, dtype=self.dtype, name="diffusion_projection")(diffusion_step)
         y = x + step[:, None, :]
+        if edge_mask is not None:
+            # streaming: emulate whole-utterance zero padding at global edges
+            y = y * edge_mask
         y = Conv1d(
             2 * c, 3, padding=self.dilation, dilation=self.dilation,
             dtype=self.dtype, name="dilated_conv",
@@ -60,7 +63,8 @@ class WaveNet(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, spec, diffusion_step, cond, deterministic=True):
+    def __call__(self, spec, diffusion_step, cond, deterministic=True,
+                 edge_mask=None):
         """spec: (B,T,M), diffusion_step: (B,) float, cond: (B,T,H)."""
         x = Conv1d(self.n_chans, 1, dtype=self.dtype, name="input_projection")(spec)
         x = jax.nn.relu(x)
@@ -73,7 +77,7 @@ class WaveNet(nn.Module):
         for i in range(self.n_layers):
             x, skip = WaveNetResidualBlock(
                 self.n_chans, dilation=1, dtype=self.dtype, name=f"layer_{i}"
-            )(x, cond, step)
+            )(x, cond, step, edge_mask=edge_mask)
             skips = skips + skip
         x = skips / math.sqrt(self.n_layers)
         x = Conv1d(self.n_chans, 1, dtype=self.dtype, name="skip_projection")(x)

@@ -110,21 +110,38 @@ def fast_source_gen(
     return combtooth, phase_frames
 
 
+def cumsum_increments_q(
+    f0: jnp.ndarray, sampling_rate: int, block_size: int
+) -> jnp.ndarray:
+    """Per-frame wrapped phase increments of the sample-level cumsum source,
+    int32-quantized (see frame_phase_increments_q). f0: (B, L, 1)."""
+    b, l, _ = f0.shape
+    t = l // block_size
+    inc = (f0 / sampling_rate).reshape(b, t, block_size)
+    frame_sum = _wrap_half(jnp.cumsum(inc, axis=-1)[..., -1:])
+    return jnp.round(frame_sum * (1 << PHASE_Q_BITS)).astype(jnp.int32)
+
+
 def cumsum_phase_source(
     f0: jnp.ndarray,
     sampling_rate: int,
     block_size: int,
     initial_phase: jnp.ndarray | None = None,
+    carry_offset_q: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Wrapped normalized phase x(t) = frac(cumsum(f0/sr)), f32-safe.
 
     Matches the reference's float64 ``cumsum(f0/sr); x - round(x)``
     (ddsp/vocoder.py:743-751) without f64: the cumsum is computed per frame
-    and only the wrapped frame-boundary value is carried across frames.
+    and only the wrapped frame-boundary value is carried across frames, as
+    int32-quantized increments whose prefix sums are exactly associative
+    (blocking-invariant — see frame_phase_increments_q).
 
     Args:
         f0: (B, L, 1) sample-level f0 (already upsampled); L % block_size == 0.
         initial_phase: optional (B, 1, 1) phase in radians.
+        carry_offset_q: optional (B, 1, 1) int32 quantized carry prefix of
+            the frames before this block (streaming).
 
     Returns:
         x: (B, L, 1) wrapped phase in cycles, in [-0.5, 0.5].
@@ -133,10 +150,12 @@ def cumsum_phase_source(
     t = l // block_size
     inc = (f0 / sampling_rate).reshape(b, t, block_size)
     intra = jnp.cumsum(inc, axis=-1)  # phase within frame, from frame start
-    frame_sum = _wrap_half(intra[..., -1:])
-    acc = jnp.fmod(jnp.cumsum(frame_sum, axis=1), 1.0)  # (B, T, 1)
-    carry = jnp.pad(acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
-    x = intra + carry
+    q = cumsum_increments_q(f0, sampling_rate, block_size)
+    acc = jnp.cumsum(q, axis=1)
+    carry_q = jnp.pad(acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    if carry_offset_q is not None:
+        carry_q = carry_q + carry_offset_q.astype(jnp.int32)
+    x = intra + _dequantize_carry(carry_q)
     if initial_phase is not None:
         x = x + initial_phase.reshape(b, 1, 1) / (2.0 * np.pi)
     x = x - jnp.round(x)

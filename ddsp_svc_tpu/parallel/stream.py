@@ -559,3 +559,228 @@ def streamed_nsf_hifigan(
         check_vma=False,
     )
     return fn(params, mel, f0, keys_all, rand_ini)
+
+
+# ---------------------------------------------------------------------------
+# Streamed CombSubFast (PCmer decoder) + DiffusionNew / Unit2Mel cascades
+# ---------------------------------------------------------------------------
+
+WAVENET_HALO = 24  # 20 layers x k=3 d=1 -> 20 frames + margin
+
+
+def blocked_uniform(key: jax.Array, batch: int, n_frames: int, hop: int) -> jnp.ndarray:
+    """(B, n_frames*hop) uniform(-1,1) drawn per hop-block from split keys."""
+    keys = jax.random.split(key, n_frames)
+    blocks = jax.vmap(
+        lambda k: jax.random.uniform(k, (batch, hop), jnp.float32) * 2.0 - 1.0
+    )(keys)
+    return blocks.transpose(1, 0, 2).reshape(batch, n_frames * hop)
+
+
+def _combsubfast_block(
+    model, variables, units_b, f0_b, vol_b, keys_b, spk_id_b, axis, n_dev, t, tb
+):
+    """Per-device CombSubFast synthesis on haloed blocks.
+
+    PCmer's FAVOR+ attention is handled by masked psum of its global k/v
+    sums (models/pcmer.linear_attention) — no attention halo needed; the
+    conformer convs use FRAME_HALO like the naive decoder.
+
+    Returns (own audio (B, tb*block), own hidden (B, tb, 256)).
+    """
+    from ..models.ddsp import CombSubFast, combsub_fast_synthesis
+    from ..ops.interp import upsample
+    from ..ops.source import cumsum_increments_q, cumsum_phase_source
+
+    block = model.block_size
+    hf = FRAME_HALO
+    b = units_b.shape[0]
+    d = lax.axis_index(axis)
+
+    f0_ext = _frame_halo(f0_b, hf, hf, axis, d, n_dev, edge_value=None)
+    units_ext = _frame_halo(units_b, hf, hf, axis, d, n_dev, edge_value=0.0)
+    vol_ext = _frame_halo(vol_b, hf, hf, axis, d, n_dev, edge_value=0.0)
+
+    f0_up_ext = upsample(f0_ext, block)
+    q_ext = cumsum_increments_q(f0_up_ext, model.sampling_rate, block)
+    q_own = q_ext[:, hf : hf + tb]
+    s_own = jnp.sum(q_own, axis=1, keepdims=True)
+    gathered = lax.all_gather(s_own, axis)
+    dev_mask = (jnp.arange(n_dev) < d).astype(jnp.int32)
+    prefix = jnp.tensordot(dev_mask, gathered, axes=(0, 0))
+    offset_ext = prefix - jnp.sum(q_ext[:, :hf], axis=1, keepdims=True)
+
+    x_ext = cumsum_phase_source(
+        f0_up_ext, model.sampling_rate, block, carry_offset_q=offset_ext
+    )
+    phase_ext = 2.0 * np.pi * x_ext[:, ::block, :]
+
+    kg = jnp.arange(tb + 2 * hf) + d * tb - hf
+    edge_mask = ((kg >= 0) & (kg < t)).astype(units_b.dtype)[None, :, None]
+    edge_mask = jnp.broadcast_to(edge_mask, (b, tb + 2 * hf, 1))
+    frame_mask = jnp.zeros((tb + 2 * hf,), units_b.dtype)
+    frame_mask = frame_mask.at[hf : hf + tb].set(1.0)[None, :, None]
+    frame_mask = jnp.broadcast_to(frame_mask, (b, tb + 2 * hf, 1))
+
+    src_ext, nf_ext, hidden_ext = model.apply(
+        variables, units_ext, f0_ext, phase_ext, vol_ext,
+        spk_id=spk_id_b,
+        frame_mask=frame_mask, stream_axis=axis, edge_mask=edge_mask,
+        method=CombSubFast.controls,
+    )
+    src_own = src_ext[:, hf : hf + tb]
+    nf_own = nf_ext[:, hf : hf + tb]
+    hidden_own = hidden_ext[:, hf : hf + tb]
+    # filters for synthesis frames [s, e] (dup of last at the global end)
+    src_fr = _frame_halo(src_own, 0, 1, axis, d, n_dev, edge_value=None)
+    nf_fr = _frame_halo(nf_own, 0, 1, axis, d, n_dev, edge_value=None)
+
+    # sources for samples [s*B - B, e*B + B); zero outside the utterance
+    # (the whole path zero-pads one block on each side, ddsp/vocoder.py:763)
+    comb_all = jnp.sinc(
+        model.sampling_rate * x_ext / (f0_up_ext + 1e-3)
+    )[..., 0]
+    comb = comb_all[:, (hf - 1) * block : (hf + tb + 1) * block]
+    pos = jnp.arange((tb + 2) * block) + (d * tb - 1) * block
+    smask = ((pos >= 0) & (pos < t * block)).astype(comb.dtype)[None, :]
+    comb = comb * smask
+
+    keys_ext = _frame_halo(
+        keys_b[None, :, :], 1, 1, axis, d, n_dev, edge_value=0
+    )[0]
+    noise_blocks = jax.vmap(
+        lambda k: jax.random.uniform(k, (b, block), jnp.float32) * 2.0 - 1.0
+    )(keys_ext)
+    noise = noise_blocks.transpose(1, 0, 2).reshape(b, (tb + 2) * block) * smask
+
+    # framed synthesis without re-padding: ext already carries the one-block
+    # margins, frame j here == whole-path padded frame s + j
+    window = jnp.asarray(sqrt_hann_window_cached(2 * block))
+    def filtered(sig, filt):
+        frames = frame_signal(sig, 2 * block, block) * window
+        fft = jnp.fft.rfft(frames, 2 * block, axis=-1)
+        return jnp.fft.irfft(fft * filt, 2 * block, axis=-1) * window
+
+    frames_sum = filtered(comb, src_fr) + filtered(noise, nf_fr + 0j)
+    y = overlap_add(frames_sum, block)
+    return y[:, block : block + tb * block], hidden_own
+
+
+def sqrt_hann_window_cached(n):
+    from ..ops.window import sqrt_hann_window
+
+    return sqrt_hann_window(n)
+
+
+def streamed_unit2wav_new_mel(
+    model,  # Unit2Wav (DiffusionNew)
+    variables,
+    units, f0, volume,
+    key: jax.Array,
+    mel,  # LogMelSpectrogram, hop == block_size
+    spk_id=None,
+    mesh: Mesh | None = None,
+    axis: str = "time",
+    k_step: int = 100,
+    infer_speedup: int = 10,
+    sampler: str = "dpm-solver",
+) -> jnp.ndarray:
+    """Time-sharded DiffusionNew inference: CombSubFast -> mel; WaveNet
+    diffusion conditioned on the DDSP hidden (diffusion/vocoder.py:221-266),
+    denoiser halos exchanged every sampler step."""
+    from ..models.ddsp import CombSubFast
+    from ..models.diffusion import GaussianDiffusion
+    from ..models.wavenet import WaveNet
+
+    b, t, _ = units.shape
+    n_dev = mesh.shape[axis]
+    assert t % n_dev == 0
+    tb = t // n_dev
+    hd = WAVENET_HALO
+    assert tb >= max(FRAME_HALO, hd)
+
+    key_ddsp, key_init = jax.random.split(key)
+    ddsp_keys = jax.random.split(key_ddsp, t)
+    init_keys = jax.random.split(key_init, t)
+    if spk_id is None:
+        spk_id = jnp.ones((b, 1), jnp.int32)
+
+    ddsp_module = CombSubFast(
+        sampling_rate=model.sampling_rate, block_size=model.block_size,
+        n_unit=model.n_unit, n_spk=model.n_spk,
+        use_pitch_aug=model.use_pitch_aug, pcmer_norm=model.pcmer_norm,
+        dtype=model.dtype,
+    )
+    wavenet = WaveNet(model.out_dims, model.n_layers, model.n_chans, 256,
+                      dtype=model.dtype, name="denoise_fn")
+    net_mod = GaussianDiffusion(wavenet, out_dims=model.out_dims,
+                                k_step=model.k_step_max)
+
+    def block(variables, units_b, f0_b, vol_b, dkeys_b, ikeys_b, spk_id_b):
+        d = lax.axis_index(axis)
+        p = variables["params"]
+        ddsp_vars = {"params": p["ddsp_model"]}
+        if "buffers" in variables:
+            ddsp_vars["buffers"] = variables["buffers"]["ddsp_model"]
+        audio_own, hidden_own = _combsubfast_block(
+            ddsp_module, ddsp_vars, units_b, f0_b, vol_b, dkeys_b, spk_id_b,
+            axis, n_dev, t, tb,
+        )
+        mel_own = _blocked_logmel(audio_own, mel, axis, d, n_dev, tb)
+        noise_own = jax.vmap(
+            lambda k: jax.random.normal(k, (b, model.out_dims), jnp.float32)
+        )(ikeys_b).transpose(1, 0, 2)
+
+        kg = jnp.arange(tb + 2 * hd) + d * tb - hd
+        edge_ext = ((kg >= 0) & (kg < t)).astype(mel_own.dtype)[None, :, None]
+        edge_ext = jnp.broadcast_to(edge_ext, (b, tb + 2 * hd, 1))
+
+        def hhalo(x):
+            return _frame_halo(x, hd, hd, axis, d, n_dev, edge_value=0.0)
+
+        cond_ext = hhalo(hidden_own)
+        p_net = p["denoise_fn"]
+
+        def wrapper(_inner):
+            def fn(x, tv):
+                out = wavenet.apply(
+                    {"params": p_net}, hhalo(x), tv, cond_ext,
+                    edge_mask=edge_ext,
+                )
+                return out[:, hd : hd + tb]
+
+            return fn
+
+        return net_mod.apply(
+            {"params": {"denoise_fn": p_net}}, hidden_own,
+            gt_spec=mel_own, infer=True, infer_speedup=infer_speedup,
+            sampler=sampler, k_step=k_step, key=jax.random.PRNGKey(0),
+            init_noise=noise_own, denoise_wrapper=wrapper,
+        )
+
+    spec_frames = P(None, axis, None)
+    fn = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(
+            P(), spec_frames, spec_frames, spec_frames,
+            P(axis, None), P(axis, None), P(),
+        ),
+        out_specs=spec_frames,
+        check_vma=False,
+    )
+    return fn(variables, units, f0, volume, ddsp_keys, init_keys, spk_id)
+
+
+def whole_unit2wav_new_reference(
+    model, variables, units, f0, volume, key, mel, spk_id=None, **kwargs
+):
+    b, t, _ = units.shape
+    key_ddsp, key_init = jax.random.split(key)
+    return model.apply(
+        variables, units, f0, volume, spk_id=spk_id,
+        mel_extract_fn=mel.extract, infer=True, key=jax.random.PRNGKey(0),
+        ddsp_noise=blocked_uniform(key_ddsp, b, t, model.block_size),
+        init_noise=blocked_noise_frames(key_init, b, t, model.out_dims),
+        **kwargs,
+    )
