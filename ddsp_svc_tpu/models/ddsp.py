@@ -28,6 +28,23 @@ from ..ops.window import hann_window, sqrt_hann_window
 from .unit2control import Unit2Control
 
 
+def sins_harmonic_bank(phase, amplitudes_frames, block_size, max_upsample_dim=32):
+    """Harmonic sine bank summed in chunks (ddsp/vocoder.py:589-594).
+
+    phase: (B, L, 1) radians; amplitudes_frames: (B, T, n_harm) -> (B, L).
+    """
+    n_harmonic = amplitudes_frames.shape[-1]
+    level_harmonic = jnp.arange(1, n_harmonic + 1, dtype=phase.dtype)
+    sinusoids = 0.0
+    for n in range((n_harmonic - 1) // max_upsample_dim + 1):
+        start = n * max_upsample_dim
+        end = (n + 1) * max_upsample_dim
+        phases = phase * level_harmonic[start:end]
+        amplitudes = upsample(amplitudes_frames[:, :, start:end], block_size)
+        sinusoids += jnp.sum(jnp.sin(phases) * amplitudes, axis=-1)
+    return sinusoids
+
+
 class Sins(nn.Module):
     """Sinusoids additive synthesiser (ddsp/vocoder.py:532-611)."""
 
@@ -41,23 +58,21 @@ class Sins(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(
+    def controls(
         self,
         units_frames,
         f0_frames,
+        phase_frames,
         volume_frames,
         spk_id=None,
         spk_mix_dict=None,
-        initial_phase=None,
-        infer=True,
-        max_upsample_dim=32,
         deterministic=True,
+        frame_mask=None,
+        stream_axis=None,
+        edge_mask=None,
     ):
-        f0 = upsample(f0_frames, self.block_size)
-        x = cumsum_phase_source(f0, self.sampling_rate, self.block_size, initial_phase)
-        phase = 2.0 * np.pi * x
-        phase_frames = phase[:, :: self.block_size, :]
-
+        """-> (amplitudes, group_delay, noise_param, hidden); amplitudes are
+        exp-scaled and fmax-masked."""
         ctrls, hidden = Unit2Control(
             self.n_unit,
             self.n_spk,
@@ -76,35 +91,62 @@ class Sins(nn.Module):
             spk_id=spk_id,
             spk_mix_dict=spk_mix_dict,
             deterministic=deterministic,
+            frame_mask=frame_mask,
+            stream_axis=stream_axis,
+            edge_mask=edge_mask,
         )
-
         amplitudes_frames = jnp.exp(ctrls["amplitudes"]) / 128.0
         group_delay = np.pi * jnp.tanh(ctrls["group_delay"])
         noise_param = jnp.exp(ctrls["noise_magnitude"]) / 128.0
-
         amplitudes_frames = remove_above_fmax(
             amplitudes_frames, f0_frames, self.sampling_rate / 2, level_start=1
         )
-        n_harmonic = amplitudes_frames.shape[-1]
-        level_harmonic = jnp.arange(1, n_harmonic + 1, dtype=phase.dtype)
-        sinusoids = 0.0
-        for n in range((n_harmonic - 1) // max_upsample_dim + 1):
-            start = n * max_upsample_dim
-            end = (n + 1) * max_upsample_dim
-            phases = phase * level_harmonic[start:end]
-            amplitudes = upsample(amplitudes_frames[:, :, start:end], self.block_size)
-            sinusoids += jnp.sum(jnp.sin(phases) * amplitudes, axis=-1)
+        return amplitudes_frames, group_delay, noise_param, hidden
 
+    def __call__(
+        self,
+        units_frames,
+        f0_frames,
+        volume_frames,
+        spk_id=None,
+        spk_mix_dict=None,
+        initial_phase=None,
+        infer=True,
+        max_upsample_dim=32,
+        deterministic=True,
+        noise=None,
+    ):
+        f0 = upsample(f0_frames, self.block_size)
+        x = cumsum_phase_source(f0, self.sampling_rate, self.block_size, initial_phase)
+        phase = 2.0 * np.pi * x
+        phase_frames = phase[:, :: self.block_size, :]
+
+        amplitudes_frames, group_delay, noise_param, hidden = self.controls(
+            units_frames,
+            f0_frames,
+            phase_frames,
+            volume_frames,
+            spk_id=spk_id,
+            spk_mix_dict=spk_mix_dict,
+            deterministic=deterministic,
+        )
+
+        sinusoids = sins_harmonic_bank(
+            phase, amplitudes_frames, self.block_size, max_upsample_dim
+        )
         harmonic = frequency_filter(
             sinusoids,
             jnp.exp(1j * jnp.cumsum(group_delay, axis=-1)),
             hann_window_flag=False,
         )
-        noise = (
-            jax.random.uniform(self.make_rng("noise"), harmonic.shape, harmonic.dtype)
-            * 2.0
-            - 1.0
-        )
+        if noise is None:
+            noise = (
+                jax.random.uniform(
+                    self.make_rng("noise"), harmonic.shape, harmonic.dtype
+                )
+                * 2.0
+                - 1.0
+            )
         noise = frequency_filter(noise, noise_param + 0j, hann_window_flag=True)
         signal = harmonic + noise
         return signal, hidden, (harmonic, noise)
@@ -386,21 +428,20 @@ class CombSub(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(
+    def controls(
         self,
         units_frames,
         f0_frames,
+        phase_frames,
         volume_frames,
         spk_id=None,
         spk_mix_dict=None,
-        initial_phase=None,
-        infer=True,
         deterministic=True,
+        frame_mask=None,
+        stream_axis=None,
+        edge_mask=None,
     ):
-        f0 = upsample(f0_frames, self.block_size)
-        x = cumsum_phase_source(f0, self.sampling_rate, self.block_size, initial_phase)
-        phase_frames = 2.0 * np.pi * x[:, :: self.block_size, :]
-
+        """-> (group_delay, src_param, noise_param, hidden)."""
         ctrls, hidden = Unit2Control(
             self.n_unit,
             self.n_spk,
@@ -419,11 +460,40 @@ class CombSub(nn.Module):
             spk_id=spk_id,
             spk_mix_dict=spk_mix_dict,
             deterministic=deterministic,
+            frame_mask=frame_mask,
+            stream_axis=stream_axis,
+            edge_mask=edge_mask,
         )
-
         group_delay = np.pi * jnp.tanh(ctrls["group_delay"])
         src_param = jnp.exp(ctrls["harmonic_magnitude"])
         noise_param = jnp.exp(ctrls["noise_magnitude"]) / 128.0
+        return group_delay, src_param, noise_param, hidden
+
+    def __call__(
+        self,
+        units_frames,
+        f0_frames,
+        volume_frames,
+        spk_id=None,
+        spk_mix_dict=None,
+        initial_phase=None,
+        infer=True,
+        deterministic=True,
+        noise=None,
+    ):
+        f0 = upsample(f0_frames, self.block_size)
+        x = cumsum_phase_source(f0, self.sampling_rate, self.block_size, initial_phase)
+        phase_frames = 2.0 * np.pi * x[:, :: self.block_size, :]
+
+        group_delay, src_param, noise_param, hidden = self.controls(
+            units_frames,
+            f0_frames,
+            phase_frames,
+            volume_frames,
+            spk_id=spk_id,
+            spk_mix_dict=spk_mix_dict,
+            deterministic=deterministic,
+        )
 
         combtooth = jnp.sinc(self.sampling_rate * x / (f0 + 1e-3))[..., 0]
 
@@ -438,11 +508,14 @@ class CombSub(nn.Module):
             hann_window_flag=True,
             half_width_frames=1.5 * self.sampling_rate / (f0_frames + 1e-3),
         )
-        noise = (
-            jax.random.uniform(self.make_rng("noise"), harmonic.shape, harmonic.dtype)
-            * 2.0
-            - 1.0
-        )
+        if noise is None:
+            noise = (
+                jax.random.uniform(
+                    self.make_rng("noise"), harmonic.shape, harmonic.dtype
+                )
+                * 2.0
+                - 1.0
+            )
         noise = frequency_filter(noise, noise_param + 0j, hann_window_flag=True)
         signal = harmonic + noise
         return signal, hidden, (harmonic, noise)
