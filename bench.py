@@ -95,17 +95,83 @@ def main():
             elapsed = window(n_iter)
         return n_iter * batch * (t * block) / sr / elapsed
 
+    def measure_split(batch: int, seconds: float) -> float:
+        """Fallback when the remote compiler rejects the fused graph: jit the
+        control net and the DSP synthesis separately (two smaller graphs,
+        sequential execution — still an honest end-to-end time)."""
+        from ddsp_svc_tpu.models.ddsp import (
+            CombSubSuperFast as M, combsub_stft_synthesis,
+        )
+        from ddsp_svc_tpu.ops.source import fast_source_gen
+
+        t = int(seconds * sr) // block
+        key = jax.random.PRNGKey(0)
+        k_units, k_f0, k_init, k_noise = jax.random.split(key, 4)
+        units = jax.random.normal(k_units, (batch, t, n_unit), jnp.float32)
+        f0 = 220.0 * jnp.exp(jax.random.normal(k_f0, (batch, t, 1)) * 0.1)
+        volume = 0.5 * jnp.ones((batch, t, 1), jnp.float32)
+        spk_id = jnp.zeros((batch, 1), jnp.int32)
+        params = model.init(
+            {"params": k_init, "noise": k_noise}, units, f0, volume, spk_id=spk_id
+        )["params"]
+
+        @jax.jit
+        def source(f0):
+            return fast_source_gen(f0, sr, block)
+
+        @jax.jit
+        def controls(params, units, f0, phase, volume):
+            return model.apply(
+                {"params": params}, units, f0, phase, volume, spk_id=spk_id,
+                method=M.controls,
+            )
+
+        @jax.jit
+        def synth(comb, src_f, nf, key):
+            src_f = jnp.concatenate([src_f, src_f[:, -1:, :]], axis=1)
+            nf = jnp.concatenate([nf, nf[:, -1:, :]], axis=1)
+            noise = jax.random.normal(key, comb.shape, comb.dtype)
+            sig = combsub_stft_synthesis(comb, noise, src_f, nf, win, block)
+            return jnp.sum(jnp.abs(sig))
+
+        def full(i):
+            comb, phase = source(f0)
+            src_f, nf, _ = controls(params, units, f0, phase, volume)
+            return synth(comb, src_f, nf, jax.random.fold_in(key, i))
+
+        _sync_scalar(full(0))
+
+        def window(n_iter):
+            start = time.perf_counter()
+            out = None
+            for i in range(n_iter):
+                out = full(i + 1)
+            _sync_scalar(out)
+            return time.perf_counter() - start
+
+        n_iter = 8
+        elapsed = window(n_iter)
+        while elapsed < MIN_WINDOW_S and n_iter < 4096:
+            n_iter *= 2
+            elapsed = window(n_iter)
+        return n_iter * batch * (t * block) / sr / elapsed
+
     # the tunneled backend intermittently rejects large graphs — fall back
-    # to smaller workloads rather than failing the round
+    # to smaller workloads, then to a split-graph measurement
     last_err = None
     rtf = None
-    for batch, seconds in ((64, 30.0), (16, 10.0), (2, 2.0)):
+    attempts = [
+        (measure, 64, 30.0), (measure, 16, 10.0), (measure, 2, 2.0),
+        (measure_split, 16, 10.0), (measure_split, 2, 2.0),
+    ]
+    for fn, batch, seconds in attempts:
         try:
-            rtf = measure(batch, seconds)
+            rtf = fn(batch, seconds)
             break
         except Exception as e:
             last_err = e
-            print(f"# bench config ({batch}, {seconds}) failed: {e}", flush=True)
+            print(f"# bench {fn.__name__}({batch}, {seconds}) failed: {e}",
+                  flush=True)
     if rtf is None:
         raise last_err
     print(

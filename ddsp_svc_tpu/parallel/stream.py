@@ -1095,3 +1095,97 @@ def streamed_combsub_old_forward(
         check_vma=False,
     )
     return fn(variables, units, f0, volume, noise_keys, spk_id)
+
+
+def streamed_unit2mel(
+    model,  # Unit2Mel
+    variables,
+    units, f0, volume,
+    gt_spec,  # (B, T, M) input mel (external ddsp / gt), or None for full
+    key: jax.Array,
+    spk_id=None,
+    mesh: Mesh | None = None,
+    axis: str = "time",
+    k_step: int = 100,
+    infer_speedup: int = 10,
+    sampler: str = "dpm-solver",
+) -> jnp.ndarray:
+    """Time-sharded pure-diffusion Unit2Mel inference. The condition embeds
+    are pointwise (diffusion/vocoder.py:186-199) — computed locally per
+    frame; only the WaveNet denoiser needs halos."""
+    from ..models.diffusion import GaussianDiffusion
+    from ..models.wavenet import WaveNet
+
+    b, t, _ = units.shape
+    n_dev = mesh.shape[axis]
+    assert t % n_dev == 0
+    tb = t // n_dev
+    hd = WAVENET_HALO
+    assert tb >= hd
+    init_keys = jax.random.split(key, t)
+    if spk_id is None:
+        spk_id = jnp.ones((b, 1), jnp.int32)
+
+    wavenet = WaveNet(model.out_dims, model.n_layers, model.n_chans,
+                      model.n_hidden, dtype=model.dtype, name="denoise_fn")
+    net_mod = GaussianDiffusion(wavenet, out_dims=model.out_dims,
+                                k_step=model.k_step_max)
+
+    def block(variables, units_b, f0_b, vol_b, gt_b, ikeys_b, spk_id_b):
+        d = lax.axis_index(axis)
+        p = variables["params"]
+
+        def dense(name, x):
+            return x @ p[name]["kernel"] + p[name]["bias"]
+
+        cond = (
+            dense("unit_embed", units_b)
+            + dense("f0_embed", jnp.log1p(f0_b / 700.0))
+            + dense("volume_embed", vol_b)
+        )
+        if "spk_embed" in p:
+            cond = cond + p["spk_embed"]["embedding"][spk_id_b[:, 0] - 1][:, None, :]
+
+        noise_own = jax.vmap(
+            lambda k: jax.random.normal(k, (b, model.out_dims), jnp.float32)
+        )(ikeys_b).transpose(1, 0, 2)
+
+        kg = jnp.arange(tb + 2 * hd) + d * tb - hd
+        edge_ext = ((kg >= 0) & (kg < t)).astype(cond.dtype)[None, :, None]
+        edge_ext = jnp.broadcast_to(edge_ext, (b, tb + 2 * hd, 1))
+
+        def hhalo(x):
+            return _frame_halo(x, hd, hd, axis, d, n_dev, edge_value=0.0)
+
+        cond_ext = hhalo(cond)
+        p_net = p["denoise_fn"]
+
+        def wrapper(_inner):
+            def fn(x, tv):
+                out = wavenet.apply(
+                    {"params": p_net}, hhalo(x), tv, cond_ext,
+                    edge_mask=edge_ext,
+                )
+                return out[:, hd : hd + tb]
+
+            return fn
+
+        return net_mod.apply(
+            {"params": {"denoise_fn": p_net}}, cond,
+            gt_spec=gt_b, infer=True, infer_speedup=infer_speedup,
+            sampler=sampler, k_step=k_step, key=jax.random.PRNGKey(0),
+            init_noise=noise_own, denoise_wrapper=wrapper,
+        )
+
+    spec_frames = P(None, axis, None)
+    fn = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(
+            P(), spec_frames, spec_frames, spec_frames, spec_frames,
+            P(axis, None), P(),
+        ),
+        out_specs=spec_frames,
+        check_vma=False,
+    )
+    return fn(variables, units, f0, volume, gt_spec, init_keys, spk_id)

@@ -1,0 +1,48 @@
+"""Streamed Unit2Mel (pure diffusion, shallow start from input mel) vs
+whole-utterance."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from ddsp_svc_tpu.models.cascade import Unit2Mel
+from ddsp_svc_tpu.parallel.stream import blocked_noise_frames, streamed_unit2mel
+
+
+def test_streamed_unit2mel_matches_whole():
+    b, t, n_unit, m = 1, 128, 16, 16
+    model = Unit2Mel(n_unit, n_spk=2, out_dims=m, n_layers=4, n_chans=32,
+                     n_hidden=24, k_step_max=100)
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    units = jax.random.normal(k1, (b, t, n_unit), jnp.float32)
+    f0 = 220.0 * jnp.ones((b, t, 1), jnp.float32)
+    volume = 0.5 * jnp.ones((b, t, 1), jnp.float32)
+    gt = (jax.random.normal(k2, (b, t, m)) * 2.0 - 6.0).astype(jnp.float32)
+    spk = jnp.array([[2]], jnp.int32)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1)},
+        units, f0, volume, spk_id=spk, gt_spec=gt, infer=True, k_step=20,
+        key=jax.random.PRNGKey(2),
+    )
+    kwargs = dict(k_step=20, infer_speedup=5, sampler="ddim")
+    init_noise = blocked_noise_frames(k2, b, t, m)
+    whole = np.asarray(
+        model.apply(
+            variables, units, f0, volume, spk_id=spk, gt_spec=gt, infer=True,
+            key=jax.random.PRNGKey(0), init_noise=init_noise, **kwargs,
+        )
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]), ("time",))
+    streamed = np.asarray(
+        streamed_unit2mel(
+            model, variables, units, f0, volume, gt, k2, spk_id=spk,
+            mesh=mesh, **kwargs,
+        )
+    )
+    assert streamed.shape == whole.shape
+    scale = np.abs(whole).max()
+    err = np.abs(streamed - whole).max() / scale
+    assert err < 2e-5, f"relative error {err}"
