@@ -33,13 +33,15 @@ def load_encoder_params(path: str | None):
 
 def build_f0_extractor(args: DotDict) -> F0Extractor:
     kind = args.data.f0_extractor
-    rmvpe_params = None
-    if kind == "rmvpe":
-        ckpt = "pretrain/rmvpe/model.msgpack"
+    model_params = None
+    pretrained = {"rmvpe": "pretrain/rmvpe/model.msgpack",
+                  "crepe": "pretrain/crepe/full.msgpack"}
+    if kind in pretrained:
+        ckpt = pretrained[kind]
         if os.path.exists(ckpt):
-            rmvpe_params = load_encoder_params(ckpt)
+            model_params = load_encoder_params(ckpt)
         else:
-            print(" [!] no converted rmvpe weights found — falling back to "
+            print(f" [!] no converted {kind} weights found — falling back to "
                   "the built-in YIN extractor")
             kind = "yin"
     return F0Extractor(
@@ -48,7 +50,7 @@ def build_f0_extractor(args: DotDict) -> F0Extractor:
         hop_size=args.data.block_size,
         f0_min=args.data.f0_min,
         f0_max=args.data.f0_max,
-        rmvpe_params=rmvpe_params,
+        model_params=model_params,
     )
 
 

@@ -28,6 +28,10 @@ def main(argv=None):
         from .rmvpe import convert_rmvpe
 
         convert_rmvpe(rest[0], rest[1] if len(rest) > 1 else None)
+    elif kind == "crepe":
+        from .crepe import convert_crepe
+
+        convert_crepe(rest[0], rest[1] if len(rest) > 1 else None)
     elif kind == "model":
         import os
 

@@ -130,7 +130,7 @@ class F0Extractor:
         hop_size: int = 512,
         f0_min: float = 65.0,
         f0_max: float = 800.0,
-        rmvpe_params=None,
+        model_params=None,  # converted weights for rmvpe / crepe
     ):
         self.f0_extractor = f0_extractor
         self.sample_rate = sample_rate
@@ -140,7 +140,11 @@ class F0Extractor:
         if f0_extractor == "rmvpe":
             from .rmvpe import RMVPE
 
-            self.rmvpe = RMVPE(rmvpe_params)
+            self.rmvpe = RMVPE(model_params)
+        if f0_extractor == "crepe":
+            from .crepe import CrepeInfer
+
+            self.crepe = CrepeInfer(model_params)
 
     def extract(
         self,
@@ -159,6 +163,28 @@ class F0Extractor:
                 audio, self.sample_rate, self.hop_size, self.f0_min, self.f0_max
             )[: n_frames - start_frame]
             f0 = np.pad(f0, (start_frame, max(0, n_frames - start_frame - len(f0))))
+        elif kind == "crepe":
+            import jax.numpy as jnp
+
+            from ..ops.interp import masked_avg_pool_1d, median_pool_1d
+
+            f0_5ms, pd = self.crepe.infer_from_audio(audio, self.sample_rate)
+            # median-pool periodicity, threshold at 0.05, masked-average
+            # smoothing (ddsp/vocoder.py:92-105)
+            pd = np.asarray(median_pool_1d(jnp.asarray(pd)[None, :], 4))[0]
+            f0_5ms = np.where(pd < 0.05, np.nan, f0_5ms)
+            f0_s = np.asarray(
+                masked_avg_pool_1d(jnp.asarray(f0_5ms)[None, :], 4)
+            )[0]
+            n_out = n_frames - start_frame
+            idx = np.minimum(
+                np.round(
+                    np.arange(n_out) * self.hop_size / self.sample_rate / 0.005
+                ).astype(int),
+                len(f0_s) - 1,
+            )
+            f0 = np.nan_to_num(f0_s[idx])
+            f0 = np.pad(f0, (start_frame, 0))
         elif kind == "rmvpe":
             f0_10ms = self.rmvpe.infer_from_audio(audio, self.sample_rate, thred=0.03)
             uv = f0_10ms == 0
@@ -207,10 +233,31 @@ class F0Extractor:
             f0 = np.pad(
                 f0.astype("float"), (start_frame, n_frames - len(f0) - start_frame)
             )
+        elif kind == "fcpe":
+            # optional wheel path (ddsp/vocoder.py:121-133 parity)
+            import torch
+            from torchfcpe import spawn_bundled_infer_model
+
+            fcpe = spawn_bundled_infer_model(device="cpu")
+            f0_10ms = (
+                fcpe(
+                    torch.from_numpy(audio).unsqueeze(0), sr=self.sample_rate,
+                    decoder_mode="local_argmax", threshold=0.006,
+                )
+                .squeeze()
+                .cpu()
+                .numpy()
+            )
+            uv = f0_10ms == 0
+            f0 = _regrid_10ms(
+                f0_10ms, uv, self.hop_size, self.sample_rate, n_frames - start_frame
+            )
+            f0 = np.pad(f0, (start_frame, 0))
         else:
             raise ValueError(
                 f" [x] Unknown or unavailable f0 extractor: {kind} "
-                "(built-ins: yin, rmvpe; optional: parselmouth, dio, harvest)"
+                "(built-ins: yin, rmvpe, crepe; optional: parselmouth, dio, "
+                "harvest, fcpe)"
             )
 
         f0 = np.asarray(f0, dtype=np.float32)
