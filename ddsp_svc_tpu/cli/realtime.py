@@ -62,6 +62,8 @@ def main(argv=None):
             while True:
                 time.sleep(1)
     else:
+        import time
+
         from ..features.audio import load_wav, save_wav
         from ..ops.resample import resample
         import jax.numpy as jnp
@@ -69,10 +71,28 @@ def main(argv=None):
         audio, in_sr = load_wav(cmd.input)
         if in_sr != sr:
             audio = np.asarray(resample(jnp.asarray(audio)[None, :], in_sr, sr))[0]
-        out = vc.process_stream(audio.astype(np.float32))
+        audio = audio.astype(np.float32)
+        # per-block latency, the reference GUI's live infer_time readout
+        # (gui.py:457-460)
+        n_blocks = int(np.ceil(len(audio) / vc.block_frame))
+        padded = np.pad(audio, (0, n_blocks * vc.block_frame - len(audio)))
+        out, times = [], []
+        for i in range(n_blocks):
+            start = time.perf_counter()
+            out.append(
+                vc.process_block(
+                    padded[i * vc.block_frame : (i + 1) * vc.block_frame]
+                )
+            )
+            times.append(time.perf_counter() - start)
+        out = np.concatenate(out)[: len(audio)]
         save_wav(cmd.output, out, sr)
-        print(f"Saved: {cmd.output} ({len(out) / sr:.2f}s, "
-              f"{int(np.ceil(len(audio) / vc.block_frame))} blocks)")
+        steady = times[2:] or times  # skip compile blocks
+        print(
+            f"Saved: {cmd.output} ({len(out) / sr:.2f}s, {n_blocks} blocks; "
+            f"block {cmd.block_time * 1e3:.0f} ms, infer mean "
+            f"{np.mean(steady) * 1e3:.1f} ms, max {np.max(steady) * 1e3:.1f} ms)"
+        )
 
 
 if __name__ == "__main__":
