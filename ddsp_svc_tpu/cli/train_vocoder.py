@@ -1,0 +1,139 @@
+"""NSF-HiFiGAN vocoder GAN training CLI — beyond-reference capability.
+
+python -m ddsp_svc_tpu.cli.train_vocoder -c configs/nsf-hifigan.yaml
+
+Uses the standard preprocessed layout (audio/ f0/ mel/ from a diffusion-
+family preprocess run); trains Generator vs MPD+MSD with the HiFiGAN
+recipe. Checkpoints: expdir/model_<step>.ckpt holds {generator, discriminator}.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.dataset import AudioDataset, BatchSampler
+from ..models.nsf_hifigan import Generator
+from ..models.vocoder import DEFAULT_NSF_CONFIG
+from ..ops.mel import LogMelSpectrogram
+from ..train import checkpoint as ckpt
+from ..train.saver import Saver
+from ..train.vocoder_solver import init_vocoder_training, make_vocoder_train_steps
+from ..utils.config import load_config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    cmd = parser.parse_args(argv)
+    args = load_config(cmd.config)
+
+    cfg = dict(DEFAULT_NSF_CONFIG)
+    if args.vocoder:
+        cfg.update({k: v for k, v in dict(args.vocoder).items() if k in cfg})
+    cfg["sampling_rate"] = args.data.sampling_rate
+    cfg["hop_size"] = args.data.block_size
+
+    gen = Generator(
+        sampling_rate=cfg["sampling_rate"], num_mels=cfg["num_mels"],
+        upsample_rates=tuple(cfg["upsample_rates"]),
+        upsample_kernel_sizes=tuple(cfg["upsample_kernel_sizes"]),
+        upsample_initial_channel=cfg["upsample_initial_channel"],
+        resblock=str(cfg["resblock"]),
+        resblock_kernel_sizes=tuple(cfg["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=tuple(
+            tuple(d) for d in cfg["resblock_dilation_sizes"]
+        ),
+    )
+    mel_x = LogMelSpectrogram(
+        sr=cfg["sampling_rate"], n_mels=cfg["num_mels"], n_fft=cfg["n_fft"],
+        win_size=cfg["win_size"], hop_length=cfg["hop_size"],
+        fmin=cfg["fmin"], fmax=cfg["fmax"],
+    )
+
+    ds = AudioDataset(
+        args.data.train_path,
+        waveform_sec=args.data.duration,
+        hop_size=args.data.block_size,
+        sample_rate=args.data.sampling_rate,
+        load_all_data=bool(args.train.cache_all_data),
+        with_mel=True,
+        use_aug=False,
+    )
+    sampler = BatchSampler(ds, int(args.train.batch_size))
+
+    t_ex = ds.crop_frames
+    state_g, state_d, disc = init_vocoder_training(
+        gen,
+        jnp.zeros((1, t_ex, cfg["num_mels"]), jnp.float32),
+        jnp.zeros((1, t_ex, 1), jnp.float32),
+        jax.random.PRNGKey(int(args.train.seed or 0)),
+        lr=float(args.train.lr),
+    )
+    saver = Saver(args, initial_global_step=0)
+
+    # resume
+    latest = ckpt.latest_checkpoint(args.env.expdir)
+    if latest:
+        payload, step = ckpt.load_checkpoint(latest)
+        state_g = state_g.replace(
+            params=ckpt.restore_into(
+                jax.device_get(state_g.params), payload["params"]["generator"]
+            )
+        )
+        state_d = state_d.replace(
+            params=ckpt.restore_into(
+                jax.device_get(state_d.params), payload["params"]["discriminator"]
+            )
+        )
+        saver.global_step = step
+        print(f" [*] resumed from {latest} (step {step})")
+
+    disc_step, gen_step = make_vocoder_train_steps(gen, disc, mel_x.extract)
+    key = jax.random.PRNGKey(int(args.train.seed or 0))
+    interval_log = int(args.train.interval_log or 10)
+    interval_val = int(args.train.interval_val or 2000)
+    total = int(args.train.epochs or 1) * max(
+        len(sampler.files) // int(args.train.batch_size), 1
+    )
+    while saver.global_step < total:
+        batch_np = sampler.sample()
+        batch = {
+            "audio": jnp.asarray(batch_np["audio"]),
+            "mel": jnp.asarray(batch_np["mel"]),
+            "f0": jnp.asarray(batch_np["f0"]),
+        }
+        key, k1, k2 = jax.random.split(key, 3)
+        state_d, md = disc_step(state_d, state_g.params, batch, k1)
+        state_g, mg = gen_step(state_g, state_d.params, batch, k2)
+        saver.global_step_increment()
+        if saver.global_step % interval_log == 0:
+            jax.effects_barrier()
+            dl = float(np.asarray(md["disc_loss"]))
+            gl = float(np.asarray(mg["gen_loss"]))
+            mel_l1 = float(np.asarray(mg["mel_l1"]))
+            if not (np.isfinite(dl) and np.isfinite(gl)):
+                raise ValueError(" [x] nan loss ")
+            saver.log_info(
+                f"step: {saver.global_step} | d: {dl:.4f} | g: {gl:.4f} | "
+                f"mel_l1: {mel_l1:.4f} | time: {saver.get_total_time()}"
+            )
+            saver.log_value({"vocoder/disc_loss": dl, "vocoder/gen_loss": gl,
+                             "vocoder/mel_l1": mel_l1})
+        if saver.global_step % interval_val == 0:
+            ckpt.save_checkpoint(
+                args.env.expdir, saver.global_step,
+                {
+                    "generator": jax.device_get(state_g.params),
+                    "discriminator": jax.device_get(state_d.params),
+                },
+            )
+            saver.log_info(f" [*] vocoder ckpt saved at {saver.global_step}")
+
+
+if __name__ == "__main__":
+    main()

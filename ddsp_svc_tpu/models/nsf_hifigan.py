@@ -128,6 +128,9 @@ class Generator(nn.Module):
             key = self.make_rng("noise")
         num_kernels = len(self.resblock_kernel_sizes)
         num_upsamples = len(self.upsample_rates)
+        assert self.upsample_initial_channel >= 2 ** num_upsamples, (
+            "upsample_initial_channel too small: channels halve per stage"
+        )
         res_cls = ResBlock1 if self.resblock == "1" else ResBlock2
 
         har_source = SourceModuleHnNSF(
