@@ -187,6 +187,12 @@ CONFIGS = {
 
 
 def main(names=None):
+    profile_dir = None
+    if names and "--profile" in names:
+        names = [n for n in names if n != "--profile"]
+        profile_dir = "/tmp/ddsp_svc_tpu_trace"
+        jax.profiler.start_trace(profile_dir)
+        print(f"# profiling to {profile_dir}", flush=True)
     names = names or list(CONFIGS)
     for name in names:
         try:
@@ -203,6 +209,8 @@ def main(names=None):
                 "metric": f"{name}_rtf_44k1", "value": None,
                 "unit": "x_realtime_per_chip", "error": str(e)[:100],
             }), flush=True)
+    if profile_dir:
+        jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":
