@@ -1189,3 +1189,49 @@ def streamed_unit2mel(
         check_vma=False,
     )
     return fn(variables, units, f0, volume, gt_spec, init_keys, spk_id)
+
+
+def streamed_forward(model, variables, units, f0, volume, key, mesh,
+                     axis: str = "time", mel=None, spk_id=None, **kwargs):
+    """Dispatch time-sharded synthesis by model class.
+
+    DDSP synths return audio; cascades return refined mel (pass ``mel``,
+    the LogMelSpectrogram whose hop == block_size). Chain with
+    streamed_nsf_hifigan for audio out of the cascades.
+    """
+    from ..models.cascade import ReflowUnit2Wav, Unit2Mel, Unit2Wav, Unit2WavFast
+    from ..models.ddsp import CombSub, CombSubFast, CombSubSuperFast, Sins
+
+    if isinstance(model, CombSubSuperFast):
+        return streamed_combsub_forward(
+            model, variables, units, f0, volume, key, spk_id=spk_id,
+            mesh=mesh, axis=axis,
+        )
+    if isinstance(model, Sins):
+        return streamed_sins_forward(
+            model, variables, units, f0, volume, key, spk_id=spk_id,
+            mesh=mesh, axis=axis, **kwargs,
+        )
+    if isinstance(model, CombSub):
+        return streamed_combsub_old_forward(
+            model, variables, units, f0, volume, key, spk_id=spk_id,
+            mesh=mesh, axis=axis,
+        )
+    if isinstance(model, (Unit2WavFast, ReflowUnit2Wav)):
+        family = "reflow" if isinstance(model, ReflowUnit2Wav) else "diffusion"
+        return streamed_cascade_mel(
+            model, variables, units, f0, volume, key, mel, spk_id=spk_id,
+            mesh=mesh, axis=axis, family=family, **kwargs,
+        )
+    if isinstance(model, Unit2Wav):
+        return streamed_unit2wav_new_mel(
+            model, variables, units, f0, volume, key, mel, spk_id=spk_id,
+            mesh=mesh, axis=axis, **kwargs,
+        )
+    if isinstance(model, Unit2Mel):
+        return streamed_unit2mel(
+            model, variables, units, f0, volume,
+            kwargs.pop("gt_spec", None), key, spk_id=spk_id, mesh=mesh,
+            axis=axis, **kwargs,
+        )
+    raise NotImplementedError(type(model).__name__)
