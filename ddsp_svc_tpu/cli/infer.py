@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
+    # separately-trained DDSP model whose output mel seeds the diffusion
+    # (main_diff.py -ddsp / diffusion/infer_gt_mel.py flow)
+    p.add_argument("-ddsp", "--ddsp_model_path", default=None)
     p.add_argument("-id", "--spk_id", type=int, default=1)
     p.add_argument("-mix", "--spk_mix_dict", default="None")
     p.add_argument("-k", "--key", type=float, default=0.0)
@@ -117,6 +120,15 @@ def main(argv=None):
     if family != "ddsp":
         vc = args.vocoder or {}
         vocoder = Vocoder(vc.get("type", "nsf-hifigan"), vc.get("ckpt"))
+    ddsp_ext = None
+    if cmd.ddsp_model_path:
+        ddsp_model, ddsp_vars, ddsp_args = load_model(cmd.ddsp_model_path)
+        # config compatibility (main_diff.py:17-27)
+        for k in ("sampling_rate", "block_size", "encoder"):
+            assert ddsp_args.data[k] == args.data[k], (
+                f" [x] DDSP/diffusion config mismatch on data.{k}"
+            )
+        ddsp_ext = (ddsp_model, ddsp_vars)
 
     spk_mix_dict = literal_eval(cmd.spk_mix_dict)
     spk_id = jnp.array([[cmd.spk_id]], jnp.int32)
@@ -165,6 +177,27 @@ def main(argv=None):
             if family != "unit2mel":
                 kwargs["mel_extract_fn"] = (
                     lambda wav: vocoder.extract(wav, args.data.sampling_rate)
+                )
+            if ddsp_ext is not None:
+                # external DDSP -> mel seeds the (shallow) diffusion; the
+                # formant shift moves DDSP f0 down and the mel keyshift up
+                # (main_diff.py:356-359). Only the pure-diffusion model
+                # consumes an external init mel; cascades embed their own DDSP.
+                assert family == "unit2mel", (
+                    " [x] -ddsp applies to 'Diffusion' (Unit2Mel) models; "
+                    "cascades already contain a DDSP stage"
+                )
+                dm, dv = ddsp_ext
+                seg_ddsp_f0 = 2 ** (-cmd.formant_shift_key / 12.0) * seg_f0
+                ddsp_out, _, _ = dm.apply(
+                    {"params": dv["params"]},
+                    seg_units, seg_ddsp_f0, seg_volume,
+                    spk_id=spk_id, spk_mix_dict=spk_mix_dict, infer=True,
+                    rngs={"noise": sub},
+                )
+                kwargs["gt_spec"] = vocoder.extract(
+                    ddsp_out, args.data.sampling_rate,
+                    keyshift=cmd.formant_shift_key,
                 )
             seg_mel = model.apply(
                 {"params": variables["params"]},

@@ -36,8 +36,9 @@ def init_model_params(args, model, key):
             infer=False,
             k_step=args.model.k_step_max or 1000,
             key=key,
-            mel_extract_fn=build_mel_extractor(args).extract,
         )
+        if args.model.type != "Diffusion":  # Unit2Mel owns no DDSP stage
+            kwargs["mel_extract_fn"] = build_mel_extractor(args).extract
         if args.model.type == "RectifiedFlow":
             kwargs.pop("k_step")
     variables = model.init(
