@@ -69,6 +69,9 @@ def parse_args(argv=None):
     p.add_argument("-method", "--method", default=None)
     p.add_argument("-step", "--infer_step", type=int, default=None)
     p.add_argument("-ts", "--t_start", type=float, default=None)
+    # sequence-parallel synthesis over N devices (time-sharded shard_map
+    # engines, parallel/stream.py); DDSP families only
+    p.add_argument("--stream", type=int, default=0, metavar="N_DEVICES")
     return p.parse_args(argv)
 
 
@@ -152,11 +155,32 @@ def main(argv=None):
             # formant change via the pitch-aug embedding (main_diff.py:356-371)
             common["aug_shift"] = jnp.full((1, 1, 1), cmd.formant_shift_key)
         if family == "ddsp":
-            seg_output, _, _ = model.apply(
-                {"params": variables["params"]},
-                seg_units, seg_f0, seg_volume,
-                rngs={"noise": sub}, **common,
-            )
+            if cmd.stream > 1:
+                from jax.sharding import Mesh
+
+                from ..parallel.stream import FRAME_HALO, streamed_forward
+
+                n_dev = cmd.stream
+                pad_t = (-t_seg) % n_dev
+                min_t = n_dev * (FRAME_HALO + 8)
+                if t_seg + pad_t < min_t:
+                    pad_t = min_t - t_seg  # short segment: pad up to halo min
+                    pad_t += (-(t_seg + pad_t)) % n_dev
+                mesh = Mesh(np.array(jax.devices()[:n_dev]), ("time",))
+                seg_output = streamed_forward(
+                    model, variables,
+                    jnp.pad(seg_units, ((0, 0), (0, pad_t), (0, 0))),
+                    jnp.pad(seg_f0, ((0, 0), (0, pad_t), (0, 0)),
+                            mode="edge"),
+                    jnp.pad(seg_volume, ((0, 0), (0, pad_t), (0, 0))),
+                    sub, mesh=mesh, spk_id=spk_id,
+                )[:, : t_seg * args.data.block_size]
+            else:
+                seg_output, _, _ = model.apply(
+                    {"params": variables["params"]},
+                    seg_units, seg_f0, seg_volume,
+                    rngs={"noise": sub}, **common,
+                )
             output_sample_rate = args.data.sampling_rate
         else:
             if family in ("diffusion", "unit2mel"):

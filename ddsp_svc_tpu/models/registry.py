@@ -126,5 +126,8 @@ def load_model(model_path, device=None):
     config_file = os.path.join(os.path.split(model_path)[0], "config.yaml")
     args = load_config(config_file)
     model = build_model(args)
-    variables, _step = load_checkpoint(model_path)
+    payload, _step = load_checkpoint(model_path)
+    variables = {"params": payload["params"]}
+    if payload.get("buffers"):  # e.g. FAVOR+ projections (convert/models.py)
+        variables["buffers"] = payload["buffers"]
     return model, variables, args
