@@ -42,7 +42,17 @@ def _sync(x):
 
 
 def measure(fn, audio_seconds_per_call: float) -> float:
-    _sync(fn(0))  # compile
+    # warm once with retries (the tunneled service fails in waves)
+    last = None
+    for attempt in range(5):
+        try:
+            _sync(fn(0))
+            break
+        except Exception as e:
+            last = e
+            if attempt == 4:
+                raise last
+            time.sleep(30)
     n_iter = 4
     while True:
         start = time.perf_counter()
