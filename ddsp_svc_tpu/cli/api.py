@@ -18,6 +18,24 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+def parse_multipart(body: bytes, content_type: str) -> dict:
+    """Minimal multipart/form-data parser (stdlib email — the cgi module is
+    deprecated in 3.13). Returns {field name: bytes}."""
+    from email import message_from_bytes
+    from email.policy import HTTP
+
+    msg = message_from_bytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body,
+        policy=HTTP,
+    )
+    fields = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="Content-Disposition")
+        if name:
+            fields[name] = part.get_payload(decode=True)
+    return fields
+
+
 def make_handler(pipeline, default_kwargs):
     from ..features.audio import to_mono
     from scipy.io import wavfile
@@ -27,18 +45,20 @@ def make_handler(pipeline, default_kwargs):
             if self.path != "/voiceChangeModel":
                 self.send_error(404)
                 return
-            import cgi
-
-            form = cgi.FieldStorage(
-                fp=self.rfile, headers=self.headers,
-                environ={"REQUEST_METHOD": "POST",
-                         "CONTENT_TYPE": self.headers["Content-Type"]},
+            length = int(self.headers.get("Content-Length", 0))
+            form = parse_multipart(
+                self.rfile.read(length), self.headers["Content-Type"]
             )
-            wav_bytes = form["sample"].file.read()
-            pitch = float(form.getvalue("fPitchChange", 0.0))
-            spk_id = int(float(form.getvalue("sSpeakId", 1)))
-            out_rate = int(form.getvalue("sampleRate", 44100))
-            pad = float(form.getvalue("fSafePrefixPadLength", 0.0))
+
+            def val(name, default):
+                raw = form.get(name)
+                return raw.decode().strip() if raw is not None else default
+
+            wav_bytes = form["sample"]
+            pitch = float(val("fPitchChange", 0.0))
+            spk_id = int(float(val("sSpeakId", 1)))
+            out_rate = int(val("sampleRate", 44100))
+            pad = float(val("fSafePrefixPadLength", 0.0))
 
             in_sr, data = wavfile.read(io.BytesIO(wav_bytes))
             if data.dtype == np.int16:
