@@ -17,7 +17,6 @@ from ..models.registry import load_model
 from ..models.vocoder import Enhancer, Vocoder
 from ..ops.interp import upsample
 from ..train.solver import model_family
-from .. import cli
 
 
 class SvcPipeline:
