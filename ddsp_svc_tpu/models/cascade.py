@@ -37,6 +37,7 @@ class Unit2Mel(nn.Module):
     n_hidden: int = 256
     timesteps: int = 1000
     k_step_max: int = 1000
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -79,7 +80,7 @@ class Unit2Mel(nn.Module):
 
         return GaussianDiffusion(
             WaveNet(self.out_dims, self.n_layers, self.n_chans, self.n_hidden,
-                    dtype=self.dtype, name="denoise_fn"),
+                    remat=self.remat, dtype=self.dtype, name="denoise_fn"),
             out_dims=self.out_dims,
             timesteps=self.timesteps,
             k_step=self.k_step_max,
@@ -113,6 +114,7 @@ class Unit2Wav(nn.Module):
     pcmer_norm: bool = False
     timesteps: int = 1000
     k_step_max: int = 1000
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -154,7 +156,7 @@ class Unit2Wav(nn.Module):
 
         diff_model = GaussianDiffusion(
             WaveNet(self.out_dims, self.n_layers, self.n_chans, 256,
-                    dtype=self.dtype, name="denoise_fn"),
+                    remat=self.remat, dtype=self.dtype, name="denoise_fn"),
             out_dims=self.out_dims,
             timesteps=self.timesteps,
             k_step=self.k_step_max,
@@ -193,6 +195,7 @@ class Unit2WavFast(nn.Module):
     n_chans: int = 512
     timesteps: int = 1000
     k_step_max: int = 1000
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -236,7 +239,8 @@ class Unit2WavFast(nn.Module):
             NaiveV2Diff(
                 mel_channels=self.out_dims, dim=self.n_chans,
                 num_layers=self.n_layers, condition_dim=self.out_dims,
-                use_mlp=False, dtype=self.dtype, name="denoise_fn",
+                use_mlp=False, remat=self.remat, dtype=self.dtype,
+                name="denoise_fn",
             ),
             out_dims=self.out_dims,
             timesteps=self.timesteps,
@@ -274,6 +278,7 @@ class ReflowUnit2Wav(nn.Module):
     out_dims: int = 128
     n_layers: int = 6
     n_chans: int = 512
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -318,7 +323,8 @@ class ReflowUnit2Wav(nn.Module):
             NaiveV2Diff(
                 mel_channels=self.out_dims, dim=self.n_chans,
                 num_layers=self.n_layers, condition_dim=self.out_dims,
-                use_mlp=False, dtype=self.dtype, name="velocity_fn",
+                use_mlp=False, remat=self.remat, dtype=self.dtype,
+                name="velocity_fn",
             ),
             out_dims=self.out_dims,
             name="reflow_model",

@@ -75,6 +75,7 @@ class NaiveV2Diff(nn.Module):
     use_norm: bool = False
     conv_dropout: float = 0.0
     atten_dropout: float = 0.1
+    remat: bool = False  # jax.checkpoint each layer (HBM <-> FLOPs)
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -100,36 +101,50 @@ class NaiveV2Diff(nn.Module):
         else:
             condition = cond
 
+        layer_cls = (
+            nn.remat(NaiveV2DiffLayer, static_argnums=(4,))
+            if self.remat
+            else NaiveV2DiffLayer
+        )
+
+        def call_layer(layer, x_in):
+            # positional call so remat's static_argnums can mark
+            # `deterministic` (index 4 after flax's module-arg shift)
+            return layer(x_in, condition, step, deterministic, edge_mask)
         if self.wavenet_like:
             sks = []
             for i in range(self.num_layers):
-                x, sk = NaiveV2DiffLayer(
-                    self.dim,
-                    self.dim if self.use_mlp else self.condition_dim,
-                    use_norm=self.use_norm,
-                    conv_only=self.conv_only,
-                    expansion_factor=self.expansion_factor,
-                    kernel_size=self.kernel_size,
-                    wavenet_like=True,
-                    dtype=self.dtype,
-                    name=f"layer_{i}",
-                )(x, condition, step, deterministic=deterministic,
-                  edge_mask=edge_mask)
+                x, sk = call_layer(
+                    layer_cls(
+                        self.dim,
+                        self.dim if self.use_mlp else self.condition_dim,
+                        use_norm=self.use_norm,
+                        conv_only=self.conv_only,
+                        expansion_factor=self.expansion_factor,
+                        kernel_size=self.kernel_size,
+                        wavenet_like=True,
+                        dtype=self.dtype,
+                        name=f"layer_{i}",
+                    ),
+                    x,
+                )
                 sks.append(sk)
             x = sum(sks) / math.sqrt(len(sks))
         else:
             for i in range(self.num_layers):
-                x = NaiveV2DiffLayer(
-                    self.dim,
-                    self.dim if self.use_mlp else self.condition_dim,
-                    use_norm=self.use_norm,
-                    conv_only=self.conv_only,
-                    expansion_factor=self.expansion_factor,
-                    kernel_size=self.kernel_size,
-                    dtype=self.dtype,
-                    name=f"layer_{i}",
-                )(x, condition, step, deterministic=deterministic,
-                  edge_mask=edge_mask)
+                x = call_layer(
+                    layer_cls(
+                        self.dim,
+                        self.dim if self.use_mlp else self.condition_dim,
+                        use_norm=self.use_norm,
+                        conv_only=self.conv_only,
+                        expansion_factor=self.expansion_factor,
+                        kernel_size=self.kernel_size,
+                        dtype=self.dtype,
+                        name=f"layer_{i}",
+                    ),
+                    x,
+                )
 
         if self.use_mlp:
             x = Conv1d(self.dim * self.mlp_factor, 1, dtype=self.dtype, name="out_proj_0")(x)

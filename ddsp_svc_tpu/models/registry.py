@@ -57,6 +57,7 @@ def build_model(args, vocoder_dimension: int = 128, dtype=None) -> nn.Module:
             n_spk=args.model.n_spk,
             dtype=dtype,
         )
+    remat = bool(args.model.use_remat)
     if mtype == "Diffusion":
         return Unit2Mel(
             args.data.encoder_out_channels,
@@ -67,6 +68,7 @@ def build_model(args, vocoder_dimension: int = 128, dtype=None) -> nn.Module:
             args.model.n_chans,
             args.model.n_hidden,
             k_step_max=args.model.k_step_max or 1000,
+            remat=remat,
             dtype=dtype,
         )
     if mtype == "DiffusionNew":
@@ -81,6 +83,7 @@ def build_model(args, vocoder_dimension: int = 128, dtype=None) -> nn.Module:
             args.model.n_chans,
             pcmer_norm=bool(args.model.pcmer_norm),
             k_step_max=args.model.k_step_max or 1000,
+            remat=remat,
             dtype=dtype,
         )
     if mtype == "DiffusionFast":
@@ -95,6 +98,7 @@ def build_model(args, vocoder_dimension: int = 128, dtype=None) -> nn.Module:
             args.model.n_layers,
             args.model.n_chans,
             k_step_max=args.model.k_step_max or 1000,
+            remat=remat,
             dtype=dtype,
         )
     if mtype == "RectifiedFlow":
@@ -108,6 +112,7 @@ def build_model(args, vocoder_dimension: int = 128, dtype=None) -> nn.Module:
             vocoder_dimension,
             args.model.n_layers,
             args.model.n_chans,
+            remat=remat,
             dtype=dtype,
         )
     raise ValueError(f" [x] Unknown Model: {mtype}")

@@ -60,6 +60,7 @@ class WaveNet(nn.Module):
     n_layers: int = 20
     n_chans: int = 384
     n_hidden: int = 256
+    remat: bool = False  # jax.checkpoint each residual block
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -73,11 +74,14 @@ class WaveNet(nn.Module):
         step = step * jnp.tanh(jax.nn.softplus(step))  # Mish
         step = Dense(self.n_chans, dtype=self.dtype, name="mlp_1")(step)
 
+        block_cls = (
+            nn.remat(WaveNetResidualBlock) if self.remat else WaveNetResidualBlock
+        )
         skips = 0.0
         for i in range(self.n_layers):
-            x, skip = WaveNetResidualBlock(
+            x, skip = block_cls(
                 self.n_chans, dilation=1, dtype=self.dtype, name=f"layer_{i}"
-            )(x, cond, step, edge_mask=edge_mask)
+            )(x, cond, step, edge_mask)
             skips = skips + skip
         x = skips / math.sqrt(self.n_layers)
         x = Conv1d(self.n_chans, 1, dtype=self.dtype, name="skip_projection")(x)
