@@ -1,9 +1,14 @@
-"""RMS-threshold silence slicer (reference slicer.py:1-117 behavior).
+"""RMS-threshold silence slicer (reference slicer.py:1-117 output contract).
 
-librosa-free: the frame RMS (librosa.feature.rms, center=True, constant pad)
-is computed with a vectorized sliding window. The silence state machine and
-the returned {idx: {"slice": bool, "split_time": "a,b"}} contract match the
-reference exactly so downstream splicing code carries over.
+librosa-free and restructured: frame RMS (librosa.feature.rms parity:
+center=True, constant pad) is computed with a vectorized sliding window, and
+quiet regions are extracted up front as maximal runs of below-threshold
+frames (one np.diff pass) instead of walking frames through a state machine.
+A short loop over those runs then decides, for each, whether it becomes a
+cut and where the cut lands (the quietest frame inside the permitted
+window). The returned {idx: {"slice": bool, "split_time": "a,b"}} mapping
+matches the reference byte-for-byte so downstream splicing code carries
+over; see tests/test_slicer_golden.py for the frozen behavior.
 """
 from __future__ import annotations
 
@@ -18,6 +23,13 @@ def frame_rms(y: np.ndarray, frame_length: int, hop_length: int) -> np.ndarray:
     n_frames = 1 + (len(yp) - frame_length) // hop_length
     idx = np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
     return np.sqrt((yp[idx] ** 2).mean(axis=1)).astype(np.float32)
+
+
+def _quiet_runs(quiet: np.ndarray) -> list[tuple[int, int]]:
+    """Maximal runs of True in a boolean array, as [start, stop) pairs."""
+    fenced = np.concatenate(([False], quiet, [False])).astype(np.int8)
+    edges = np.flatnonzero(np.diff(fenced))
+    return list(zip(edges[::2].tolist(), edges[1::2].tolist()))
 
 
 class Slicer:
@@ -42,89 +54,89 @@ class Slicer:
         self.min_interval = round(min_interval_samples / self.hop_size)
         self.max_sil_kept = round(sr * max_sil_kept / 1000 / self.hop_size)
 
+    def _quietest(self, rms: np.ndarray, lo: int, hi: int) -> int:
+        """Frame index of the minimum RMS within [lo, hi)."""
+        return lo + int(rms[lo:hi].argmin())
+
+    def _plan_cuts(self, rms: np.ndarray) -> list[tuple[int, int]]:
+        """Turn quiet runs into removal regions [left, right] in frames.
+
+        A region (p, p) is a pure split point (nothing removed); a leading
+        region starts at 0; a trailing region's right edge is total+1 to mark
+        open-endedness, matching the downstream clamp-by-sample-count.
+        """
+        total = rms.shape[0]
+        keep = self.max_sil_kept
+        cuts: list[tuple[int, int]] = []
+        anchor = 0  # frame where the clip currently being accumulated began
+
+        runs = _quiet_runs(rms < self.threshold)
+        tail = None
+        if runs and runs[-1][1] >= total:
+            tail = runs.pop()  # unterminated by a loud frame: trailing rules
+
+        for a, b in runs:
+            # b is the first loud frame after the run; windows include it,
+            # mirroring the reference's decision-at-first-loud-frame timing
+            leading = a == 0 and b > keep
+            interior_ok = b - a >= self.min_interval and b - anchor >= self.min_length
+            if not leading and not interior_ok:
+                continue
+            span = b - a
+            if span <= keep:
+                p = self._quietest(rms, a, b + 1)
+                cuts.append((0, p) if a == 0 else (p, p))
+                anchor = p
+            elif span <= 2 * keep:
+                # windows from both edges overlap: reconcile three candidates
+                mid = self._quietest(rms, b - keep, a + keep + 1)
+                left = self._quietest(rms, a, a + keep + 1)
+                right = self._quietest(rms, b - keep, b + 1)
+                if a == 0:
+                    cuts.append((0, right))
+                    anchor = right
+                else:
+                    cuts.append((min(left, mid), max(right, mid)))
+                    anchor = max(right, mid)
+            else:
+                left = self._quietest(rms, a, a + keep + 1)
+                right = self._quietest(rms, b - keep, b + 1)
+                cuts.append((0, right) if a == 0 else (left, right))
+                anchor = right
+
+        if tail is not None and total - tail[0] >= self.min_interval:
+            a = tail[0]
+            p = self._quietest(rms, a, min(total, a + keep) + 1)
+            cuts.append((p, total + 1))
+        return cuts
+
     def slice(self, waveform: np.ndarray) -> dict:
         samples = waveform.mean(axis=0) if waveform.ndim > 1 else waveform
+        n_samples = len(waveform)
         if samples.shape[0] <= self.min_length:
-            return {"0": {"slice": False, "split_time": f"0,{len(waveform)}"}}
-        rms_list = frame_rms(samples, self.win_size, self.hop_size)
+            return {"0": {"slice": False, "split_time": f"0,{n_samples}"}}
+        rms = frame_rms(samples, self.win_size, self.hop_size)
+        cuts = self._plan_cuts(rms)
+        if not cuts:
+            return {"0": {"slice": False, "split_time": f"0,{n_samples}"}}
 
-        sil_tags: list[tuple[int, int]] = []
-        silence_start = None
-        clip_start = 0
-        for i, rms in enumerate(rms_list):
-            if rms < self.threshold:
-                if silence_start is None:
-                    silence_start = i
-                continue
-            if silence_start is None:
-                continue
-            is_leading_silence = silence_start == 0 and i > self.max_sil_kept
-            need_slice_middle = (
-                i - silence_start >= self.min_interval
-                and i - clip_start >= self.min_length
-            )
-            if not is_leading_silence and not need_slice_middle:
-                silence_start = None
-                continue
-            if i - silence_start <= self.max_sil_kept:
-                pos = int(rms_list[silence_start : i + 1].argmin()) + silence_start
-                sil_tags.append((0, pos) if silence_start == 0 else (pos, pos))
-                clip_start = pos
-            elif i - silence_start <= self.max_sil_kept * 2:
-                pos = int(
-                    rms_list[i - self.max_sil_kept : silence_start + self.max_sil_kept + 1].argmin()
-                ) + i - self.max_sil_kept
-                pos_l = int(
-                    rms_list[silence_start : silence_start + self.max_sil_kept + 1].argmin()
-                ) + silence_start
-                pos_r = int(rms_list[i - self.max_sil_kept : i + 1].argmin()) + i - self.max_sil_kept
-                if silence_start == 0:
-                    sil_tags.append((0, pos_r))
-                    clip_start = pos_r
-                else:
-                    sil_tags.append((min(pos_l, pos), max(pos_r, pos)))
-                    clip_start = max(pos_r, pos)
-            else:
-                pos_l = int(
-                    rms_list[silence_start : silence_start + self.max_sil_kept + 1].argmin()
-                ) + silence_start
-                pos_r = int(rms_list[i - self.max_sil_kept : i + 1].argmin()) + i - self.max_sil_kept
-                sil_tags.append((0, pos_r) if silence_start == 0 else (pos_l, pos_r))
-                clip_start = pos_r
-            silence_start = None
-
-        total_frames = rms_list.shape[0]
-        if silence_start is not None and total_frames - silence_start >= self.min_interval:
-            silence_end = min(total_frames, silence_start + self.max_sil_kept)
-            pos = int(rms_list[silence_start : silence_end + 1].argmin()) + silence_start
-            sil_tags.append((pos, total_frames + 1))
-
-        if not sil_tags:
-            return {"0": {"slice": False, "split_time": f"0,{len(waveform)}"}}
-        chunks = []
-        if sil_tags[0][0]:
-            chunks.append(
-                {"slice": False,
-                 "split_time": f"0,{min(waveform.shape[0], sil_tags[0][0] * self.hop_size)}"}
-            )
-        for i in range(len(sil_tags)):
-            if i:
-                chunks.append(
-                    {"slice": False,
-                     "split_time": f"{sil_tags[i - 1][1] * self.hop_size},"
-                                   f"{min(waveform.shape[0], sil_tags[i][0] * self.hop_size)}"}
-                )
-            chunks.append(
-                {"slice": True,
-                 "split_time": f"{sil_tags[i][0] * self.hop_size},"
-                               f"{min(waveform.shape[0], sil_tags[i][1] * self.hop_size)}"}
-            )
-        if sil_tags[-1][1] * self.hop_size < len(waveform):
-            chunks.append(
-                {"slice": False,
-                 "split_time": f"{sil_tags[-1][1] * self.hop_size},{len(waveform)}"}
-            )
-        return {str(i): c for i, c in enumerate(chunks)}
+        # interleave kept-audio chunks with the silence regions between them;
+        # region starts stay unclamped, ends clamp to the sample count
+        hop = self.hop_size
+        pieces: list[tuple[bool, int, int]] = []
+        prev_end = None
+        for left, right in cuts:
+            start = 0 if prev_end is None else prev_end * hop
+            if prev_end is not None or left > 0:
+                pieces.append((False, start, min(n_samples, left * hop)))
+            pieces.append((True, left * hop, min(n_samples, right * hop)))
+            prev_end = right
+        if prev_end * hop < n_samples:
+            pieces.append((False, prev_end * hop, n_samples))
+        return {
+            str(i): {"slice": is_sil, "split_time": f"{a},{b}"}
+            for i, (is_sil, a, b) in enumerate(pieces)
+        }
 
 
 def split_audio(audio: np.ndarray, sr: int, db_thresh: float = -40, min_len: int = 5000):
