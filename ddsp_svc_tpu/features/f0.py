@@ -131,12 +131,14 @@ class F0Extractor:
         f0_min: float = 65.0,
         f0_max: float = 800.0,
         model_params=None,  # converted weights for rmvpe / crepe
+        use_viterbi: bool = False,  # rmvpe: viterbi-smoothed bin path
     ):
         self.f0_extractor = f0_extractor
         self.sample_rate = sample_rate
         self.hop_size = hop_size
         self.f0_min = f0_min
         self.f0_max = f0_max
+        self.use_viterbi = use_viterbi
         if f0_extractor == "rmvpe":
             from .rmvpe import RMVPE
 
@@ -186,7 +188,10 @@ class F0Extractor:
             f0 = np.nan_to_num(f0_s[idx])
             f0 = np.pad(f0, (start_frame, 0))
         elif kind == "rmvpe":
-            f0_10ms = self.rmvpe.infer_from_audio(audio, self.sample_rate, thred=0.03)
+            f0_10ms = self.rmvpe.infer_from_audio(
+                audio, self.sample_rate, thred=0.03,
+                use_viterbi=self.use_viterbi,
+            )
             uv = f0_10ms == 0
             f0 = _regrid_10ms(
                 f0_10ms, uv, self.hop_size, self.sample_rate, n_frames - start_frame

@@ -168,11 +168,19 @@ class E2E0(nn.Module):
         return nn.sigmoid(x)
 
 
-def to_local_average_f0(hidden: np.ndarray, thred: float = 0.03) -> np.ndarray:
-    """(T, 360) salience -> (T,) f0 Hz (utils.py:106-121)."""
+def to_local_average_f0(
+    hidden: np.ndarray, thred: float = 0.03, center: np.ndarray | None = None
+) -> np.ndarray:
+    """(T, 360) salience -> (T,) f0 Hz (utils.py:106-121).
+
+    ``center``: optional (T,) decoded bin indices (the viterbi path); defaults
+    to the per-frame argmax."""
     idx = np.arange(N_CLASS)[None, :]
     idx_cents = idx * 20 + CONST
-    center = hidden.argmax(axis=1, keepdims=True)
+    if center is None:
+        center = hidden.argmax(axis=1, keepdims=True)
+    else:
+        center = np.asarray(center, np.int64).reshape(-1, 1)
     start = np.clip(center - 4, 0, None)
     end = np.clip(center + 5, None, N_CLASS)
     mask = (idx >= start) & (idx < end)
@@ -183,6 +191,53 @@ def to_local_average_f0(hidden: np.ndarray, thred: float = 0.03) -> np.ndarray:
     f0 = 10.0 * 2.0 ** (cents / 1200.0)
     f0[hidden.max(axis=1) < thred] = 0.0
     return f0.astype(np.float32)
+
+
+_VITERBI_TRANSITION: np.ndarray | None = None
+
+
+def _viterbi_transition() -> np.ndarray:
+    """Row-normalized triangular pitch-step prior (utils.py:88-95,123-130):
+    p(j | i) ∝ max(30 - |i - j|, 0)."""
+    global _VITERBI_TRANSITION
+    if _VITERBI_TRANSITION is None:
+        d = np.abs(np.arange(N_CLASS)[:, None] - np.arange(N_CLASS)[None, :])
+        t = np.maximum(30 - d, 0).astype(np.float64)
+        _VITERBI_TRANSITION = t / t.sum(axis=1, keepdims=True)
+    return _VITERBI_TRANSITION
+
+
+def viterbi_path(prob: np.ndarray, transition: np.ndarray) -> np.ndarray:
+    """Max-likelihood state path; librosa.sequence.viterbi semantics.
+
+    prob: (n_states, T) observation probabilities (columns need not be
+    normalized — only argmaxes matter); transition: (n_states, n_states)
+    row-stochastic; uniform initial distribution. Returns (T,) int64."""
+    tiny = np.finfo(np.float64).tiny
+    log_trans = np.log(transition + tiny)  # (N, N)
+    log_prob = np.log(prob.T + tiny)  # (T, N)
+    n_states, t_len = prob.shape
+    value = np.empty((t_len, n_states))
+    ptr = np.empty((t_len, n_states), dtype=np.int64)
+    value[0] = log_prob[0] - np.log(n_states)
+    for t in range(1, t_len):
+        trans_out = value[t - 1][:, None] + log_trans  # (from, to)
+        ptr[t] = np.argmax(trans_out, axis=0)
+        value[t] = log_prob[t] + trans_out[ptr[t], np.arange(n_states)]
+    path = np.empty(t_len, dtype=np.int64)
+    path[-1] = np.argmax(value[-1])
+    for t in range(t_len - 2, -1, -1):
+        path[t] = ptr[t + 1][path[t + 1]]
+    return path
+
+
+def to_viterbi_f0(hidden: np.ndarray, thred: float = 0.03) -> np.ndarray:
+    """(T, 360) salience -> (T,) f0 Hz via viterbi-smoothed bin path
+    (encoder/rmvpe/utils.py:123-140)."""
+    prob = hidden.T.astype(np.float64)
+    prob = prob / prob.sum(axis=0)
+    path = viterbi_path(prob, _viterbi_transition())
+    return to_local_average_f0(hidden, thred=thred, center=path)
 
 
 class RMVPE:
@@ -216,7 +271,8 @@ class RMVPE:
         return jnp.log(jnp.clip(mel, min=1e-5)).transpose(0, 2, 1)
 
     def infer_from_audio(
-        self, audio: np.ndarray, sample_rate: int = 16000, thred: float = 0.03
+        self, audio: np.ndarray, sample_rate: int = 16000, thred: float = 0.03,
+        use_viterbi: bool = False,
     ) -> np.ndarray:
         audio = jnp.asarray(audio, jnp.float32)[None, :]
         if sample_rate != SAMPLE_RATE:
@@ -226,4 +282,5 @@ class RMVPE:
         pad_to = 32 * ((n_frames - 1) // 32 + 1)
         mel = jnp.pad(mel, ((0, 0), (0, pad_to - n_frames), (0, 0)))
         hidden = self._apply(self.variables, mel)[0, :n_frames]
-        return to_local_average_f0(np.asarray(hidden), thred=thred)
+        decode = to_viterbi_f0 if use_viterbi else to_local_average_f0
+        return decode(np.asarray(hidden), thred=thred)
