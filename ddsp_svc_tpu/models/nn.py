@@ -200,15 +200,19 @@ class GroupNorm(nn.Module):
                 if frame_mask is None
                 else frame_mask.reshape(b, t, 1, 1).astype(x.dtype)
             )
+            # two-pass (mean, then centered second moment): matches jnp.var's
+            # formula, so streamed stats differ from the whole-utterance path
+            # only by reduction order (ulp-level; see BASELINE.md contract)
             cnt = jnp.sum(m, axis=1, keepdims=True) * (c // g)
             s1 = jnp.sum(xg * m, axis=(1, 3), keepdims=True)
-            s2 = jnp.sum(xg * xg * m, axis=(1, 3), keepdims=True)
             if axis_name is not None:
                 cnt = jax.lax.psum(cnt, axis_name)
                 s1 = jax.lax.psum(s1, axis_name)
-                s2 = jax.lax.psum(s2, axis_name)
             mean = s1 / cnt
-            var = s2 / cnt - mean * mean
+            d2 = jnp.sum((xg - mean) * (xg - mean) * m, axis=(1, 3), keepdims=True)
+            if axis_name is not None:
+                d2 = jax.lax.psum(d2, axis_name)
+            var = d2 / cnt
         y = ((xg - mean) * jax.lax.rsqrt(var + self.epsilon)).reshape(b, t, c)
         return y * scale + bias
 

@@ -116,7 +116,7 @@ class TestStreamedForward:
         assert streamed.shape == whole.shape
         denom = np.abs(whole).max()
         err = np.abs(streamed - whole).max() / denom
-        assert err < 1e-5, f"relative error {err}"
+        assert err < 1e-6, f"relative error {err}"
 
     def test_device_count_invariance(self, setup):
         """Output must not depend on how many devices shard the time axis."""
@@ -133,4 +133,4 @@ class TestStreamedForward:
             )
         denom = np.abs(outs[0]).max()
         err = np.abs(outs[0] - outs[1]).max() / denom
-        assert err < 1e-5, f"relative error {err}"
+        assert err < 1e-6, f"relative error {err}"
