@@ -31,14 +31,25 @@ MIN_WINDOW_S = 5.0
 
 def _sync(x):
     last = None
-    for _ in range(5):
+    for i in range(10):
         try:
             jax.effects_barrier()
             return float(np.asarray(x))
         except Exception as e:
             last = e
-            time.sleep(5.0)
+            time.sleep(min(10.0 * (i + 1), 60.0))
     raise last
+
+
+def _cpu():
+    """All setup (input creation, param init) runs on the host CPU backend:
+    eager ops over the axon tunnel are the dominant failure mode."""
+    return jax.default_device(jax.local_devices(backend="cpu")[0])
+
+
+def _put(tree):
+    dev = jax.devices()[0]
+    return jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), tree)
 
 
 def measure(fn, audio_seconds_per_call: float) -> float:
@@ -66,12 +77,14 @@ def measure(fn, audio_seconds_per_call: float) -> float:
         n_iter *= 2
 
 
-def make_inputs(batch, t, key):
-    k1, k2 = jax.random.split(key)
-    units = jax.random.normal(k1, (batch, t, N_UNIT), jnp.float32)
-    f0 = 220.0 * jnp.exp(jax.random.normal(k2, (batch, t, 1)) * 0.1)
-    volume = 0.5 * jnp.ones((batch, t, 1), jnp.float32)
-    spk = jnp.zeros((batch, 1), jnp.int32)
+def make_inputs(batch, t, seed=0):
+    rng = np.random.default_rng(seed)
+    units = rng.standard_normal((batch, t, N_UNIT)).astype(np.float32)
+    f0 = (220.0 * np.exp(rng.standard_normal((batch, t, 1)) * 0.1)).astype(
+        np.float32
+    )
+    volume = 0.5 * np.ones((batch, t, 1), np.float32)
+    spk = np.zeros((batch, 1), np.int32)
     return units, f0, volume, spk
 
 
@@ -80,14 +93,18 @@ def bench_combsub(batch=64, seconds=30.0):
 
     t = int(seconds * SR) // HOP
     model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1)
-    units, f0, volume, spk = make_inputs(batch, t, jax.random.PRNGKey(0))
-    params = model.init(
-        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
-        units, f0, volume, spk_id=spk,
-    )["params"]
+    with _cpu():
+        tu, tf, tv, ts = make_inputs(1, 16)
+        params = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.asarray(tu), jnp.asarray(tf), jnp.asarray(tv),
+            spk_id=jnp.asarray(ts),
+        )["params"]
+    units, f0, volume, spk = _put(make_inputs(batch, t))
+    params = _put(params)
 
     @jax.jit
-    def run(params, key):
+    def run(params, key, units, f0, volume, spk):
         s, _, _ = model.apply(
             {"params": params}, units, f0, volume, spk_id=spk, infer=True,
             rngs={"noise": key},
@@ -95,7 +112,8 @@ def bench_combsub(batch=64, seconds=30.0):
         return jnp.sum(jnp.abs(s))
 
     return (
-        lambda i: run(params, jax.random.fold_in(jax.random.PRNGKey(3), i)),
+        lambda i: run(params, jax.random.fold_in(jax.random.PRNGKey(3), i),
+                      units, f0, volume, spk),
         batch * t * HOP / SR,
     )
 
@@ -106,22 +124,27 @@ def bench_sins(batch=16, seconds=10.0):
     t = int(seconds * SR) // HOP
     model = Sins(SR, HOP, n_harmonics=128, n_mag_allpass=256, n_mag_noise=80,
                  n_unit=N_UNIT, n_spk=1)
-    units, f0, volume, spk = make_inputs(batch, t, jax.random.PRNGKey(0))
-    params = model.init(
-        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
-        units, f0, volume, spk_id=spk,
-    )["params"]
+    with _cpu():
+        tu, tf, tv, ts = make_inputs(1, 16)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.asarray(tu), jnp.asarray(tf), jnp.asarray(tv),
+            spk_id=jnp.asarray(ts),
+        )
+    units, f0, volume, spk = _put(make_inputs(batch, t))
+    variables = _put(dict(variables))
 
     @jax.jit
-    def run(params, key):
+    def run(variables, key, units, f0, volume, spk):
         s, _, _ = model.apply(
-            {"params": params}, units, f0, volume, spk_id=spk, infer=True,
+            variables, units, f0, volume, spk_id=spk, infer=True,
             rngs={"noise": key},
         )
         return jnp.sum(jnp.abs(s))
 
     return (
-        lambda i: run(params, jax.random.fold_in(jax.random.PRNGKey(3), i)),
+        lambda i: run(variables, jax.random.fold_in(jax.random.PRNGKey(3), i),
+                      units, f0, volume, spk),
         batch * t * HOP / SR,
     )
 
@@ -131,20 +154,26 @@ def bench_nsf(batch=16, seconds=10.0):
 
     t = int(seconds * SR) // HOP
     gen = Generator(sampling_rate=SR, num_mels=M)
-    key = jax.random.PRNGKey(0)
-    mel = jax.random.normal(key, (batch, t, M), jnp.float32) * 2.0 - 6.0
-    f0 = 220.0 * jnp.ones((batch, t), jnp.float32)
-    params = gen.init(
-        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
-        mel, f0, key=key,
-    )["params"]
+    rng = np.random.default_rng(0)
+    with _cpu():
+        params = gen.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, M)), 220.0 * jnp.ones((1, 16)),
+            key=jax.random.PRNGKey(0),
+        )["params"]
+    mel, f0 = _put((
+        (rng.standard_normal((batch, t, M)) * 2.0 - 6.0).astype(np.float32),
+        220.0 * np.ones((batch, t), np.float32),
+    ))
+    params = _put(params)
 
     @jax.jit
-    def run(params, key):
+    def run(params, key, mel, f0):
         return jnp.sum(jnp.abs(gen.apply({"params": params}, mel, f0, key=key)))
 
     return (
-        lambda i: run(params, jax.random.fold_in(jax.random.PRNGKey(3), i)),
+        lambda i: run(params, jax.random.fold_in(jax.random.PRNGKey(3), i),
+                      mel, f0),
         batch * t * HOP / SR,
     )
 
@@ -156,7 +185,6 @@ def _bench_cascade(family, batch=8, seconds=10.0):
     t = int(seconds * SR) // HOP
     mel_x = LogMelSpectrogram(sr=SR, n_mels=M, n_fft=2048, win_size=2048,
                               hop_length=HOP, fmin=40.0, fmax=16000.0)
-    units, f0, volume, spk = make_inputs(batch, t, jax.random.PRNGKey(0))
     if family == "diffusion":
         model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
                              n_chans=512, k_step_max=100)
@@ -165,14 +193,19 @@ def _bench_cascade(family, batch=8, seconds=10.0):
         model = ReflowUnit2Wav(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
                                n_chans=512)
         kwargs = dict(infer_step=20, sampler="euler", t_start=0.7)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
-        units, f0, volume, spk_id=spk, mel_extract_fn=mel_x.extract,
-        infer=True, key=jax.random.PRNGKey(3), **kwargs,
-    )
+    with _cpu():
+        tu, tf, tv, ts = make_inputs(1, 16)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.asarray(tu), jnp.asarray(tf), jnp.asarray(tv),
+            spk_id=jnp.asarray(ts), mel_extract_fn=mel_x.extract,
+            infer=True, key=jax.random.PRNGKey(3), **kwargs,
+        )
+    units, f0, volume, spk = _put(make_inputs(batch, t))
+    variables = _put(variables)
 
     @jax.jit
-    def run(params, key):
+    def run(params, key, units, f0, volume, spk):
         out = model.apply(
             {"params": params}, units, f0, volume, spk_id=spk,
             mel_extract_fn=mel_x.extract, infer=True, key=key,
@@ -182,7 +215,8 @@ def _bench_cascade(family, batch=8, seconds=10.0):
 
     return (
         lambda i: run(variables["params"],
-                      jax.random.fold_in(jax.random.PRNGKey(4), i)),
+                      jax.random.fold_in(jax.random.PRNGKey(4), i),
+                      units, f0, volume, spk),
         batch * t * HOP / SR,
     )
 
@@ -204,21 +238,33 @@ def main(names=None):
         jax.profiler.start_trace(profile_dir)
         print(f"# profiling to {profile_dir}", flush=True)
     names = names or list(CONFIGS)
+    import os
+    results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SUITE.json")
+    try:
+        with open(results_path) as f:
+            results = json.load(f)
+    except Exception:
+        results = {}
     for name in names:
         try:
             fn, audio_s = CONFIGS[name]()
             rtf = measure(fn, audio_s)
-            print(json.dumps({
+            line = {
                 "metric": f"{name}_rtf_44k1",
                 "value": round(rtf, 2),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(rtf / 200.0, 3),
-            }), flush=True)
+            }
+            results[name] = {**line, "measured_at_unix": time.time()}
+            with open(results_path, "w") as f:
+                json.dump(results, f, indent=1)
         except Exception as e:
-            print(json.dumps({
+            line = {
                 "metric": f"{name}_rtf_44k1", "value": None,
                 "unit": "x_realtime_per_chip", "error": str(e)[:100],
-            }), flush=True)
+            }
+        print(json.dumps(line), flush=True)
     if profile_dir:
         jax.profiler.stop_trace()
 

@@ -186,6 +186,7 @@ class CombSubSuperFast(nn.Module):
     n_unit: int = 256
     n_spk: int = 1
     use_pitch_aug: bool = False
+    use_pallas_source: bool = False  # fused TPU exciter (ops/pallas_source)
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -254,9 +255,16 @@ class CombSubSuperFast(nn.Module):
         noise_key=None,
         noise=None,
     ):
-        combtooth, phase_frames = fast_source_gen(
-            f0_frames, self.sampling_rate, self.block_size
-        )
+        if self.use_pallas_source:
+            from ..ops.pallas_source import combtooth_pallas
+
+            combtooth, phase_frames = combtooth_pallas(
+                f0_frames, self.sampling_rate, self.block_size
+            )
+        else:
+            combtooth, phase_frames = fast_source_gen(
+                f0_frames, self.sampling_rate, self.block_size
+            )
         src_filter, noise_filter, hidden = self.controls(
             units_frames,
             f0_frames,

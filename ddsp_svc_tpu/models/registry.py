@@ -55,6 +55,7 @@ def build_model(args, vocoder_dimension: int = 128, dtype=None) -> nn.Module:
             win_length=args.model.win_length,
             n_unit=args.data.encoder_out_channels,
             n_spk=args.model.n_spk,
+            use_pallas_source=bool(args.model.use_pallas_source),
             dtype=dtype,
         )
     remat = bool(args.model.use_remat)

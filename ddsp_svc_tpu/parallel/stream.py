@@ -114,7 +114,8 @@ def blocked_noise_frames(
 
 
 def _combsub_block(
-    model, variables, units_b, f0_b, vol_b, keys_b, spk_id_b, axis, n_dev, t, tb
+    model, variables, units_b, f0_b, vol_b, keys_b, spk_id_b, axis, n_dev, t, tb,
+    aug_shift_b=None,
 ):
     """Per-device CombSubSuperFast synthesis on haloed blocks — the body of
     streamed_combsub_forward, reusable by the cascade engine. Returns own
@@ -156,6 +157,7 @@ def _combsub_block(
         phase_ext,
         vol_ext,
         spk_id=spk_id_b,
+        aug_shift=aug_shift_b,
         frame_mask=jnp.broadcast_to(frame_mask, (b, tb + 2 * hf, 1)),
         stream_axis=axis,
         edge_mask=jnp.broadcast_to(edge_mask, (b, tb + 2 * hf, 1)),
