@@ -221,6 +221,64 @@ def _bench_cascade(family, batch=8, seconds=10.0):
     )
 
 
+def bench_realtime_latency(n_blocks=20):
+    """Full realtime VC block latency (gui.py:152-163 defaults: 0.3 s block,
+    2 s extra context): units encoder (contentvec768l12) + YIN f0 + volume +
+    flagship CombSubSuperFast + SOLA splice, per RealtimeVC.process_block.
+    Returns a result dict (latency semantics, not RTF)."""
+    from ddsp_svc_tpu.features.hubert import UnitsEncoder
+    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+    from ddsp_svc_tpu.infer.realtime import RealtimeVC
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    args = DotDict({
+        "data": {
+            "sampling_rate": SR, "block_size": HOP, "encoder_out_channels":
+            N_UNIT, "encoder": "contentvec768l12",
+            "encoder_sample_rate": 16000, "encoder_hop_size": 320,
+        },
+        "model": {"type": "CombSubSuperFast", "win_length": WIN, "n_spk": 1},
+    })
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1)
+    with _cpu():
+        tu = jnp.zeros((1, 16, N_UNIT))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            tu, 220.0 * jnp.ones((1, 16, 1)), jnp.ones((1, 16, 1)),
+            spk_id=jnp.ones((1, 1), jnp.int32),
+        )
+        enc = UnitsEncoder("contentvec768l12")
+    variables = _put(dict(variables))
+    enc.variables = _put(dict(enc.variables))
+    pipeline = SvcPipeline.from_parts(model, variables, args, enc)
+    vc = RealtimeVC(pipeline, sample_rate=SR, block_time=0.3,
+                    crossfade_time=0.04, extra_time=2.0)
+    rng = np.random.default_rng(0)
+    t_ax = np.arange(vc.block_frame) / SR
+    blocks = [
+        (0.3 * np.sin(2 * np.pi * (180.0 + 10 * i) * t_ax)
+         + 0.02 * rng.standard_normal(vc.block_frame)).astype(np.float32)
+        for i in range(n_blocks)
+    ]
+    for _ in range(3):  # compile + steady-state warm
+        vc.warmup()
+    lat = []
+    for b in blocks:
+        t0 = time.perf_counter()
+        vc.process_block(b)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = 1000.0 * float(np.mean(lat))
+    p95_ms = 1000.0 * float(np.percentile(lat, 95))
+    return {
+        "metric": "realtime_block_latency_ms",
+        "value": round(lat_ms, 2),
+        "unit": "ms_per_300ms_block",
+        "p95_ms": round(p95_ms, 2),
+        "vs_baseline": round(300.0 / lat_ms, 3),  # x under the block budget
+    }
+
+
 CONFIGS = {
     "combsub": bench_combsub,
     "sins": bench_sins,
@@ -247,6 +305,19 @@ def main(names=None):
     except Exception:
         results = {}
     for name in names:
+        if name == "realtime":
+            try:
+                line = bench_realtime_latency()
+                results[name] = {**line, "measured_at_unix": time.time()}
+                with open(results_path, "w") as f:
+                    json.dump(results, f, indent=1)
+            except Exception as e:
+                line = {
+                    "metric": "realtime_block_latency_ms", "value": None,
+                    "unit": "ms_per_300ms_block", "error": str(e)[:100],
+                }
+            print(json.dumps(line), flush=True)
+            continue
         try:
             fn, audio_s = CONFIGS[name]()
             rtf = measure(fn, audio_s)

@@ -30,9 +30,36 @@ class SvcPipeline:
     ):
         from ..cli.common import build_units_encoder
 
-        self.model, self.variables, self.args = load_model(model_path)
+        from ..cli.common import build_units_encoder as _bue
+
+        model, variables, args = load_model(model_path)
+        self._init_from_parts(model, variables, args, _bue(args),
+                              pitch_extractor, f0_min, f0_max, enhance)
+
+    @classmethod
+    def from_parts(
+        cls,
+        model,
+        variables,
+        args,
+        units_encoder,
+        pitch_extractor: str = "yin",
+        f0_min: float = 50.0,
+        f0_max: float = 1100.0,
+        enhance: bool = False,
+    ) -> "SvcPipeline":
+        """Build a pipeline from in-memory objects (no checkpoint on disk) —
+        used by benchmarks and tests with random-init weights."""
+        self = cls.__new__(cls)
+        self._init_from_parts(model, variables, args, units_encoder,
+                              pitch_extractor, f0_min, f0_max, enhance)
+        return self
+
+    def _init_from_parts(self, model, variables, args, units_encoder,
+                         pitch_extractor, f0_min, f0_max, enhance):
+        self.model, self.variables, self.args = model, variables, args
         self.family = model_family(self.args.model.type)
-        self.units_encoder = build_units_encoder(self.args)
+        self.units_encoder = units_encoder
         self.pitch_extractor_name = pitch_extractor
         self.f0_min, self.f0_max = f0_min, f0_max
         self._f0_extractors: dict[int, F0Extractor] = {}
@@ -44,6 +71,26 @@ class SvcPipeline:
             vc = self.args.vocoder or {}
             self.vocoder = Vocoder(vc.get("type", "nsf-hifigan"), vc.get("ckpt"))
         self._key = jax.random.PRNGKey(0)
+        # jit cache per static signature: realtime feeds fixed-context
+        # blocks, so after the first block every call hits a compiled
+        # executable (the reference recompiles nothing because torch is
+        # eager; under XLA an uncached apply would retrace per call)
+        self._jit_fwd: dict[tuple, object] = {}
+
+    def _ddsp_forward(self):
+        """Jitted flagship forward (shape-polymorphic via jit's own cache)."""
+        fn = self._jit_fwd.get("ddsp")
+        if fn is None:
+            def fwd(params, units, f0, volume, spk, key):
+                out, _, _ = self.model.apply(
+                    {"params": params}, units, f0, volume, spk_id=spk,
+                    infer=True, rngs={"noise": key},
+                )
+                return out
+
+            fn = jax.jit(fwd)
+            self._jit_fwd["ddsp"] = fn
+        return fn
 
     def _f0_extractor(self, sample_rate: int, hop: int) -> F0Extractor:
         if sample_rate not in self._f0_extractors:
@@ -91,10 +138,15 @@ class SvcPipeline:
         spk = jnp.array([[spk_id]], jnp.int32)
         common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
         if self.family == "ddsp":
-            out, _, _ = self.model.apply(
-                {"params": self.variables["params"]},
-                units, f0, volume_j, rngs={"noise": sub}, **common,
-            )
+            if spk_mix_dict is None:
+                out = self._ddsp_forward()(
+                    self.variables["params"], units, f0, volume_j, spk, sub
+                )
+            else:  # rare path: mixture dict is per-call, keep it eager
+                out, _, _ = self.model.apply(
+                    {"params": self.variables["params"]},
+                    units, f0, volume_j, rngs={"noise": sub}, **common,
+                )
             out_sr = args.data.sampling_rate
         else:
             kwargs = dict(common)
@@ -116,10 +168,34 @@ class SvcPipeline:
                 kwargs["mel_extract_fn"] = (
                     lambda wav: self.vocoder.extract(wav, args.data.sampling_rate)
                 )
-            mel = self.model.apply(
-                {"params": self.variables["params"]},
-                units, f0, volume_j, key=sub, rngs={"noise": sub}, **kwargs,
-            )
+            if spk_mix_dict is None:
+                static_key = tuple(
+                    (k, v) for k, v in sorted(kwargs.items())
+                    if k not in ("spk_id", "spk_mix_dict", "mel_extract_fn")
+                )
+                fn = self._jit_fwd.get(static_key)
+                if fn is None:
+                    jit_kwargs = dict(kwargs)
+                    jit_kwargs.pop("spk_id", None)
+                    jit_kwargs["spk_mix_dict"] = None
+
+                    def fwd(params, units, f0, volume, spk, key,
+                            _kw=jit_kwargs):
+                        return self.model.apply(
+                            {"params": params}, units, f0, volume,
+                            key=key, rngs={"noise": key}, spk_id=spk, **_kw,
+                        )
+
+                    fn = jax.jit(fwd)
+                    self._jit_fwd[static_key] = fn
+                mel = fn(self.variables["params"], units, f0, volume_j, spk,
+                         sub)
+            else:
+                mel = self.model.apply(
+                    {"params": self.variables["params"]},
+                    units, f0, volume_j, key=sub, rngs={"noise": sub},
+                    **kwargs,
+                )
             out = self.vocoder.infer(mel, f0, key=sub)
             out_sr = self.vocoder.vocoder_sample_rate
 
@@ -129,4 +205,7 @@ class SvcPipeline:
                 out, args.data.sampling_rate, f0, args.data.block_size,
                 adaptive_key=enhancer_adaptive_key, silence_front=silence_front,
             )
+        # device->host: on the tunneled axon backend a fetch only completes
+        # after an effects barrier (no-op cost elsewhere)
+        jax.effects_barrier()
         return np.asarray(out)[0], out_sr

@@ -89,6 +89,19 @@ class RealtimeVC:
         )
         self._first = True
 
+    def warmup(self) -> None:
+        """Compile the fixed-context block path before going live: run one
+        silent block through the full pipeline so the first real callback
+        hits cached executables (the context length is constant, so every
+        subsequent block reuses the same compiled graphs)."""
+        state = (self.input_wav.copy(), self.sola_buffer.copy(), self._first)
+        try:
+            self.process_block(
+                np.zeros(self.block_frame, dtype=np.float32)
+            )
+        finally:
+            self.input_wav, self.sola_buffer, self._first = state
+
     def process_block(self, block: np.ndarray) -> np.ndarray:
         """One callback: ``block`` (block_frame samples in) -> same-size out."""
         assert len(block) == self.block_frame
