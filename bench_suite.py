@@ -88,11 +88,12 @@ def make_inputs(batch, t, seed=0):
     return units, f0, volume, spk
 
 
-def bench_combsub(batch=64, seconds=30.0):
+def bench_combsub(batch=64, seconds=30.0, use_pallas=False):
     from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
 
     t = int(seconds * SR) // HOP
-    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1)
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1,
+                             use_pallas_source=use_pallas)
     with _cpu():
         tu, tf, tv, ts = make_inputs(1, 16)
         params = model.init(
@@ -281,6 +282,7 @@ def bench_realtime_latency(n_blocks=20):
 
 CONFIGS = {
     "combsub": bench_combsub,
+    "combsub_pallas": lambda: bench_combsub(use_pallas=True),
     "sins": bench_sins,
     "nsf": bench_nsf,
     "cascade": lambda: _bench_cascade("diffusion"),

@@ -1,0 +1,127 @@
+"""On-TPU correctness checks for paths that pytest (CPU-mesh) cannot cover:
+compiled (non-interpret) Pallas kernels. Results land in TPU_CHECKS.json.
+
+Run on the tunneled chip: /opt/venv/bin/python tpu_checks.py
+(pytest runs these kernels in interpret mode only — tests/test_pallas_*;
+this script proves the Mosaic-compiled kernel agrees on hardware.)
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ddsp_svc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "TPU_CHECKS.json")
+
+
+def _fetch(x):
+    last = None
+    for i in range(10):
+        try:
+            jax.effects_barrier()
+            return np.asarray(x)
+        except Exception as e:
+            last = e
+            time.sleep(min(10.0 * (i + 1), 60.0))
+    raise last
+
+
+def check_pallas_combtooth():
+    """Compiled combtooth_pallas vs ops/source.fast_source_gen at flagship
+    shapes (44.1 kHz, hop 512)."""
+    from ddsp_svc_tpu.ops.pallas_source import combtooth_pallas
+    from ddsp_svc_tpu.ops.source import fast_source_gen
+
+    sr, hop = 44100, 512
+    b, t = 4, 256
+    rng = np.random.default_rng(0)
+    f0 = (220.0 * np.exp(rng.standard_normal((b, t, 1)) * 0.2)).astype(
+        np.float32
+    )
+    f0_j = jax.device_put(f0, jax.devices()[0])
+
+    ref_fn = jax.jit(lambda f: fast_source_gen(f, sr, hop))
+    pal_fn = jax.jit(lambda f: combtooth_pallas(f, sr, hop))
+    ref_c, ref_p = ref_fn(f0_j)
+    pal_c, pal_p = pal_fn(f0_j)
+    ref_c, ref_p, pal_c, pal_p = map(_fetch, (ref_c, ref_p, pal_c, pal_p))
+    err_c = float(np.abs(ref_c - pal_c).max())
+    err_p = float(np.abs(ref_p - pal_p).max())
+    ok = err_c < 1e-4 and err_p < 1e-4
+    return {"ok": ok, "max_abs_err_combtooth": err_c,
+            "max_abs_err_phase": err_p, "shape": [b, t, hop]}
+
+
+def check_pallas_oscillator():
+    """Compiled harmonic-bank kernel vs models/ddsp.sins_harmonic_bank."""
+    from ddsp_svc_tpu.models.ddsp import sins_harmonic_bank
+    from ddsp_svc_tpu.ops.pallas_oscillator import harmonic_bank_pallas
+    from ddsp_svc_tpu.ops.source import cumsum_phase_source
+
+    sr, block, n_harm = 44100, 512, 128
+    b, t = 2, 128
+    rng = np.random.default_rng(1)
+    f0 = (220.0 * np.exp(rng.standard_normal((b, t, 1)) * 0.2)).astype(
+        np.float32
+    )
+    f0_up = jnp.repeat(jnp.asarray(f0), block, axis=1)
+    dev = jax.devices()[0]
+    x = jax.device_put(cumsum_phase_source(f0_up, sr, block), dev)
+    amps = jax.device_put(
+        (0.05 * np.abs(rng.standard_normal((b, t, n_harm)))).astype(
+            np.float32
+        ),
+        dev,
+    )
+    ref = _fetch(
+        jax.jit(lambda x, a: sins_harmonic_bank(2.0 * np.pi * x, a, block))(
+            x, amps
+        )
+    )
+    pal = _fetch(
+        jax.jit(lambda x, a: harmonic_bank_pallas(x, a, block))(x, amps)
+    )
+    err = float(np.abs(ref - pal).max())
+    return {"ok": err < 1e-3, "max_abs_err": err,
+            "shape": [b, t, block, n_harm]}
+
+
+CHECKS = {
+    "pallas_combtooth": check_pallas_combtooth,
+    "pallas_oscillator": check_pallas_oscillator,
+}
+
+
+def main(names=None):
+    try:
+        with open(RESULTS) as f:
+            results = json.load(f)
+    except Exception:
+        results = {}
+    for name in names or list(CHECKS):
+        try:
+            out = CHECKS[name]()
+            out["platform"] = jax.devices()[0].platform
+            out["measured_at_unix"] = time.time()
+        except Exception as e:
+            out = {"ok": False, "error": str(e)[:200]}
+        results[name] = out
+        with open(RESULTS, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps({name: out}), flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1:] or None)
