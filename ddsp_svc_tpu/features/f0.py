@@ -9,9 +9,13 @@ pip libraries, so the framework provides:
              external extractor is installed.
   - 'rmvpe' — the reference's default extractor, as a JAX port of the RMVPE
              net (features/rmvpe.py); needs converted pretrained weights.
-  - 'parselmouth' / 'dio' / 'harvest' / 'crepe' / 'fcpe' — gated behind
-             optional imports with the reference's exact parameters, for
-             parity when those wheels are present.
+  - 'praat' (+ 'parselmouth' fallback) — native Boersma autocorrelation
+             tracker (features/praat.py), the algorithm the parselmouth
+             wheel wraps.
+  - 'dio' / 'harvest' fallback — native DIO + StoneMask (features/dio.py)
+             when pyworld is absent.
+  - 'parselmouth' / 'dio' / 'harvest' / 'crepe' / 'fcpe' — the wheel paths
+             with the reference's exact parameters, used when installed.
 
 All paths share the reference's framing contract: n_frames = len//hop + 1,
 silence_front frame skipping (ddsp/vocoder.py:50-52), optional unvoiced
@@ -148,6 +152,26 @@ class F0Extractor:
 
             self.crepe = CrepeInfer(model_params)
 
+    def _pyworld_f0(self, pw, audio, kind, n_frames, start_frame):
+        """pyworld wheel path (ddsp/vocoder.py:77-97 parity)."""
+        if kind == "dio":
+            _f0, t = pw.dio(
+                audio.astype("double"), self.sample_rate,
+                f0_floor=self.f0_min, f0_ceil=self.f0_max,
+                channels_in_octave=2,
+                frame_period=(1000 * self.hop_size / self.sample_rate),
+            )
+            f0 = pw.stonemask(audio.astype("double"), _f0, t, self.sample_rate)
+        else:
+            f0, _ = pw.harvest(
+                audio.astype("double"), self.sample_rate,
+                f0_floor=self.f0_min, f0_ceil=self.f0_max,
+                frame_period=(1000 * self.hop_size / self.sample_rate),
+            )
+        return np.pad(
+            f0.astype("float"), (start_frame, n_frames - len(f0) - start_frame)
+        )
+
     def extract(
         self,
         audio: np.ndarray,
@@ -197,47 +221,60 @@ class F0Extractor:
                 f0_10ms, uv, self.hop_size, self.sample_rate, n_frames - start_frame
             )
             f0 = np.pad(f0, (start_frame, 0))
-        elif kind == "parselmouth":
-            import parselmouth
+        elif kind in ("parselmouth", "praat"):
+            try:
+                if kind == "praat":
+                    raise ImportError  # native path requested explicitly
+                import parselmouth
+            except ImportError:
+                # native Boersma AC tracker (features/praat.py) — same
+                # algorithm the parselmouth wheel wraps
+                from .praat import praat_ac_f0
 
-            l_pad = int(np.ceil(1.5 / self.f0_min * self.sample_rate))
-            r_pad = (
-                self.hop_size * ((len(audio) - 1) // self.hop_size + 1)
-                - len(audio) + l_pad + 1
-            )
-            s = parselmouth.Sound(
-                np.pad(audio, (l_pad, r_pad)), self.sample_rate
-            ).to_pitch_ac(
-                time_step=self.hop_size / self.sample_rate,
-                voicing_threshold=0.6,
-                pitch_floor=self.f0_min,
-                pitch_ceiling=self.f0_max,
-            )
-            assert np.abs(s.t1 - 1.5 / self.f0_min) < 0.001
-            f0 = np.pad(s.selected_array["frequency"], (start_frame, 0))
-            if len(f0) < n_frames:
-                f0 = np.pad(f0, (0, n_frames - len(f0)))
-            f0 = f0[:n_frames]
-        elif kind in ("dio", "harvest"):
-            import pyworld as pw
-
-            if kind == "dio":
-                _f0, t = pw.dio(
-                    audio.astype("double"), self.sample_rate,
-                    f0_floor=self.f0_min, f0_ceil=self.f0_max,
-                    channels_in_octave=2,
-                    frame_period=(1000 * self.hop_size / self.sample_rate),
+                f0 = praat_ac_f0(
+                    audio, self.sample_rate, self.hop_size,
+                    self.f0_min, self.f0_max,
+                )[: n_frames - start_frame]
+                f0 = np.pad(
+                    f0, (start_frame, n_frames - start_frame - len(f0))
                 )
-                f0 = pw.stonemask(audio.astype("double"), _f0, t, self.sample_rate)
             else:
-                f0, _ = pw.harvest(
-                    audio.astype("double"), self.sample_rate,
-                    f0_floor=self.f0_min, f0_ceil=self.f0_max,
-                    frame_period=(1000 * self.hop_size / self.sample_rate),
+                l_pad = int(np.ceil(1.5 / self.f0_min * self.sample_rate))
+                r_pad = (
+                    self.hop_size * ((len(audio) - 1) // self.hop_size + 1)
+                    - len(audio) + l_pad + 1
                 )
-            f0 = np.pad(
-                f0.astype("float"), (start_frame, n_frames - len(f0) - start_frame)
-            )
+                s = parselmouth.Sound(
+                    np.pad(audio, (l_pad, r_pad)), self.sample_rate
+                ).to_pitch_ac(
+                    time_step=self.hop_size / self.sample_rate,
+                    voicing_threshold=0.6,
+                    pitch_floor=self.f0_min,
+                    pitch_ceiling=self.f0_max,
+                )
+                assert np.abs(s.t1 - 1.5 / self.f0_min) < 0.001
+                f0 = np.pad(s.selected_array["frequency"], (start_frame, 0))
+                if len(f0) < n_frames:
+                    f0 = np.pad(f0, (0, n_frames - len(f0)))
+                f0 = f0[:n_frames]
+        elif kind in ("dio", "harvest"):
+            try:
+                import pyworld as pw
+            except ImportError:
+                # native DIO + StoneMask (features/dio.py) stands in for
+                # both pyworld trackers (harvest ~ dio with finer candidate
+                # search; the refined-candidate contract is the same)
+                from .dio import dio_stonemask_f0
+
+                f0 = dio_stonemask_f0(
+                    audio, self.sample_rate, self.hop_size,
+                    self.f0_min, self.f0_max,
+                )[: n_frames - start_frame]
+                f0 = np.pad(
+                    f0, (start_frame, n_frames - start_frame - len(f0))
+                )
+            else:
+                f0 = self._pyworld_f0(pw, audio, kind, n_frames, start_frame)
         elif kind == "fcpe":
             # optional wheel path (ddsp/vocoder.py:121-133 parity)
             import torch

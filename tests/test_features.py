@@ -319,9 +319,24 @@ class TestViterbiDecode:
         assert np.isfinite(f0).all()
 
 
-class TestYinNonStationary:
+def _extract_fn(name):
+    if name == "yin":
+        from ddsp_svc_tpu.features.f0 import yin_f0
+
+        return yin_f0
+    if name == "dio":
+        from ddsp_svc_tpu.features.dio import dio_stonemask_f0
+
+        return dio_stonemask_f0
+    from ddsp_svc_tpu.features.praat import praat_ac_f0
+
+    return praat_ac_f0
+
+
+@pytest.mark.parametrize("tracker", ["yin", "praat", "dio"])
+class TestF0NonStationary:
     """VERDICT r1 weak #7: accuracy bounds on vibrato / glide / noisy pitch,
-    not just steady tones."""
+    not just steady tones — for YIN and the native Boersma AC tracker."""
 
     def _cents_err(self, f0, truth, lo, hi):
         sl = slice(lo, hi)
@@ -330,9 +345,8 @@ class TestYinNonStationary:
         err = 1200 * np.abs(np.log2(f0[sl][voiced] / truth[sl][voiced]))
         return err
 
-    def test_vibrato(self):
-        from ddsp_svc_tpu.features.f0 import yin_f0
-
+    def test_vibrato(self, tracker):
+        yin_f0 = _extract_fn(tracker)
         sr, hop, sec = 44100, 512, 2.0
         t = np.arange(int(sr * sec)) / sr
         # 220 Hz with +-50 cent vibrato at 5.5 Hz
@@ -345,9 +359,8 @@ class TestYinNonStationary:
         assert np.median(err) < 10.0, np.median(err)
         assert np.percentile(err, 95) < 30.0, np.percentile(err, 95)
 
-    def test_exponential_glide(self):
-        from ddsp_svc_tpu.features.f0 import yin_f0
-
+    def test_exponential_glide(self, tracker):
+        yin_f0 = _extract_fn(tracker)
         sr, hop, sec = 44100, 512, 2.0
         t = np.arange(int(sr * sec)) / sr
         inst_f0 = 180.0 * (360.0 / 180.0) ** (t / sec)  # one octave up
@@ -359,9 +372,8 @@ class TestYinNonStationary:
         assert np.median(err) < 10.0, np.median(err)
         assert np.percentile(err, 95) < 30.0, np.percentile(err, 95)
 
-    def test_noisy_tone_20db(self):
-        from ddsp_svc_tpu.features.f0 import yin_f0
-
+    def test_noisy_tone_20db(self, tracker):
+        yin_f0 = _extract_fn(tracker)
         sr, hop = 44100, 512
         rng = np.random.default_rng(1)
         clean = synth_tone(sr, 2.0, 220.0)
@@ -371,3 +383,40 @@ class TestYinNonStationary:
         truth = np.full(len(f0), 220.0)
         err = self._cents_err(f0, truth, 10, len(f0) - 10)
         assert np.median(err) < 10.0, np.median(err)
+
+
+class TestPraatNative:
+    def test_silence_unvoiced(self):
+        from ddsp_svc_tpu.features.praat import praat_ac_f0
+
+        sr, hop = 44100, 512
+        f0 = praat_ac_f0(np.zeros(sr, np.float32), sr, hop)
+        assert (f0 == 0).all()
+
+    def test_tone_noise_tone_voicing(self):
+        from ddsp_svc_tpu.features.praat import praat_ac_f0
+
+        sr, hop = 16000, 160
+        tone = synth_tone(sr, 0.5, 220.0)
+        silence = np.zeros(sr // 2, np.float32)
+        audio = np.concatenate([tone, silence, tone])
+        f0 = praat_ac_f0(audio, sr, hop)
+        third = len(f0) // 3
+        assert (f0[5 : third - 5] > 0).mean() > 0.9
+        assert (f0[third + 5 : 2 * third - 5] == 0).mean() > 0.9
+
+    def test_extractor_dispatch_fallback(self):
+        # 'parselmouth' falls back to the native tracker (wheel absent);
+        # 'praat' selects it directly — same contract as the other kinds
+        from ddsp_svc_tpu.features.f0 import F0Extractor
+
+        sr, hop = 44100, 512
+        audio = synth_tone(sr, 1.0, 220.0)
+        for kind in ("praat", "parselmouth", "dio", "harvest"):
+            ex = F0Extractor(kind, sr, hop, 50.0, 1100.0)
+            f0 = ex.extract(audio, uv_interp=True)
+            n_frames = int(len(audio) // hop) + 1
+            assert f0.shape == (n_frames,)
+            mid = f0[10:-10]
+            cents = 1200 * np.abs(np.log2(mid / 220.0))
+            assert np.median(cents) < 10.0
