@@ -150,7 +150,10 @@ def bench_sins(batch=16, seconds=10.0):
     )
 
 
-def bench_nsf(batch=16, seconds=10.0):
+def bench_nsf(batch=4, seconds=10.0):
+    # batch 16 x 10 s upsample buffers (512x to audio rate across wide
+    # channel stages) crash the remote compile helper; 4 x 10 s keeps the
+    # activations in budget and the chip fully fed
     from ddsp_svc_tpu.models.nsf_hifigan import Generator
 
     t = int(seconds * SR) // HOP

@@ -166,7 +166,14 @@ def train(args, model, state, mesh=None, mel_extract_fn=None,
     train_ds, valid_ds = get_datasets(
         args, rank=jax.process_index(), world_size=jax.process_count()
     )
-    sampler = BatchSampler(train_ds, int(args.train.batch_size))
+    if not bool(args.train.cache_all_data) and not train_ds.with_mel:
+        # uncached corpus: native C++ prefetcher overlaps the crop IO with
+        # the device step (the torch DataLoader(num_workers) equivalent)
+        from ..data.prefetch import PrefetchBatchSampler
+
+        sampler = PrefetchBatchSampler(train_ds, int(args.train.batch_size))
+    else:
+        sampler = BatchSampler(train_ds, int(args.train.batch_size))
     saver.log_info(f" [*] {len(train_ds)} train files, {len(valid_ds)} valid files")
 
     interval_log = int(args.train.interval_log or 10)
