@@ -94,9 +94,12 @@ def bench_combsub(batch=64, seconds=30.0, use_pallas=False):
     t = int(seconds * SR) // HOP
     model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1,
                              use_pallas_source=use_pallas)
+    # init on the CPU backend with the jnp source path (same param tree —
+    # the exciter has no params; compiled pallas cannot run on CPU)
+    init_model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1)
     with _cpu():
         tu, tf, tv, ts = make_inputs(1, 16)
-        params = model.init(
+        params = init_model.init(
             {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
             jnp.asarray(tu), jnp.asarray(tf), jnp.asarray(tv),
             spk_id=jnp.asarray(ts),
