@@ -153,14 +153,14 @@ def bench_sins(batch=16, seconds=10.0):
     )
 
 
-def bench_nsf(batch=4, seconds=10.0):
+def bench_nsf(batch=4, seconds=10.0, dtype=None):
     # batch 16 x 10 s upsample buffers (512x to audio rate across wide
     # channel stages) crash the remote compile helper; 4 x 10 s keeps the
     # activations in budget and the chip fully fed
     from ddsp_svc_tpu.models.nsf_hifigan import Generator
 
     t = int(seconds * SR) // HOP
-    gen = Generator(sampling_rate=SR, num_mels=M)
+    gen = Generator(sampling_rate=SR, num_mels=M, dtype=dtype)
     rng = np.random.default_rng(0)
     with _cpu():
         params = gen.init(
@@ -291,6 +291,7 @@ CONFIGS = {
     "combsub_pallas": lambda: bench_combsub(use_pallas=True),
     "sins": bench_sins,
     "nsf": bench_nsf,
+    "nsf_bf16": lambda: bench_nsf(dtype=jnp.bfloat16),
     "cascade": lambda: _bench_cascade("diffusion"),
     "reflow": lambda: _bench_cascade("reflow"),
 }

@@ -28,7 +28,9 @@ def _bank_kernel(block_size: int, n_harm: int, x_ref, amp0_ref, amp1_ref, out_re
     t+1 -> summed sinusoids (ROWS, block)."""
     x = x_ref[:]  # wrapped phase in cycles
     w = (
-        jax.lax.broadcasted_iota(jnp.float32, (ROWS, block_size), 1) / block_size
+        jax.lax.broadcasted_iota(  # Mosaic: iota must be integer; cast
+            jnp.int32, (ROWS, block_size), 1
+        ).astype(jnp.float32) / block_size
     )  # upsample weight within frame
     acc = jnp.zeros((ROWS, block_size), jnp.float32)
     for k in range(n_harm):

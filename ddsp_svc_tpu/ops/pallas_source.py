@@ -30,7 +30,10 @@ ROWS = 8  # frames per kernel instance (f32 sublane tile)
 
 def _comb_kernel(block_size: int, s0_ref, ds0_ref, carry_ref, out_ref):
     """One tile: (ROWS, 1) frame scalars -> (ROWS, block_size) samples."""
-    n = jax.lax.broadcasted_iota(jnp.float32, (ROWS, block_size), 1)
+    # Mosaic requires integer iota ('tpu.iota' result must be int); cast
+    n = jax.lax.broadcasted_iota(
+        jnp.int32, (ROWS, block_size), 1
+    ).astype(jnp.float32)
     s0 = s0_ref[:]  # (ROWS, 1)
     ds0 = ds0_ref[:]
     carry = carry_ref[:]

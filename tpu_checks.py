@@ -96,9 +96,46 @@ def check_pallas_oscillator():
             "shape": [b, t, block, n_harm]}
 
 
+def check_nsf_bf16_quality():
+    """NSF-HiFiGAN bf16 activations vs f32: output SNR must stay above the
+    audibility bar (params f32 both ways, random init)."""
+    from ddsp_svc_tpu.models.nsf_hifigan import Generator
+
+    sr, hop, m = 44100, 512, 128
+    b, t = 2, 64
+    rng = np.random.default_rng(2)
+    gen32 = Generator(sampling_rate=sr, num_mels=m)
+    gen16 = Generator(sampling_rate=sr, num_mels=m, dtype=jnp.bfloat16)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = gen32.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, m)), 220.0 * jnp.ones((1, 16)),
+            key=jax.random.PRNGKey(0),
+        )["params"]
+    dev = jax.devices()[0]
+    mel = jax.device_put(
+        (rng.standard_normal((b, t, m)) * 2.0 - 6.0).astype(np.float32), dev
+    )
+    f0 = jax.device_put(220.0 * np.ones((b, t), np.float32), dev)
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+    key = jax.random.PRNGKey(3)
+    y32 = _fetch(jax.jit(
+        lambda p, mel, f0: gen32.apply({"params": p}, mel, f0, key=key)
+    )(params, mel, f0))
+    y16 = _fetch(jax.jit(
+        lambda p, mel, f0: gen16.apply({"params": p}, mel, f0, key=key)
+    )(params, mel, f0)).astype(np.float32)
+    snr = 10.0 * np.log10(
+        float((y32 ** 2).sum()) / max(float(((y32 - y16) ** 2).sum()), 1e-20)
+    )
+    return {"ok": snr > 25.0, "snr_db_bf16_vs_f32": round(snr, 2)}
+
+
 CHECKS = {
     "pallas_combtooth": check_pallas_combtooth,
     "pallas_oscillator": check_pallas_oscillator,
+    "nsf_bf16_quality": check_nsf_bf16_quality,
 }
 
 
