@@ -62,10 +62,15 @@ def load_vocoder_params(ckpt_path: str | None):
 class Vocoder:
     """type: 'nsf-hifigan' | 'nsf-hifigan-log10' (diffusion/vocoder.py:80-96)."""
 
-    def __init__(self, vocoder_type: str = "nsf-hifigan", ckpt: str | None = None):
+    def __init__(self, vocoder_type: str = "nsf-hifigan", ckpt: str | None = None,
+                 dtype=None):
+        """``dtype=jnp.bfloat16`` runs the generator with bf16 activations
+        (params stay f32): measured +27% RTF at 49.9 dB SNR vs f32 on
+        TPU v5e (PERF.md / TPU_CHECKS.json nsf_bf16_quality)."""
         if vocoder_type not in ("nsf-hifigan", "nsf-hifigan-log10"):
             raise ValueError(f" [x] Unknown vocoder: {vocoder_type}")
         self.type = vocoder_type
+        self._dtype = dtype
         params, cfg = load_vocoder_params(ckpt)
         self.config = cfg
         self.vocoder_sample_rate = cfg["sampling_rate"]
@@ -91,6 +96,7 @@ class Vocoder:
             resblock_dilation_sizes=tuple(
                 tuple(d) for d in cfg["resblock_dilation_sizes"]
             ),
+            dtype=self._dtype,
         )
         if params is None:
             mel0 = jnp.zeros((1, 8, self.dimension), jnp.float32)

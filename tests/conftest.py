@@ -18,8 +18,33 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# the stream tests are compile-dominated (8-device shard_map graphs with
+# unrolled samplers); a persistent cache makes re-runs minutes, not an hour
+jax.config.update("jax_compilation_cache_dir", "/tmp/ddsp_svc_tpu_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def pytest_sessionstart(session):
     assert jax.devices()[0].platform == "cpu"
     assert len(jax.devices()) == 8
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (large streaming configs, multi-process)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default runs skip @pytest.mark.slow (VERDICT r1 #8: keep the default
+    suite <=15 min); `pytest --runslow` runs everything."""
+    if config.getoption("--runslow"):
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="slow: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

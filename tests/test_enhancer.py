@@ -1,5 +1,6 @@
 """Vocoder wrapper + Enhancer behavioral tests (tiny generator config)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +63,7 @@ class TestEnhancer:
         assert np.isfinite(np.asarray(out)).all()
         assert abs(out.shape[1] - audio.shape[1]) <= hop * 2
 
+    @pytest.mark.slow
     def test_adaptive_key_auto(self, monkeypatch):
         monkeypatch.setattr(V, "DEFAULT_NSF_CONFIG", tiny_cfg())
         enh = V.Enhancer("nsf-hifigan")

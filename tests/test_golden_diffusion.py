@@ -21,10 +21,19 @@ K_STEP = 100
 
 @pytest.fixture(scope="module")
 def ref_module():
-    # stub librosa (imported but unused by the diffusion module)
+    # stub librosa (imported but unused by the diffusion module); a valid
+    # __spec__ is required or later importlib.util.find_spec("librosa")
+    # calls raise "librosa.__spec__ is None" (test-order interaction with
+    # test_golden_torch_modules)
     if "librosa" not in sys.modules:
+        import importlib.machinery
+
         librosa = types.ModuleType("librosa")
+        librosa.__spec__ = importlib.machinery.ModuleSpec("librosa", None)
         librosa.sequence = types.ModuleType("librosa.sequence")
+        librosa.sequence.__spec__ = importlib.machinery.ModuleSpec(
+            "librosa.sequence", None
+        )
         sys.modules["librosa"] = librosa
         sys.modules["librosa.sequence"] = librosa.sequence
     sys.path.insert(0, "/root/reference")

@@ -118,6 +118,7 @@ class TestStreamedForward:
         err = np.abs(streamed - whole).max() / denom
         assert err < 1e-6, f"relative error {err}"
 
+    @pytest.mark.slow
     def test_device_count_invariance(self, setup):
         """Output must not depend on how many devices shard the time axis."""
         model, variables, units, f0, volume, key = setup

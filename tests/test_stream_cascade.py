@@ -49,9 +49,9 @@ def _init(model, units, f0, volume, mel, family):
 
 @pytest.mark.parametrize("family,sampler", [
     ("reflow", "euler"),
-    ("reflow", "rk4"),
+    pytest.param("reflow", "rk4", marks=pytest.mark.slow),
     ("diffusion", "ddim"),
-    ("diffusion", "dpm-solver"),
+    pytest.param("diffusion", "dpm-solver", marks=pytest.mark.slow),
 ])
 def test_streamed_cascade_matches_whole(family, sampler):
     units, f0, volume, key = make_inputs()

@@ -21,7 +21,7 @@ B, T = 1, 256
 
 @pytest.mark.parametrize("sampler,k_step,speedup", [
     ("ddim", 20, 5),
-    ("dpm-solver", 40, 10),
+    pytest.param("dpm-solver", 40, 10, marks=pytest.mark.slow),
 ])
 def test_streamed_diffnew_matches_whole(sampler, k_step, speedup):
     mel = LogMelSpectrogram(sr=SR, n_mels=M, n_fft=256, win_size=256,

@@ -1,5 +1,6 @@
 """Streamed Sins (harmonic bank + blocked LTV-FIR) vs whole-utterance."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +10,11 @@ from ddsp_svc_tpu.models.ddsp import Sins
 from ddsp_svc_tpu.parallel.stream import blocked_uniform, streamed_sins_forward
 
 
-def test_streamed_sins_matches_whole():
+@pytest.mark.parametrize("n_dev", [
+    2,
+    pytest.param(4, marks=pytest.mark.slow),
+])
+def test_streamed_sins_matches_whole(n_dev):
     b, t, n_unit = 1, 256, 16
     sr, block = 16000, 32
     model = Sins(
@@ -31,14 +36,13 @@ def test_streamed_sins_matches_whole():
     whole, _, _ = model.apply(variables, units, f0, volume, noise=noise)
     whole = np.asarray(whole)
 
-    for n_dev in (2, 4):
-        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("time",))
-        streamed = np.asarray(
-            streamed_sins_forward(
-                model, variables, units, f0, volume, k2, mesh=mesh
-            )
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("time",))
+    streamed = np.asarray(
+        streamed_sins_forward(
+            model, variables, units, f0, volume, k2, mesh=mesh
         )
-        assert streamed.shape == whole.shape
-        scale = np.abs(whole).max()
-        err = np.abs(streamed - whole).max() / scale
-        assert err < 2e-5, f"D={n_dev} relative error {err}"
+    )
+    assert streamed.shape == whole.shape
+    scale = np.abs(whole).max()
+    err = np.abs(streamed - whole).max() / scale
+    assert err < 2e-5, f"D={n_dev} relative error {err}"

@@ -15,10 +15,12 @@ from ddsp_svc_tpu.parallel.stream import (
 
 @pytest.mark.parametrize("resblock_cfg", [
     # small kernels (fast) and the full-size kernel/dilation set (stresses
-    # the receptive-field bound of VOCODER_HALO)
+    # the receptive-field bound of VOCODER_HALO; slow-marked)
     dict(resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),)),
-    dict(resblock_kernel_sizes=(3, 7, 11),
-         resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5))),
+    pytest.param(
+        dict(resblock_kernel_sizes=(3, 7, 11),
+             resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5))),
+        marks=pytest.mark.slow),
 ])
 def test_streamed_vocoder_matches_whole(resblock_cfg):
     b, t, m = 1, 128, 8

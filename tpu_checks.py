@@ -126,10 +126,10 @@ def check_nsf_bf16_quality():
     y16 = _fetch(jax.jit(
         lambda p, mel, f0: gen16.apply({"params": p}, mel, f0, key=key)
     )(params, mel, f0)).astype(np.float32)
-    snr = 10.0 * np.log10(
+    snr = float(10.0 * np.log10(
         float((y32 ** 2).sum()) / max(float(((y32 - y16) ** 2).sum()), 1e-20)
-    )
-    return {"ok": snr > 25.0, "snr_db_bf16_vs_f32": round(snr, 2)}
+    ))
+    return {"ok": bool(snr > 25.0), "snr_db_bf16_vs_f32": round(snr, 2)}
 
 
 CHECKS = {
@@ -154,7 +154,9 @@ def main(names=None):
             out = {"ok": False, "error": str(e)[:200]}
         results[name] = out
         with open(RESULTS, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(results, f, indent=1, default=lambda o: (
+                bool(o) if isinstance(o, np.bool_) else float(o)
+            ))
         print(json.dumps({name: out}), flush=True)
 
 
