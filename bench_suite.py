@@ -88,12 +88,12 @@ def make_inputs(batch, t, seed=0):
     return units, f0, volume, spk
 
 
-def bench_combsub(batch=64, seconds=30.0, use_pallas=False):
+def bench_combsub(batch=64, seconds=30.0, use_pallas=False, dtype=None):
     from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
 
     t = int(seconds * SR) // HOP
     model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1,
-                             use_pallas_source=use_pallas)
+                             use_pallas_source=use_pallas, dtype=dtype)
     # init on the CPU backend with the jnp source path (same param tree —
     # the exciter has no params; compiled pallas cannot run on CPU)
     init_model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1)
@@ -289,6 +289,7 @@ def bench_realtime_latency(n_blocks=20):
 CONFIGS = {
     "combsub": bench_combsub,
     "combsub_pallas": lambda: bench_combsub(use_pallas=True),
+    "combsub_bf16": lambda: bench_combsub(dtype=jnp.bfloat16),
     "sins": bench_sins,
     "nsf": bench_nsf,
     "nsf_bf16": lambda: bench_nsf(dtype=jnp.bfloat16),

@@ -1,0 +1,189 @@
+"""Dynamic request batching for serving.
+
+The reference serves one request at a time (flask_api.py:23-48 handles each
+POST with a full model pass). PERF.md's roofline shows these models are
+latency-dominated on TPU — a single request leaves the chip ~96 % idle — so
+concurrent serving throughput comes almost free by batching: this engine
+collects concurrent requests, pads each to a frame bucket, stacks up to
+``max_batch`` of the same bucket, and runs ONE jitted forward per
+(bucket, max_batch) signature. Static shapes mean at most
+len(buckets) compiles, ever; short batches are padded with dummy rows and
+masked out.
+
+Determinism: the exciter noise is drawn per request from its key at the
+bucket length (vmapped fold-in), so a request's output is independent of
+which other requests share its batch — asserted by tests/test_batcher.py.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class _Request:
+    units: np.ndarray  # (T, C)
+    f0: np.ndarray  # (T, 1)
+    volume: np.ndarray  # (T, 1)
+    spk_id: int
+    key: jax.Array
+    n_frames: int
+    bucket: int
+    done: threading.Event = field(default_factory=threading.Event)
+    result: np.ndarray | None = None
+    error: Exception | None = None
+
+
+class BatchedSynth:
+    """Thread-safe batching front-end for a ddsp-family synthesizer.
+
+    ``infer()`` blocks the calling thread until its request's batch has
+    run; concurrent callers sharing a bucket ride the same device call.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        buckets: tuple[int, ...] = (128, 256, 512, 1024),
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+    ):
+        self.model = model
+        self.params = params
+        self.buckets = tuple(sorted(buckets))
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.hop = model.block_size
+        self._q: queue.Queue[_Request] = queue.Queue()
+        self._jit = {}
+        self._stop = False
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # ---- public ---------------------------------------------------------
+    def infer(self, units, f0, volume, spk_id: int, key) -> np.ndarray:
+        """units (T, C), f0/volume (T, 1) -> audio (T * hop,). Blocking."""
+        t = units.shape[0]
+        bucket = self._bucket_for(t)
+        req = _Request(
+            np.asarray(units, np.float32), np.asarray(f0, np.float32),
+            np.asarray(volume, np.float32), int(spk_id), key, t, bucket,
+        )
+        self._q.put(req)
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)  # wake the worker
+        self._worker.join(timeout=5)
+
+    # ---- internals ------------------------------------------------------
+    def _bucket_for(self, t: int) -> int:
+        for b in self.buckets:
+            if t <= b:
+                return b
+        raise ValueError(
+            f"{t} frames exceeds the largest bucket {self.buckets[-1]}; "
+            "split the request (cli/infer.py segmenting) or add a bucket"
+        )
+
+    def _fn(self, bucket: int):
+        fn = self._jit.get(bucket)
+        if fn is None:
+            model = self.model
+
+            def fwd(params, units, f0, volume, spk, keys):
+                b = units.shape[0]
+                noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        k, (bucket * model.block_size,), jnp.float32
+                    )
+                )(keys)
+                sig, _, _ = model.apply(
+                    {"params": params}, units, f0, volume,
+                    spk_id=spk, infer=True, noise=noise,
+                )
+                return sig
+
+            fn = jax.jit(fwd)
+            self._jit[bucket] = fn
+        return fn
+
+    def _collect(self) -> list[_Request]:
+        """One batch: block for the first request, then gather same-bucket
+        requests for up to max_wait (others are requeued)."""
+        first = self._q.get()
+        if first is None:
+            return []
+        batch = [first]
+        misc: list[_Request] = []
+        import time
+
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                r = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if r is None:
+                self._q.put(None)
+                break
+            if r.bucket == first.bucket:
+                batch.append(r)
+            else:
+                misc.append(r)
+        for r in misc:
+            self._q.put(r)
+        return batch
+
+    def _loop(self):
+        while not self._stop:
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._run(batch)
+            except Exception as e:  # deliver the failure to every caller
+                for r in batch:
+                    r.error = e
+                    r.done.set()
+
+    def _run(self, batch: list[_Request]):
+        bucket = batch[0].bucket
+        n = self.max_batch
+        c = batch[0].units.shape[1]
+        units = np.zeros((n, bucket, c), np.float32)
+        f0 = np.full((n, bucket, 1), 220.0, np.float32)
+        volume = np.zeros((n, bucket, 1), np.float32)
+        spk = np.ones((n, 1), np.int32)
+        keys = []
+        for i, r in enumerate(batch):
+            units[i, : r.n_frames] = r.units
+            f0[i, : r.n_frames] = r.f0
+            volume[i, : r.n_frames] = r.volume
+            spk[i, 0] = r.spk_id
+            keys.append(r.key)
+        while len(keys) < n:  # dummy rows
+            keys.append(jax.random.PRNGKey(0))
+        out = self._fn(bucket)(
+            self.params, jnp.asarray(units), jnp.asarray(f0),
+            jnp.asarray(volume), jnp.asarray(spk), jnp.stack(keys),
+        )
+        jax.effects_barrier()
+        out = np.asarray(out)
+        for i, r in enumerate(batch):
+            r.result = out[i, : r.n_frames * self.hop]
+            r.done.set()

@@ -1,0 +1,112 @@
+"""Dynamic-batching serving engine (infer/batcher.py): batch-independence,
+bucket padding, concurrency, error delivery."""
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_svc_tpu.infer.batcher import BatchedSynth
+from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+SR, HOP, WIN, N_UNIT = 16000, 64, 256, 16
+
+
+@pytest.fixture(scope="module")
+def synth():
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=4)
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+        jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+    )["params"]
+    eng = BatchedSynth(model, params, buckets=(32, 64), max_batch=4,
+                       max_wait_ms=20.0)
+    yield eng, model, params
+    eng.close()
+
+
+def _req(rng, t):
+    return (
+        rng.standard_normal((t, N_UNIT)).astype(np.float32),
+        (220.0 * np.exp(0.1 * rng.standard_normal((t, 1)))).astype(np.float32),
+        (0.5 * np.ones((t, 1))).astype(np.float32),
+    )
+
+
+def test_matches_direct_padded_forward(synth):
+    eng, model, params = synth
+    rng = np.random.default_rng(0)
+    t = 20  # pads to bucket 32
+    units, f0, vol = _req(rng, t)
+    key = jax.random.PRNGKey(7)
+    got = eng.infer(units, f0, vol, spk_id=2, key=key)
+    assert got.shape == (t * HOP,)
+
+    # direct single-request reference at the same bucket
+    bucket = 32
+    u = np.zeros((1, bucket, N_UNIT), np.float32)
+    u[0, :t] = units
+    f = np.full((1, bucket, 1), 220.0, np.float32)
+    f[0, :t] = f0
+    v = np.zeros((1, bucket, 1), np.float32)
+    v[0, :t] = vol
+    noise = jax.random.normal(key, (1, bucket * HOP), jnp.float32)
+    ref, _, _ = model.apply(
+        {"params": params}, jnp.asarray(u), jnp.asarray(f), jnp.asarray(v),
+        spk_id=2 * jnp.ones((1, 1), jnp.int32), infer=True, noise=noise,
+    )
+    np.testing.assert_allclose(got, np.asarray(ref)[0, : t * HOP],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_concurrent_requests_batch_independent(synth):
+    eng, _, _ = synth
+    rng = np.random.default_rng(1)
+    reqs = [(_req(rng, 24), jax.random.PRNGKey(100 + i), 1 + i % 4)
+            for i in range(8)]
+
+    # serial outputs (each in its own batch)
+    serial = [
+        eng.infer(u, f, v, spk_id=s, key=k) for (u, f, v), k, s in reqs
+    ]
+
+    # concurrent: all 8 submitted at once -> batches of up to 4
+    results = [None] * 8
+
+    def worker(i):
+        (u, f, v), k, s = reqs[i]
+        results[i] = eng.infer(u, f, v, spk_id=s, key=k)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    for i in range(8):
+        np.testing.assert_allclose(results[i], serial[i], rtol=2e-4,
+                                   atol=2e-5, err_msg=str(i))
+
+
+def test_bucket_selection_and_overflow(synth):
+    eng, _, _ = synth
+    rng = np.random.default_rng(2)
+    u, f, v = _req(rng, 50)  # -> bucket 64
+    out = eng.infer(u, f, v, spk_id=1, key=jax.random.PRNGKey(0))
+    assert out.shape == (50 * HOP,)
+    u, f, v = _req(rng, 80)  # exceeds the largest bucket
+    with pytest.raises(ValueError):
+        eng.infer(u, f, v, spk_id=1, key=jax.random.PRNGKey(0))
+
+
+def test_error_delivery(synth):
+    eng, _, _ = synth
+    rng = np.random.default_rng(3)
+    u, f, v = _req(rng, 16)
+    with pytest.raises(Exception):
+        eng.infer(u[:, :4], f, v, spk_id=1, key=jax.random.PRNGKey(0))
+    # engine survives the failure
+    out = eng.infer(u, f, v, spk_id=1, key=jax.random.PRNGKey(0))
+    assert out.shape == (16 * HOP,)

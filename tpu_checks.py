@@ -132,10 +132,57 @@ def check_nsf_bf16_quality():
     return {"ok": bool(snr > 25.0), "snr_db_bf16_vs_f32": round(snr, 2)}
 
 
+def check_combsub_bf16_quality():
+    """Flagship CombSubSuperFast bf16 activations vs f32: output SNR."""
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+    sr, hop, win, n_unit = 44100, 512, 2048, 768
+    b, t = 2, 128
+    rng = np.random.default_rng(3)
+    m32 = CombSubSuperFast(sr, hop, win, n_unit=n_unit, n_spk=1)
+    m16 = CombSubSuperFast(sr, hop, win, n_unit=n_unit, n_spk=1,
+                           dtype=jnp.bfloat16)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = m32.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        )["params"]
+    dev = jax.devices()[0]
+    units = jax.device_put(
+        rng.standard_normal((b, t, n_unit)).astype(np.float32), dev
+    )
+    f0 = jax.device_put(
+        (220.0 * np.exp(0.1 * rng.standard_normal((b, t, 1)))).astype(
+            np.float32
+        ), dev,
+    )
+    vol = jax.device_put(0.5 * np.ones((b, t, 1), np.float32), dev)
+    spk = jax.device_put(np.ones((b, 1), np.int32), dev)
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+    key = jax.random.PRNGKey(4)
+
+    def run(m):
+        def f(p, units, f0, vol, spk):
+            s, _, _ = m.apply({"params": p}, units, f0, vol, spk_id=spk,
+                              infer=True, rngs={"noise": key})
+            return s
+        return _fetch(jax.jit(f)(params, units, f0, vol, spk))
+
+    y32 = run(m32)
+    y16 = run(m16).astype(np.float32)
+    snr = float(10.0 * np.log10(
+        float((y32 ** 2).sum()) / max(float(((y32 - y16) ** 2).sum()), 1e-20)
+    ))
+    return {"ok": bool(snr > 25.0), "snr_db_bf16_vs_f32": round(snr, 2)}
+
+
 CHECKS = {
     "pallas_combtooth": check_pallas_combtooth,
     "pallas_oscillator": check_pallas_oscillator,
     "nsf_bf16_quality": check_nsf_bf16_quality,
+    "combsub_bf16_quality": check_combsub_bf16_quality,
 }
 
 
