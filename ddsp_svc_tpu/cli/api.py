@@ -100,11 +100,18 @@ def main(argv=None):
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-p", "--port", type=int, default=6842)
     p.add_argument("-pe", "--pitch_extractor", default="yin")
+    p.add_argument("--batch", type=int, default=0, metavar="N",
+                   help="enable dynamic request batching (ddsp family): up "
+                        "to N concurrent requests share one device call")
+    p.add_argument("--batch_wait_ms", type=float, default=5.0)
     cmd = p.parse_args(argv)
 
     from ..infer.pipeline import SvcPipeline
 
     pipeline = SvcPipeline(cmd.model_path, pitch_extractor=cmd.pitch_extractor)
+    if cmd.batch > 1:
+        pipeline.enable_batching(max_batch=cmd.batch,
+                                 max_wait_ms=cmd.batch_wait_ms)
     server = ThreadingHTTPServer(("0.0.0.0", cmd.port), make_handler(pipeline, {}))
     print(f"voiceChangeModel API on :{cmd.port}")
     server.serve_forever()

@@ -76,6 +76,28 @@ class SvcPipeline:
         # executable (the reference recompiles nothing because torch is
         # eager; under XLA an uncached apply would retrace per call)
         self._jit_fwd: dict[tuple, object] = {}
+        self.batcher = None
+
+    def enable_batching(self, buckets=(128, 256, 512, 1024), max_batch: int = 8,
+                        max_wait_ms: float = 5.0):
+        """Route ddsp-family synthesis through the dynamic request batcher
+        (infer/batcher.py): concurrent `infer()` callers sharing a frame
+        bucket ride one device call. The reference's flask_api serves one
+        request per model pass; on TPU a single request leaves the chip
+        mostly idle (see PERF.md roofline), so batching is the serving
+        throughput lever."""
+        if self.family != "ddsp":
+            raise NotImplementedError(
+                "dynamic batching currently covers the ddsp family; "
+                "diffusion/reflow samplers carry per-request step counts"
+            )
+        from .batcher import BatchedSynth
+
+        self.batcher = BatchedSynth(
+            self.model, self.variables["params"], buckets=buckets,
+            max_batch=max_batch, max_wait_ms=max_wait_ms,
+        )
+        return self.batcher
 
     def _ddsp_forward(self):
         """Jitted flagship forward (shape-polymorphic via jit's own cache)."""
@@ -139,9 +161,20 @@ class SvcPipeline:
         common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
         if self.family == "ddsp":
             if spk_mix_dict is None:
-                out = self._ddsp_forward()(
-                    self.variables["params"], units, f0, volume_j, spk, sub
-                )
+                if self.batcher is not None:
+                    # host staging: the batcher pads/stacks on the host
+                    # (axon d2h needs the barrier first)
+                    jax.effects_barrier()
+                    out = jnp.asarray(
+                        self.batcher.infer(
+                            np.asarray(units)[0], np.asarray(f0)[0],
+                            np.asarray(volume_j)[0], spk_id, sub,
+                        )
+                    )[None, :]
+                else:
+                    out = self._ddsp_forward()(
+                        self.variables["params"], units, f0, volume_j, spk, sub
+                    )
             else:  # rare path: mixture dict is per-call, keep it eager
                 out, _, _ = self.model.apply(
                     {"params": self.variables["params"]},

@@ -1,0 +1,141 @@
+"""HTTP voice-change endpoint (cli/api.py) driven over real HTTP —
+flask_api.py:23-48 contract — including concurrent requests through the
+dynamic batcher (`--batch`)."""
+import io
+import threading
+import urllib.request
+import uuid
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_svc_tpu.cli.api import make_handler, parse_multipart
+from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+from ddsp_svc_tpu.utils.config import DotDict
+
+SR, HOP, WIN, N_UNIT = 16000, 64, 256, 16
+
+
+class _StubUnitsEncoder:
+    def encode(self, audio, sample_rate, hop):
+        t = audio.shape[-1] // hop
+        frames = np.asarray(audio)[0, : t * hop].reshape(t, hop)
+        base = jnp.asarray(frames.std(axis=1, keepdims=True), jnp.float32)
+        return jnp.tile(base, (1, N_UNIT))[None]
+
+
+def _make_pipeline():
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": N_UNIT},
+        "model": {"type": "CombSubSuperFast", "win_length": WIN, "n_spk": 4},
+        "enhancer": None,
+    })
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+        jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+    )
+    return SvcPipeline.from_parts(model, variables, args, _StubUnitsEncoder())
+
+
+@pytest.fixture(scope="module")
+def server():
+    from http.server import ThreadingHTTPServer
+
+    pipeline = _make_pipeline()
+    batcher = pipeline.enable_batching(buckets=(64, 128), max_batch=4,
+                                       max_wait_ms=10.0)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pipeline, {}))
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    batcher.close()
+
+
+def _encode_multipart(fields: dict) -> tuple[bytes, str]:
+    boundary = uuid.uuid4().hex
+    out = io.BytesIO()
+    for name, value in fields.items():
+        out.write(f"--{boundary}\r\n".encode())
+        out.write(
+            f'Content-Disposition: form-data; name="{name}"\r\n\r\n'.encode()
+        )
+        out.write(value if isinstance(value, bytes) else str(value).encode())
+        out.write(b"\r\n")
+    out.write(f"--{boundary}--\r\n".encode())
+    return out.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+def _wav_bytes(seconds=0.25, freq=220.0):
+    n = np.arange(int(SR * seconds))
+    audio = (0.3 * np.sin(2 * np.pi * freq * n / SR)).astype(np.float32)
+    buf = io.BytesIO()
+    wavfile.write(buf, SR, (audio * 32767).astype(np.int16))
+    return buf.getvalue()
+
+
+def _post_voice(base, wav, pitch=0.0, spk=1):
+    body, ctype = _encode_multipart({
+        "sample": wav, "fPitchChange": pitch, "sSpeakId": spk,
+        "sampleRate": SR,
+    })
+    req = urllib.request.Request(
+        base + "/voiceChangeModel", data=body, method="POST",
+        headers={"Content-Type": ctype},
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def test_multipart_parser_roundtrip():
+    body, ctype = _encode_multipart({"a": b"\x00\x01bin", "b": "text"})
+    fields = parse_multipart(body, ctype)
+    assert fields["a"] == b"\x00\x01bin" and fields["b"] == b"text"
+
+
+def test_voice_change_contract(server):
+    status, payload, headers = _post_voice(server, _wav_bytes(), pitch=2.0,
+                                           spk=2)
+    assert status == 200
+    assert headers["Content-Type"] == "audio/wav"
+    out_sr, data = wavfile.read(io.BytesIO(payload))
+    assert out_sr == SR and data.dtype == np.int16
+    assert len(data) > 0 and np.abs(data).max() > 0
+
+
+def test_concurrent_requests_batched(server):
+    n = 4
+    results = [None] * n
+
+    def worker(i):
+        results[i] = _post_voice(server, _wav_bytes(freq=200.0 + 20 * i),
+                                 spk=1 + i % 4)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for status, payload, _ in results:
+        assert status == 200
+        _, data = wavfile.read(io.BytesIO(payload))
+        assert len(data) > 0
+
+    # determinism across batch compositions: same request again, solo
+    status, payload, _ = _post_voice(server, _wav_bytes(freq=200.0), spk=1)
+    assert status == 200
+
+
+def test_unknown_path_404(server):
+    req = urllib.request.Request(server + "/nope", data=b"x", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 404

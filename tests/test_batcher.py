@@ -101,6 +101,72 @@ def test_bucket_selection_and_overflow(synth):
         eng.infer(u, f, v, spk_id=1, key=jax.random.PRNGKey(0))
 
 
+class _StubUnitsEncoder:
+    """Deterministic tiny stand-in for UnitsEncoder (hash of frame RMS)."""
+
+    def encode(self, audio, sample_rate, hop):
+        t = audio.shape[-1] // hop
+        frames = np.asarray(audio)[0, : t * hop].reshape(t, hop)
+        base = jnp.asarray(frames.std(axis=1, keepdims=True), jnp.float32)
+        return jnp.tile(base, (1, N_UNIT))[None] * jnp.linspace(
+            0.5, 1.5, N_UNIT
+        )
+
+
+def test_pipeline_batched_matches_direct():
+    """SvcPipeline.enable_batching wiring: same audio in -> same audio out
+    as the jitted direct path. The two paths draw exciter noise differently
+    (rngs fold-in vs per-request key), so the noise filter is zeroed via the
+    dense_out bias (exp(-30)~1e-13), making both outputs the deterministic
+    harmonic chain; audio length is exactly one bucket so padding cannot
+    bleed through the OLA tail."""
+    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": N_UNIT},
+        "model": {"type": "CombSubSuperFast", "win_length": WIN, "n_spk": 4},
+        "enhancer": None,
+    })
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+        jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+    )
+    # zero the noise branch: bias slice [2F:3F] of dense_out is
+    # noise_magnitude (split order in CombSubSuperFast.controls)
+    f_bins = WIN // 2 + 1
+    variables = jax.tree_util.tree_map(lambda a: a, variables)  # copy tree
+    bias = np.array(variables["params"]["unit2ctrl"]["dense_out"]["bias"])
+    bias[2 * f_bins : 3 * f_bins] = -30.0
+    variables["params"]["unit2ctrl"]["dense_out"]["bias"] = jnp.asarray(bias)
+
+    pipe = SvcPipeline.from_parts(model, variables, args, _StubUnitsEncoder())
+
+    bucket = 64
+    n = np.arange(bucket * HOP)
+    audio = (0.3 * np.sin(2 * np.pi * 220.0 * n / SR)).astype(np.float32)
+    audio += (0.05 * np.sin(2 * np.pi * 3.1 * n / SR)).astype(np.float32)
+
+    pipe._key = jax.random.PRNGKey(42)
+    direct, sr_direct = pipe.infer(audio, SR, spk_id=2)
+
+    batcher = pipe.enable_batching(buckets=(bucket,), max_batch=2,
+                                   max_wait_ms=5.0)
+    try:
+        pipe._key = jax.random.PRNGKey(42)
+        batched, sr_batched = pipe.infer(audio, SR, spk_id=2)
+    finally:
+        batcher.close()
+        pipe.batcher = None
+
+    assert sr_direct == sr_batched
+    assert batched.shape == direct.shape
+    np.testing.assert_allclose(batched, direct, rtol=2e-4, atol=2e-6)
+
+
 def test_error_delivery(synth):
     eng, _, _ = synth
     rng = np.random.default_rng(3)
