@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.nn import ConvTranspose2d
 from ..ops.mel import mel_filterbank
 from ..ops.resample import resample
 from ..ops.spectral import stft
@@ -76,13 +77,12 @@ class ResDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip):
-        x = nn.ConvTranspose(
-            self.out_channels, (3, 3), strides=(2, 2), use_bias=False,
-            name="deconv",
+        # torch ConvTranspose2d(k3, s2, p1, output_padding=1): exactly 2x
+        # spatial size, torch padding semantics (deepunet.py:63-75)
+        x = ConvTranspose2d(
+            self.out_channels, (3, 3), stride=(2, 2), padding=(1, 1),
+            output_padding=(1, 1), use_bias=False, name="deconv",
         )(x)
-        # torch ConvTranspose2d(k3, s2, p1, output_padding=1) yields exactly
-        # 2x spatial size; flax 'SAME' transpose conv matches that
-        x = x[:, : skip.shape[1], : skip.shape[2], :]
         x = nn.BatchNorm(use_running_average=True, momentum=0.99, name="bn1")(x)
         x = nn.relu(x)
         x = jnp.concatenate([x, skip], axis=-1)

@@ -129,6 +129,50 @@ class ConvTranspose1d(nn.Module):
         return y
 
 
+class ConvTranspose2d(nn.Module):
+    """torch.nn.ConvTranspose2d on (B, H, W, C):
+    out = (in-1)*stride - 2*pad + k + output_padding per spatial dim.
+
+    Same lhs-dilated-conv-with-flipped-kernel equivalence as ConvTranspose1d
+    above (flax's nn.ConvTranspose does not flip the kernel and uses
+    different padding arithmetic, so it cannot host converted torch
+    weights). Kernel layout (kh, kw, in, out)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[int, int] = (0, 0)
+    output_padding: tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        fan_in = self.features * kh * kw  # torch fan_in on (in,out,kh,kw)
+        kshape = (kh, kw, in_ch, self.features)
+        kernel = self.param("kernel", _kaiming_uniform_torch(fan_in), kshape)
+        dtype = self.dtype or x.dtype
+        (sh, sw) = self.stride
+        (ph, pw) = self.padding
+        (oh, ow) = self.output_padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            jnp.flip(kernel, (0, 1)).astype(dtype),
+            window_strides=(1, 1),
+            padding=[(kh - 1 - ph, kh - 1 - ph + oh),
+                     (kw - 1 - pw, kw - 1 - pw + ow)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", _kaiming_uniform_torch(fan_in),
+                              (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
 class Dense(nn.Module):
     """torch.nn.Linear-initialized dense layer (optionally weight-normed)."""
 

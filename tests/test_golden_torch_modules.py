@@ -405,3 +405,54 @@ class TestNSFHiFiGAN:
         )
         rel = np.linalg.norm(ours - g) / np.linalg.norm(g)
         assert rel < 1e-3, rel
+
+
+class TestRMVPE:
+    def test_e2e0_forward(self, ref):
+        """encoder/rmvpe/model.py:36-60 E2E0 (DeepUnet0 + CNN + BiGRU + fc)
+        vs features/rmvpe.py, random-init weights through
+        convert/rmvpe.convert_rmvpe_state_dict — value-validates the
+        converter (PARITY ◐ item; no pretrained ckpt in-image)."""
+        import importlib.machinery
+        import sys
+        import types
+
+        if "librosa" not in sys.modules:
+            lib = types.ModuleType("librosa")
+            lib.__spec__ = importlib.machinery.ModuleSpec(
+                "librosa", None, is_package=True
+            )
+            lib.__path__ = []
+            filters = types.ModuleType("librosa.filters")
+
+            def _mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
+                from ddsp_svc_tpu.ops.mel import mel_filterbank
+
+                return np.asarray(
+                    mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+                )
+
+            filters.mel = _mel
+            lib.filters = filters
+            sys.modules["librosa"] = lib
+            sys.modules["librosa.filters"] = filters
+        from encoder.rmvpe.model import E2E0 as RefE2E0
+
+        from ddsp_svc_tpu.convert.rmvpe import convert_rmvpe_state_dict
+        from ddsp_svc_tpu.features.rmvpe import E2E0
+
+        torch.manual_seed(0)
+        tm = RefE2E0(4, 1, (2, 2)).eval()
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, convert_rmvpe_state_dict(sd_numpy(tm))
+        )
+
+        rng = np.random.default_rng(0)
+        b, t = 1, 32
+        mel = rand_f32(rng, (b, t, 128))
+        with torch.no_grad():
+            g = tm(torch.from_numpy(mel.transpose(0, 2, 1))).numpy()
+
+        ours = np.asarray(E2E0().apply(variables, jnp.asarray(mel)))
+        assert ours.shape == g.shape == (b, t, 360)
+        np.testing.assert_allclose(ours, g, atol=5e-5, rtol=1e-3)
