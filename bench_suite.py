@@ -286,6 +286,151 @@ def bench_realtime_latency(n_blocks=20):
     }
 
 
+def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8):
+    """Serving throughput through the dynamic batcher (infer/batcher.py):
+    aggregate RTF with max_batch=8 concurrent requests vs a max_batch=1
+    engine — the quantified batching lever from PERF.md implication 1.
+    Returns a result dict (throughput semantics, not per-call RTF)."""
+    import threading
+
+    from ddsp_svc_tpu.infer.batcher import BatchedSynth
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1)
+    with _cpu():
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        )
+    params = _put(dict(variables))["params"]
+    audio_s = t * HOP / SR
+
+    rng = np.random.default_rng(0)
+    reqs = []
+    for i in range(n_requests):
+        units = rng.standard_normal((t, N_UNIT)).astype(np.float32)
+        f0 = (220.0 * np.exp(0.1 * rng.standard_normal((t, 1)))).astype(
+            np.float32
+        )
+        vol = 0.5 * np.ones((t, 1), np.float32)
+        reqs.append((units, f0, vol, jax.random.PRNGKey(i)))
+
+    def run_engine(mb, concurrency):
+        eng = BatchedSynth(model, params, buckets=(bucket,), max_batch=mb,
+                           max_wait_ms=20.0)
+        try:
+            # warm (compile) with retries: the tunnel fails in waves
+            last = None
+            for attempt in range(5):
+                try:
+                    eng.infer(*reqs[0][:3], spk_id=1, key=reqs[0][3])
+                    break
+                except Exception as e:
+                    last = e
+                    if attempt == 4:
+                        raise last
+                    time.sleep(30)
+            start = time.perf_counter()
+            if concurrency == 1:
+                for u, f, v, k in reqs:
+                    eng.infer(u, f, v, spk_id=1, key=k)
+            else:
+                threads = [
+                    threading.Thread(
+                        target=eng.infer, args=(u, f, v),
+                        kwargs={"spk_id": 1, "key": k},
+                    )
+                    for u, f, v, k in reqs
+                ]
+                for th in threads:
+                    th.start()
+                for th in threads:
+                    th.join()
+            return n_requests * audio_s / (time.perf_counter() - start)
+        finally:
+            eng.close()
+
+    rtf_solo = run_engine(1, 1)
+    rtf_batched = run_engine(max_batch, max_batch)
+    return {
+        "metric": "serving_throughput_rtf_44k1",
+        "value": round(rtf_batched, 2),
+        "unit": "aggregate_x_realtime_per_chip",
+        "solo_rtf": round(rtf_solo, 2),
+        # baseline = one-request-at-a-time serving (the reference's
+        # flask_api model), i.e. the solo engine
+        "vs_baseline": round(rtf_batched / rtf_solo, 3),
+    }
+
+
+def bench_train(batch=24, seconds=2.0):
+    """Flagship training-step throughput at the reference's default config
+    (configs/combsub.yaml: batch_size 24, 2 s crops): audio-seconds trained
+    per wall-second. The reference only claims qualitative training speed
+    (README.md:163); this is the measured figure."""
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+    from ddsp_svc_tpu.train.state import create_train_state
+    from ddsp_svc_tpu.train.steps import make_ddsp_train_step
+
+    t = int(seconds * SR) // HOP
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1)
+    with _cpu():
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        )
+    state = create_train_state(model, _put(dict(variables))["params"])
+    state = jax.tree.map(
+        lambda a: jax.device_put(a, jax.devices()[0])
+        if hasattr(a, "dtype") else a, state,
+    )
+    units, f0, volume, spk = make_inputs(batch, t)
+    rng = np.random.default_rng(1)
+    audio = (0.1 * rng.standard_normal((batch, t * HOP))).astype(np.float32)
+    batch_d = _put({
+        "units": units, "f0": f0, "volume": volume, "spk_id": spk + 1,
+        "audio": audio,
+    })
+    step_fn = make_ddsp_train_step()
+    audio_s_per_step = batch * t * HOP / SR
+
+    # warm/compile with retries, threading the donated state
+    last = None
+    for attempt in range(5):
+        try:
+            state, metrics = step_fn(state, batch_d, jax.random.PRNGKey(2))
+            _sync(metrics["loss"])
+            break
+        except Exception as e:
+            last = e
+            if attempt == 4:
+                raise last
+            time.sleep(30)
+    n_iter = 4
+    while True:
+        start = time.perf_counter()
+        metrics = None
+        for i in range(n_iter):
+            state, metrics = step_fn(
+                state, batch_d, jax.random.PRNGKey(3 + i)
+            )
+        loss = _sync(metrics["loss"])
+        elapsed = time.perf_counter() - start
+        if elapsed >= MIN_WINDOW_S or n_iter >= 2048:
+            rtf = n_iter * audio_s_per_step / elapsed
+            return {
+                "metric": "train_rtf_44k1",
+                "value": round(rtf, 2),
+                "unit": "audio_seconds_trained_per_wall_second_per_chip",
+                "steps_per_s": round(n_iter / elapsed, 3),
+                "loss": round(loss, 4),
+                "vs_baseline": round(rtf / 200.0, 3),
+            }
+        n_iter *= 2
+
+
 CONFIGS = {
     "combsub": bench_combsub,
     "combsub_pallas": lambda: bench_combsub(use_pallas=True),
@@ -298,6 +443,18 @@ CONFIGS = {
 }
 
 
+# configs whose bench returns a fully-formed result dict (not (fn, audio_s))
+DICT_CONFIGS = {
+    "realtime": (lambda: bench_realtime_latency(),
+                 "realtime_block_latency_ms", "ms_per_300ms_block"),
+    "serving": (lambda: bench_serving(),
+                "serving_throughput_rtf_44k1",
+                "aggregate_x_realtime_per_chip"),
+    "train": (lambda: bench_train(), "train_rtf_44k1",
+              "audio_seconds_trained_per_wall_second_per_chip"),
+}
+
+
 def main(names=None):
     profile_dir = None
     if names and "--profile" in names:
@@ -305,7 +462,7 @@ def main(names=None):
         profile_dir = "/tmp/ddsp_svc_tpu_trace"
         jax.profiler.start_trace(profile_dir)
         print(f"# profiling to {profile_dir}", flush=True)
-    names = names or list(CONFIGS)
+    names = names or (list(CONFIGS) + list(DICT_CONFIGS))
     import os
     results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_SUITE.json")
@@ -315,17 +472,16 @@ def main(names=None):
     except Exception:
         results = {}
     for name in names:
-        if name == "realtime":
+        if name in DICT_CONFIGS:
+            fn, metric, unit = DICT_CONFIGS[name]
             try:
-                line = bench_realtime_latency()
+                line = fn()
                 results[name] = {**line, "measured_at_unix": time.time()}
                 with open(results_path, "w") as f:
                     json.dump(results, f, indent=1)
             except Exception as e:
-                line = {
-                    "metric": "realtime_block_latency_ms", "value": None,
-                    "unit": "ms_per_300ms_block", "error": str(e)[:100],
-                }
+                line = {"metric": metric, "value": None, "unit": unit,
+                        "error": str(e)[:100]}
             print(json.dumps(line), flush=True)
             continue
         try:
