@@ -253,6 +253,43 @@ class TestFullSynths:
         rel = np.linalg.norm(ours - g) / np.linalg.norm(g)
         assert rel < 1e-4, rel
 
+
+    def test_combsub_old(self, ref):
+        """Full legacy CombSub forward (ddsp/vocoder.py:788-862):
+        group-delay allpass + dynamic-window LTV-FIR chain."""
+        from ddsp_svc_tpu.convert.models import convert_unit2control_pcmer
+        from ddsp_svc_tpu.models.ddsp import CombSub
+
+        sr, block, n_unit, b, t = 16000, 64, 32, 2, 24
+        n_allpass, n_harm, n_noise = 16, 24, 16
+        torch.manual_seed(5)
+        tm = ref.vocoder.CombSub(sr, block, n_allpass, n_harm, n_noise,
+                                 n_unit, n_spk=1).eval()
+        u2c_p, u2c_b = convert_unit2control_pcmer(sd_numpy(tm), "unit2ctrl.")
+
+        rng = np.random.default_rng(5)
+        units, f0, _, volume = make_frame_inputs(rng, b, t, n_unit)
+        noise = rng.random((b, t * block)).astype(np.float32)
+
+        with _PatchedNoise(rand_like=noise), torch.no_grad():
+            g_signal, _, _ = tm(
+                torch.from_numpy(units), torch.from_numpy(f0),
+                torch.from_numpy(volume), infer=True,
+            )
+
+        fm = CombSub(sampling_rate=sr, block_size=block,
+                     n_mag_allpass=n_allpass, n_mag_harmonic=n_harm,
+                     n_mag_noise=n_noise, n_unit=n_unit, n_spk=1)
+        signal, _, _ = fm.apply(
+            {"params": {"unit2ctrl": u2c_p}, "buffers": {"unit2ctrl": u2c_b}},
+            jnp.asarray(units), jnp.asarray(f0), jnp.asarray(volume),
+            infer=True, noise=jnp.asarray(noise * 2.0 - 1.0),
+        )
+        g = g_signal.numpy()
+        ours = np.asarray(signal)
+        rel = np.linalg.norm(ours - g) / np.linalg.norm(g)
+        assert rel < 5e-4, rel
+
     def test_sins(self, ref):
         """Full Sins forward (ddsp/vocoder.py:532-611), PCmer decoder."""
         from ddsp_svc_tpu.convert.models import convert_unit2control_pcmer
