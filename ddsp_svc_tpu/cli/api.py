@@ -104,14 +104,25 @@ def main(argv=None):
                    help="enable dynamic request batching (ddsp family): up "
                         "to N concurrent requests share one device call")
     p.add_argument("--batch_wait_ms", type=float, default=5.0)
+    p.add_argument("--batch_devices", type=int, default=1, metavar="D",
+                   help="shard each batch over the first D local devices "
+                        "(data-parallel serving; requires --batch % D == 0)")
     cmd = p.parse_args(argv)
 
     from ..infer.pipeline import SvcPipeline
 
     pipeline = SvcPipeline(cmd.model_path, pitch_extractor=cmd.pitch_extractor)
     if cmd.batch > 1:
+        mesh = None
+        if cmd.batch_devices > 1:
+            import jax
+            import numpy as np
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()[: cmd.batch_devices]),
+                        ("data",))
         pipeline.enable_batching(max_batch=cmd.batch,
-                                 max_wait_ms=cmd.batch_wait_ms)
+                                 max_wait_ms=cmd.batch_wait_ms, mesh=mesh)
     server = ThreadingHTTPServer(("0.0.0.0", cmd.port), make_handler(pipeline, {}))
     print(f"voiceChangeModel API on :{cmd.port}")
     server.serve_forever()

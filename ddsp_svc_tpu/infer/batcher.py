@@ -24,6 +24,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 @dataclass
@@ -54,13 +55,29 @@ class BatchedSynth:
         buckets: tuple[int, ...] = (128, 256, 512, 1024),
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
+        mesh=None,
     ):
+        """``mesh``: optional 1-axis `jax.sharding.Mesh` — the request batch
+        is then sharded over it (data-parallel serving: params replicated,
+        rows split across chips, XLA inserts no collectives in the forward).
+        ``max_batch`` must be divisible by the mesh size."""
         self.model = model
         self.params = params
         self.buckets = tuple(sorted(buckets))
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.hop = model.block_size
+        self.mesh = mesh
+        if mesh is not None:
+            (axis,) = mesh.axis_names
+            if max_batch % mesh.devices.size:
+                raise ValueError(
+                    f"max_batch {max_batch} not divisible by mesh size "
+                    f"{mesh.devices.size}"
+                )
+            self._batch_sharding = NamedSharding(mesh, P(axis))
+            self._replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, self._replicated)
         self._q: queue.Queue[_Request] = queue.Queue()
         self._jit = {}
         self._stop = False
@@ -115,7 +132,15 @@ class BatchedSynth:
                 )
                 return sig
 
-            fn = jax.jit(fwd)
+            if self.mesh is not None:
+                bs, rep = self._batch_sharding, self._replicated
+                fn = jax.jit(
+                    fwd,
+                    in_shardings=(rep, bs, bs, bs, bs, bs),
+                    out_shardings=bs,
+                )
+            else:
+                fn = jax.jit(fwd)
             self._jit[bucket] = fn
         return fn
 

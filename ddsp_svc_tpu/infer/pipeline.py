@@ -79,7 +79,7 @@ class SvcPipeline:
         self.batcher = None
 
     def enable_batching(self, buckets=(128, 256, 512, 1024), max_batch: int = 8,
-                        max_wait_ms: float = 5.0):
+                        max_wait_ms: float = 5.0, mesh=None):
         """Route ddsp-family synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
         bucket ride one device call. The reference's flask_api serves one
@@ -95,7 +95,7 @@ class SvcPipeline:
 
         self.batcher = BatchedSynth(
             self.model, self.variables["params"], buckets=buckets,
-            max_batch=max_batch, max_wait_ms=max_wait_ms,
+            max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
         )
         return self.batcher
 

@@ -176,3 +176,49 @@ def test_error_delivery(synth):
     # engine survives the failure
     out = eng.infer(u, f, v, spk_id=1, key=jax.random.PRNGKey(0))
     assert out.shape == (16 * HOP,)
+
+
+def test_mesh_sharded_serving_matches_single_device(synth):
+    """Data-parallel serving: a 4-device mesh engine returns the same audio
+    as the single-device engine for identical requests (params replicated,
+    batch rows sharded)."""
+    from jax.sharding import Mesh
+
+    eng, model, params = synth
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("data",))
+    eng_mesh = BatchedSynth(model, params, buckets=(32, 64), max_batch=4,
+                            max_wait_ms=20.0, mesh=mesh)
+    try:
+        rng = np.random.default_rng(7)
+        reqs = [(_req(rng, 24), jax.random.PRNGKey(500 + i), 1 + i % 4)
+                for i in range(4)]
+        single = [eng.infer(u, f, v, spk_id=s, key=k)
+                  for (u, f, v), k, s in reqs]
+
+        results = [None] * 4
+
+        def worker(i):
+            (u, f, v), k, s = reqs[i]
+            results[i] = eng_mesh.infer(u, f, v, spk_id=s, key=k)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for i in range(4):
+            np.testing.assert_allclose(results[i], single[i], rtol=2e-4,
+                                       atol=2e-5, err_msg=str(i))
+    finally:
+        eng_mesh.close()
+
+
+def test_mesh_max_batch_divisibility(synth):
+    from jax.sharding import Mesh
+
+    _, model, params = synth
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    with pytest.raises(ValueError):
+        BatchedSynth(model, params, buckets=(32,), max_batch=3, mesh=mesh)
