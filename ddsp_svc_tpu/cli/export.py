@@ -37,9 +37,10 @@ def main(argv=None):
         if family == "ddsp":
             signal, _, _ = model.apply({"params": params}, units, f0, volume, **kwargs)
             return signal
+        n_mels = getattr(model, "out_dims", 128)
         mel = model.apply(
             {"params": params}, units, f0, volume, key=key,
-            gt_spec=jnp.zeros((units.shape[0], t, 128), jnp.float32),
+            gt_spec=jnp.zeros((units.shape[0], t, n_mels), jnp.float32),
             **kwargs,
         )
         return mel

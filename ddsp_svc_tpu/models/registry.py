@@ -131,7 +131,9 @@ def load_model(model_path, device=None):
 
     config_file = os.path.join(os.path.split(model_path)[0], "config.yaml")
     args = load_config(config_file)
-    model = build_model(args)
+    # mel dimension normally comes from the vocoder ckpt at train time;
+    # allow configs to pin it (model.out_dims), default nsf-hifigan's 128
+    model = build_model(args, vocoder_dimension=args.model.out_dims or 128)
     payload, _step = load_checkpoint(model_path)
     variables = {"params": payload["params"]}
     if payload.get("buffers"):  # e.g. FAVOR+ projections (convert/models.py)
