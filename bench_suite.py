@@ -438,6 +438,7 @@ CONFIGS = {
     "sins": bench_sins,
     "nsf": bench_nsf,
     "nsf_bf16": lambda: bench_nsf(dtype=jnp.bfloat16),
+    "nsf_bf16_b8": lambda: bench_nsf(batch=8, dtype=jnp.bfloat16),
     "cascade": lambda: _bench_cascade("diffusion"),
     "reflow": lambda: _bench_cascade("reflow"),
 }

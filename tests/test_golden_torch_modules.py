@@ -454,12 +454,20 @@ class TestRMVPE:
         import sys
         import types
 
+        # other golden tests (test_golden_diffusion.py) may already have
+        # installed a librosa stub without `filters` — augment whatever is
+        # there rather than assume a fresh sys.modules
         if "librosa" not in sys.modules:
             lib = types.ModuleType("librosa")
             lib.__spec__ = importlib.machinery.ModuleSpec(
                 "librosa", None, is_package=True
             )
             lib.__path__ = []
+            sys.modules["librosa"] = lib
+        lib = sys.modules["librosa"]
+        if not hasattr(lib, "__path__"):
+            lib.__path__ = []
+        if "librosa.filters" not in sys.modules:
             filters = types.ModuleType("librosa.filters")
 
             def _mel(*, sr, n_fft, n_mels=128, fmin=0.0, fmax=None, **kw):
@@ -471,7 +479,6 @@ class TestRMVPE:
 
             filters.mel = _mel
             lib.filters = filters
-            sys.modules["librosa"] = lib
             sys.modules["librosa.filters"] = filters
         from encoder.rmvpe.model import E2E0 as RefE2E0
 
