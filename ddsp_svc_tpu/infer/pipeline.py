@@ -93,6 +93,8 @@ class SvcPipeline:
             )
         from .batcher import BatchedSynth
 
+        if self.batcher is not None:
+            self.batcher.close()
         self.batcher = BatchedSynth(
             self.model, self.variables["params"], buckets=buckets,
             max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
