@@ -90,7 +90,7 @@ class TestBlockedNoise:
 class TestStreamedForward:
     @pytest.fixture(scope="class")
     def setup(self):
-        b, t, n_unit = 2, 256, 32
+        b, t, n_unit = 2, 192, 32
         model = CombSubSuperFast(
             sampling_rate=16000, block_size=64, win_length=256,
             n_unit=n_unit, n_spk=1,

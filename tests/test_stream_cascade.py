@@ -15,7 +15,7 @@ from ddsp_svc_tpu.parallel.stream import (
 )
 
 SR, HOP, WIN, N_UNIT, M = 16000, 64, 256, 16, 16
-B, T = 1, 256
+B, T = 1, 192
 
 
 def make_mel():
@@ -59,11 +59,11 @@ def test_streamed_cascade_matches_whole(family, sampler):
     if family == "reflow":
         model = ReflowUnit2Wav(SR, HOP, WIN, N_UNIT, 1, out_dims=M,
                                n_layers=2, n_chans=32)
-        kwargs = dict(infer_step=4, sampler=sampler, t_start=0.7)
+        kwargs = dict(infer_step=2, sampler=sampler, t_start=0.7)
     else:
         model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M,
                              n_layers=2, n_chans=32, k_step_max=100)
-        kwargs = dict(infer_speedup=5, sampler=sampler, k_step=20)
+        kwargs = dict(infer_speedup=5, sampler=sampler, k_step=10)
     variables = _init(model, units, f0, volume, mel, family)
 
     whole = np.asarray(

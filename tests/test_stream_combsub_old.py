@@ -14,7 +14,7 @@ from ddsp_svc_tpu.parallel.stream import (
 
 
 def test_streamed_combsub_old_matches_whole():
-    b, t, n_unit = 1, 256, 16
+    b, t, n_unit = 1, 128, 16
     sr, block = 16000, 32
     model = CombSub(
         sampling_rate=sr, block_size=block, n_mag_allpass=17,

@@ -16,11 +16,11 @@ from ddsp_svc_tpu.parallel.stream import (
 )
 
 SR, HOP, N_UNIT, M = 16000, 64, 16, 16
-B, T = 1, 256
+B, T = 1, 128
 
 
 @pytest.mark.parametrize("sampler,k_step,speedup", [
-    ("ddim", 20, 5),
+    ("ddim", 10, 5),
     pytest.param("dpm-solver", 40, 10, marks=pytest.mark.slow),
 ])
 def test_streamed_diffnew_matches_whole(sampler, k_step, speedup):

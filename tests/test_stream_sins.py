@@ -15,7 +15,7 @@ from ddsp_svc_tpu.parallel.stream import blocked_uniform, streamed_sins_forward
     pytest.param(4, marks=pytest.mark.slow),
 ])
 def test_streamed_sins_matches_whole(n_dev):
-    b, t, n_unit = 1, 256, 16
+    b, t, n_unit = 1, 128, 16
     sr, block = 16000, 32
     model = Sins(
         sampling_rate=sr, block_size=block, n_harmonics=16,
