@@ -44,6 +44,22 @@ from ..ops.window import hann_window
 
 FRAME_HALO = 48  # conv stack (2) + 3 conformer layers (15 each) + margin
 
+# jitted-driver cache: the streamed/whole entry points below close over
+# static configuration (model, mesh, shapes, sampler kwargs), so each
+# distinct key compiles ONE executable instead of dispatching the whole
+# graph eagerly op-by-op (~1000 tiny compiles per call on a fresh process;
+# eager dispatch is also what made the persistent compile cache useless
+# here). Keys hold flax modules (hashable dataclasses), Mesh, shapes.
+_JITTED: dict = {}
+
+
+def _cached_jit(key, make_fn):
+    fn = _JITTED.get(key)
+    if fn is None:
+        fn = jax.jit(make_fn())
+        _JITTED[key] = fn
+    return fn
+
 
 def blocked_noise(key: jax.Array, batch: int, n_frames: int, hop: int) -> jnp.ndarray:
     """(B, n_frames*hop) unit normal drawn per hop-block from split keys —
@@ -238,12 +254,16 @@ def streamed_combsub_forward(
         )
 
     spec_frames = P(None, axis, None)
-    fn = jax.shard_map(
-        block,
-        mesh=mesh,
-        in_specs=(P(), spec_frames, spec_frames, spec_frames, P(axis, None), P()),
-        out_specs=P(None, axis),
-        check_vma=False,
+    fn = _cached_jit(
+        ("combsub", model, mesh, axis, units.shape),
+        lambda: jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(P(), spec_frames, spec_frames, spec_frames,
+                      P(axis, None), P()),
+            out_specs=P(None, axis),
+            check_vma=False,
+        ),
     )
     return fn(variables, units, f0, volume, noise_keys, spk_id)
 
@@ -251,11 +271,20 @@ def streamed_combsub_forward(
 def whole_utterance_reference(model, variables, units, f0, volume, key, spk_id=None):
     """The matching whole-utterance forward (same per-frame noise draw)."""
     b, t, _ = units.shape
-    noise = blocked_noise(key, b, t, model.block_size)
-    signal, _, _ = model.apply(
-        variables, units, f0, volume, spk_id=spk_id, infer=True, noise=noise
-    )
-    return signal
+
+    def make():
+        def run(variables, units, f0, volume, key, spk_id):
+            noise = blocked_noise(key, b, t, model.block_size)
+            signal, _, _ = model.apply(
+                variables, units, f0, volume, spk_id=spk_id, infer=True,
+                noise=noise,
+            )
+            return signal
+
+        return run
+
+    fn = _cached_jit(("combsub_whole", model, units.shape), make)
+    return fn(variables, units, f0, volume, key, spk_id)
 
 
 # ---------------------------------------------------------------------------
@@ -411,15 +440,18 @@ def streamed_cascade_mel(
         return out
 
     spec_frames = P(None, axis, None)
-    fn = jax.shard_map(
-        block,
-        mesh=mesh,
-        in_specs=(
-            P(), spec_frames, spec_frames, spec_frames,
-            P(axis, None), P(axis, None), P(),
-        ),
-        out_specs=spec_frames,
-        check_vma=False,
+    fn = _cached_jit(
+        ("cascade", model, mesh, axis, units.shape, family, infer_step, sampler, t_start, k_step, infer_speedup),
+        lambda: jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(
+                P(), spec_frames, spec_frames, spec_frames,
+                P(axis, None), P(axis, None), P(),
+            ),
+            out_specs=spec_frames,
+            check_vma=False,
+        )
     )
     return fn(variables, units, f0, volume, ddsp_keys, init_keys, spk_id)
 
@@ -431,17 +463,30 @@ def whole_cascade_reference(
     """Whole-utterance cascade with the identical blocking-invariant noise
     draws, for consistency checks against streamed_cascade_mel."""
     b, t, _ = units.shape
-    key_ddsp, key_init = jax.random.split(key)
-    ddsp_noise = blocked_noise(key_ddsp, b, t, model.block_size)
-    init_noise = blocked_noise_frames(key_init, b, t, model.out_dims)
-    extra = (
-        dict(velocity_wrapper=None) if family == "reflow" else dict()
+
+    def make():
+        def run(variables, units, f0, volume, key, spk_id):
+            key_ddsp, key_init = jax.random.split(key)
+            ddsp_noise = blocked_noise(key_ddsp, b, t, model.block_size)
+            init_noise = blocked_noise_frames(key_init, b, t, model.out_dims)
+            extra = (
+                dict(velocity_wrapper=None) if family == "reflow" else dict()
+            )
+            return model.apply(
+                variables, units, f0, volume, spk_id=spk_id,
+                mel_extract_fn=mel.extract, infer=True,
+                key=jax.random.PRNGKey(0), ddsp_noise=ddsp_noise,
+                init_noise=init_noise, **extra, **kwargs,
+            )
+
+        return run
+
+    fn = _cached_jit(
+        ("cascade_whole", model, units.shape, family,
+         tuple(sorted(kwargs.items()))),
+        make,
     )
-    return model.apply(
-        variables, units, f0, volume, spk_id=spk_id,
-        mel_extract_fn=mel.extract, infer=True, key=jax.random.PRNGKey(0),
-        ddsp_noise=ddsp_noise, init_noise=init_noise, **extra, **kwargs,
-    )
+    return fn(variables, units, f0, volume, key, spk_id)
 
 
 # ---------------------------------------------------------------------------
@@ -479,17 +524,25 @@ def nsf_hifigan_padded_forward(gen, params, mel, f0, key, halo=VOCODER_HALO):
     b, t, _ = mel.shape
     upp = gen.upp
     dim = 9  # 8 harmonics + fundamental (m_source harmonic_num=8)
-    key_ini, key_noise = jax.random.split(key)
-    rand_ini = _sine_rand_ini(key_ini, dim)
-    keys_all = jax.random.split(key_noise, t + 2 * halo)
-    noise = _sine_noise_from_keys(keys_all, b, upp, dim)
-    mel_pad = jnp.pad(mel, ((0, 0), (halo, halo), (0, 0)))
-    f0_pad = jnp.pad(f0, ((0, 0), (halo, halo)))
-    audio = gen.apply(
-        {"params": params}, mel_pad, f0_pad,
-        sine_kwargs=dict(rand_ini=rand_ini, noise=noise),
-    )
-    return audio[:, halo * upp : (halo + t) * upp]
+
+    def make():
+        def run(params, mel, f0, key):
+            key_ini, key_noise = jax.random.split(key)
+            rand_ini = _sine_rand_ini(key_ini, dim)
+            keys_all = jax.random.split(key_noise, t + 2 * halo)
+            noise = _sine_noise_from_keys(keys_all, b, upp, dim)
+            mel_pad = jnp.pad(mel, ((0, 0), (halo, halo), (0, 0)))
+            f0_pad = jnp.pad(f0, ((0, 0), (halo, halo)))
+            audio = gen.apply(
+                {"params": params}, mel_pad, f0_pad,
+                sine_kwargs=dict(rand_ini=rand_ini, noise=noise),
+            )
+            return audio[:, halo * upp : (halo + t) * upp]
+
+        return run
+
+    fn = _cached_jit(("nsf_whole", gen, mel.shape, halo), make)
+    return fn(params, mel, f0, key)
 
 
 def streamed_nsf_hifigan(
@@ -553,12 +606,15 @@ def streamed_nsf_hifigan(
         )
         return audio_ext[:, halo * upp : (halo + tb) * upp]
 
-    fn = jax.shard_map(
-        block,
-        mesh=mesh,
-        in_specs=(P(), P(None, axis, None), P(None, axis), P(), P()),
-        out_specs=P(None, axis),
-        check_vma=False,
+    fn = _cached_jit(
+        ("nsf", gen, mesh, axis, mel.shape),
+        lambda: jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(P(), P(None, axis, None), P(None, axis), P(), P()),
+            out_specs=P(None, axis),
+            check_vma=False,
+        )
     )
     return fn(params, mel, f0, keys_all, rand_ini)
 
@@ -761,15 +817,18 @@ def streamed_unit2wav_new_mel(
         )
 
     spec_frames = P(None, axis, None)
-    fn = jax.shard_map(
-        block,
-        mesh=mesh,
-        in_specs=(
-            P(), spec_frames, spec_frames, spec_frames,
-            P(axis, None), P(axis, None), P(),
-        ),
-        out_specs=spec_frames,
-        check_vma=False,
+    fn = _cached_jit(
+        ("unit2wav_new", model, mesh, axis, units.shape, k_step, infer_speedup, sampler),
+        lambda: jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(
+                P(), spec_frames, spec_frames, spec_frames,
+                P(axis, None), P(axis, None), P(),
+            ),
+            out_specs=spec_frames,
+            check_vma=False,
+        )
     )
     return fn(variables, units, f0, volume, ddsp_keys, init_keys, spk_id)
 
@@ -778,14 +837,29 @@ def whole_unit2wav_new_reference(
     model, variables, units, f0, volume, key, mel, spk_id=None, **kwargs
 ):
     b, t, _ = units.shape
-    key_ddsp, key_init = jax.random.split(key)
-    return model.apply(
-        variables, units, f0, volume, spk_id=spk_id,
-        mel_extract_fn=mel.extract, infer=True, key=jax.random.PRNGKey(0),
-        ddsp_noise=blocked_uniform(key_ddsp, b, t, model.block_size),
-        init_noise=blocked_noise_frames(key_init, b, t, model.out_dims),
-        **kwargs,
+
+    def make():
+        def run(variables, units, f0, volume, key, spk_id):
+            key_ddsp, key_init = jax.random.split(key)
+            return model.apply(
+                variables, units, f0, volume, spk_id=spk_id,
+                mel_extract_fn=mel.extract, infer=True,
+                key=jax.random.PRNGKey(0),
+                ddsp_noise=blocked_uniform(key_ddsp, b, t, model.block_size),
+                init_noise=blocked_noise_frames(
+                    key_init, b, t, model.out_dims
+                ),
+                **kwargs,
+            )
+
+        return run
+
+    fn = _cached_jit(
+        ("unit2wav_new_whole", model, units.shape,
+         tuple(sorted(kwargs.items()))),
+        make,
     )
+    return fn(variables, units, f0, volume, key, spk_id)
 
 
 # ---------------------------------------------------------------------------
@@ -952,12 +1026,15 @@ def streamed_sins_forward(
         return harmonic + noise
 
     spec_frames = P(None, axis, None)
-    fn = jax.shard_map(
-        block_fn,
-        mesh=mesh,
-        in_specs=(P(), spec_frames, spec_frames, spec_frames, P(axis, None), P()),
-        out_specs=P(None, axis),
-        check_vma=False,
+    fn = _cached_jit(
+        ("sins", model, mesh, axis, units.shape),
+        lambda: jax.shard_map(
+            block_fn,
+            mesh=mesh,
+            in_specs=(P(), spec_frames, spec_frames, spec_frames, P(axis, None), P()),
+            out_specs=P(None, axis),
+            check_vma=False,
+        )
     )
     return fn(variables, units, f0, volume, noise_keys, spk_id)
 
@@ -1089,12 +1166,15 @@ def streamed_combsub_old_forward(
         return harmonic + noise
 
     spec_frames = P(None, axis, None)
-    fn = jax.shard_map(
-        block_fn,
-        mesh=mesh,
-        in_specs=(P(), spec_frames, spec_frames, spec_frames, P(axis, None), P()),
-        out_specs=P(None, axis),
-        check_vma=False,
+    fn = _cached_jit(
+        ("combsub_old", model, mesh, axis, units.shape),
+        lambda: jax.shard_map(
+            block_fn,
+            mesh=mesh,
+            in_specs=(P(), spec_frames, spec_frames, spec_frames, P(axis, None), P()),
+            out_specs=P(None, axis),
+            check_vma=False,
+        )
     )
     return fn(variables, units, f0, volume, noise_keys, spk_id)
 
@@ -1180,15 +1260,18 @@ def streamed_unit2mel(
         )
 
     spec_frames = P(None, axis, None)
-    fn = jax.shard_map(
-        block,
-        mesh=mesh,
-        in_specs=(
-            P(), spec_frames, spec_frames, spec_frames, spec_frames,
-            P(axis, None), P(),
-        ),
-        out_specs=spec_frames,
-        check_vma=False,
+    fn = _cached_jit(
+        ("unit2mel", model, mesh, axis, units.shape, k_step, infer_speedup, sampler, gt_spec is None),
+        lambda: jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(
+                P(), spec_frames, spec_frames, spec_frames, spec_frames,
+                P(axis, None), P(),
+            ),
+            out_specs=spec_frames,
+            check_vma=False,
+        )
     )
     return fn(variables, units, f0, volume, gt_spec, init_keys, spk_id)
 

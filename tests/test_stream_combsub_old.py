@@ -32,7 +32,10 @@ def test_streamed_combsub_old_matches_whole():
     )
 
     noise = blocked_uniform(k2, b, t, block)
-    whole, _, _ = model.apply(variables, units, f0, volume, noise=noise)
+    # jit-vs-jit comparison (see test_stream_sins.py note)
+    whole, _, _ = jax.jit(
+        lambda v, u, f, vol, n: model.apply(v, u, f, vol, noise=n)
+    )(variables, units, f0, volume, noise)
     whole = np.asarray(whole)
 
     mesh = Mesh(np.array(jax.devices()[:2]), ("time",))

@@ -29,11 +29,14 @@ def test_streamed_unit2mel_matches_whole():
     )
     kwargs = dict(k_step=20, infer_speedup=5, sampler="ddim")
     init_noise = blocked_noise_frames(k2, b, t, m)
+    # jit-vs-jit comparison (see test_stream_sins.py note)
     whole = np.asarray(
-        model.apply(
-            variables, units, f0, volume, spk_id=spk, gt_spec=gt, infer=True,
-            key=jax.random.PRNGKey(0), init_noise=init_noise, **kwargs,
-        )
+        jax.jit(
+            lambda v, u, f, vol, s, g, n: model.apply(
+                v, u, f, vol, spk_id=s, gt_spec=g, infer=True,
+                key=jax.random.PRNGKey(0), init_noise=n, **kwargs,
+            )
+        )(variables, units, f0, volume, spk, gt, init_noise)
     )
     mesh = Mesh(np.array(jax.devices()[:2]), ("time",))
     streamed = np.asarray(
