@@ -45,6 +45,12 @@ def make_handler(pipeline, default_kwargs):
             if self.path != "/voiceChangeModel":
                 self.send_error(404)
                 return
+            try:
+                self._voice_change()
+            except Exception as e:  # deliver a 500 instead of dropping the
+                self.send_error(500, f"conversion failed: {e}")  # connection
+
+        def _voice_change(self):
             length = int(self.headers.get("Content-Length", 0))
             form = parse_multipart(
                 self.rfile.read(length), self.headers["Content-Type"]

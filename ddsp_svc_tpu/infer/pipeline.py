@@ -163,7 +163,15 @@ class SvcPipeline:
         common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
         if self.family == "ddsp":
             if spk_mix_dict is None:
-                if self.batcher is not None:
+                if (self.batcher is not None
+                        and t > self.batcher.buckets[-1]):
+                    # longer than the largest bucket: run direct rather
+                    # than fail the request (jit's own shape cache applies)
+                    out = self._ddsp_forward()(
+                        self.variables["params"], units, f0, volume_j, spk,
+                        sub,
+                    )
+                elif self.batcher is not None:
                     # host staging: the batcher pads/stacks on the host
                     # (axon d2h needs the barrier first)
                     jax.effects_barrier()

@@ -139,3 +139,22 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 404
+
+
+def test_oversized_request_falls_back_to_direct(server):
+    """Audio longer than the largest batching bucket (128 frames here) must
+    still convert (direct-path fallback), not 500."""
+    status, payload, _ = _post_voice(server, _wav_bytes(seconds=0.8))
+    assert status == 200
+    _, data = wavfile.read(io.BytesIO(payload))
+    assert len(data) > 0
+
+
+def test_malformed_body_returns_500(server):
+    req = urllib.request.Request(
+        server + "/voiceChangeModel", data=b"not-multipart", method="POST",
+        headers={"Content-Type": "multipart/form-data; boundary=x"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 500
