@@ -336,17 +336,24 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8):
                 for u, f, v, k in reqs:
                     eng.infer(u, f, v, spk_id=1, key=k)
             else:
+                errors = []
+
+                def run_one(u, f, v, k):
+                    try:
+                        eng.infer(u, f, v, spk_id=1, key=k)
+                    except Exception as e:  # surface, don't inflate the RTF
+                        errors.append(e)
+
                 threads = [
-                    threading.Thread(
-                        target=eng.infer, args=(u, f, v),
-                        kwargs={"spk_id": 1, "key": k},
-                    )
+                    threading.Thread(target=run_one, args=(u, f, v, k))
                     for u, f, v, k in reqs
                 ]
                 for th in threads:
                     th.start()
                 for th in threads:
                     th.join()
+                if errors:
+                    raise errors[0]
             return n_requests * audio_s / (time.perf_counter() - start)
         finally:
             eng.close()
@@ -381,11 +388,14 @@ def bench_train(batch=24, seconds=2.0):
             jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
             jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
         )
-    state = create_train_state(model, _put(dict(variables))["params"])
-    state = jax.tree.map(
-        lambda a: jax.device_put(a, jax.devices()[0])
-        if hasattr(a, "dtype") else a, state,
-    )
+    def fresh_state():
+        s = create_train_state(model, _put(dict(variables))["params"])
+        return jax.tree.map(
+            lambda a: jax.device_put(a, jax.devices()[0])
+            if hasattr(a, "dtype") else a, s,
+        )
+
+    state = fresh_state()
     units, f0, volume, spk = make_inputs(batch, t)
     rng = np.random.default_rng(1)
     audio = (0.1 * rng.standard_normal((batch, t * HOP))).astype(np.float32)
@@ -396,7 +406,8 @@ def bench_train(batch=24, seconds=2.0):
     step_fn = make_ddsp_train_step()
     audio_s_per_step = batch * t * HOP / SR
 
-    # warm/compile with retries, threading the donated state
+    # warm/compile with retries, threading the donated state; a failed
+    # attempt may already have consumed the donated buffers, so rebuild
     last = None
     for attempt in range(5):
         try:
@@ -408,6 +419,7 @@ def bench_train(batch=24, seconds=2.0):
             if attempt == 4:
                 raise last
             time.sleep(30)
+            state = fresh_state()
     n_iter = 4
     while True:
         start = time.perf_counter()

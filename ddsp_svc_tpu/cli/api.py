@@ -45,10 +45,17 @@ def make_handler(pipeline, default_kwargs):
             if self.path != "/voiceChangeModel":
                 self.send_error(404)
                 return
+            self._headers_sent = False
             try:
                 self._voice_change()
             except Exception as e:  # deliver a 500 instead of dropping the
-                self.send_error(500, f"conversion failed: {e}")  # connection
+                if self._headers_sent:  # connection; never write a second
+                    self.close_connection = True  # status line mid-stream
+                    return
+                # single line only: send_error embeds the message in the
+                # status line, and JAX error strings span many lines
+                msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+                self.send_error(500, f"conversion failed: {msg}")
 
         def _voice_change(self):
             length = int(self.headers.get("Content-Length", 0))
@@ -89,6 +96,7 @@ def make_handler(pipeline, default_kwargs):
             wavfile.write(buf, out_rate,
                           np.clip(out * 32767.0, -32768, 32767).astype(np.int16))
             payload = buf.getvalue()
+            self._headers_sent = True
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(payload)))

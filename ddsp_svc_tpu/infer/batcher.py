@@ -79,6 +79,7 @@ class BatchedSynth:
             self._replicated = NamedSharding(mesh, P())
             self.params = jax.device_put(params, self._replicated)
         self._q: queue.Queue[_Request] = queue.Queue()
+        self._pending: list[_Request] = []  # worker-owned (single thread)
         self._jit = {}
         self._stop = False
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -93,8 +94,14 @@ class BatchedSynth:
             np.asarray(units, np.float32), np.asarray(f0, np.float32),
             np.asarray(volume, np.float32), int(spk_id), key, t, bucket,
         )
+        if self._stop:
+            raise RuntimeError("BatchedSynth closed")
         self._q.put(req)
-        req.done.wait()
+        # stop-aware wait: a put() racing close()'s queue drain must not
+        # leave this caller blocked forever
+        while not req.done.wait(timeout=1.0):
+            if self._stop and not req.done.is_set():
+                raise RuntimeError("BatchedSynth closed")
         if req.error is not None:
             raise req.error
         return req.result
@@ -103,6 +110,20 @@ class BatchedSynth:
         self._stop = True
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        # no caller may hang on a request the worker will never run:
+        # fail everything still queued (racing infer() threads included)
+        leftovers = list(self._pending)
+        self._pending.clear()
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                leftovers.append(r)
+        for r in leftovers:
+            r.error = RuntimeError("BatchedSynth closed")
+            r.done.set()
 
     # ---- internals ------------------------------------------------------
     def _bucket_for(self, t: int) -> int:
@@ -145,15 +166,26 @@ class BatchedSynth:
         return fn
 
     def _collect(self) -> list[_Request]:
-        """One batch: block for the first request, then gather same-bucket
-        requests for up to max_wait (others are requeued)."""
-        first = self._q.get()
-        if first is None:
-            return []
-        batch = [first]
-        misc: list[_Request] = []
+        """One batch: take the oldest waiting request, then gather same-bucket
+        requests for up to max_wait. Other-bucket arrivals go to the worker's
+        ``_pending`` list, which is always served FIRST next round (age
+        order) — requeueing to the shared queue would let sustained
+        one-bucket traffic starve the others."""
         import time
 
+        if self._pending:
+            first = self._pending.pop(0)
+        else:
+            first = self._q.get()
+            if first is None:
+                return []
+        batch = [first]
+        for r in list(self._pending):
+            if len(batch) >= self.max_batch:
+                break
+            if r.bucket == first.bucket:
+                self._pending.remove(r)
+                batch.append(r)
         deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
             timeout = deadline - time.monotonic()
@@ -169,9 +201,7 @@ class BatchedSynth:
             if r.bucket == first.bucket:
                 batch.append(r)
             else:
-                misc.append(r)
-        for r in misc:
-            self._q.put(r)
+                self._pending.append(r)
         return batch
 
     def _loop(self):

@@ -71,6 +71,9 @@ class SvcPipeline:
             vc = self.args.vocoder or {}
             self.vocoder = Vocoder(vc.get("type", "nsf-hifigan"), vc.get("ckpt"))
         self._key = jax.random.PRNGKey(0)
+        import threading
+
+        self._key_lock = threading.Lock()  # infer() is called from server threads
         # jit cache per static signature: realtime feeds fixed-context
         # blocks, so after the first block every call hits a compiled
         # executable (the reference recompiles nothing because torch is
@@ -158,25 +161,26 @@ class SvcPipeline:
         f0 = f0[:, :t]
         volume_j = volume_j[:, :t]
 
-        self._key, sub = jax.random.split(self._key)
+        with self._key_lock:
+            self._key, sub = jax.random.split(self._key)
+        batcher = self.batcher  # read once: enable_batching/close may race
         spk = jnp.array([[spk_id]], jnp.int32)
         common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
         if self.family == "ddsp":
             if spk_mix_dict is None:
-                if (self.batcher is not None
-                        and t > self.batcher.buckets[-1]):
+                if batcher is not None and t > batcher.buckets[-1]:
                     # longer than the largest bucket: run direct rather
                     # than fail the request (jit's own shape cache applies)
                     out = self._ddsp_forward()(
                         self.variables["params"], units, f0, volume_j, spk,
                         sub,
                     )
-                elif self.batcher is not None:
+                elif batcher is not None:
                     # host staging: the batcher pads/stacks on the host
                     # (axon d2h needs the barrier first)
                     jax.effects_barrier()
                     out = jnp.asarray(
-                        self.batcher.infer(
+                        batcher.infer(
                             np.asarray(units)[0], np.asarray(f0)[0],
                             np.asarray(volume_j)[0], spk_id, sub,
                         )

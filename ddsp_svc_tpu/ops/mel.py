@@ -106,6 +106,12 @@ class LogMelSpectrogram:
         self.clip_val = clip_val
         self.mel_basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
 
+    def cache_key(self) -> tuple:
+        """Hashable identity for jit-executable caches (parallel/stream.py):
+        every value that changes the compiled computation."""
+        return (self.sr, self.n_mels, self.n_fft, self.win_size,
+                self.hop_length, self.fmin, self.fmax, self.clip_val)
+
     def __call__(
         self, y: jnp.ndarray, keyshift: float = 0.0, speed: float = 1.0
     ) -> jnp.ndarray:

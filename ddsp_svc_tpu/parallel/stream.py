@@ -441,7 +441,7 @@ def streamed_cascade_mel(
 
     spec_frames = P(None, axis, None)
     fn = _cached_jit(
-        ("cascade", model, mesh, axis, units.shape, family, infer_step, sampler, t_start, k_step, infer_speedup),
+        ("cascade", model, mesh, axis, units.shape, mel.cache_key(), family, infer_step, sampler, t_start, k_step, infer_speedup),
         lambda: jax.shard_map(
             block,
             mesh=mesh,
@@ -482,7 +482,7 @@ def whole_cascade_reference(
         return run
 
     fn = _cached_jit(
-        ("cascade_whole", model, units.shape, family,
+        ("cascade_whole", model, units.shape, mel.cache_key(), family,
          tuple(sorted(kwargs.items()))),
         make,
     )
@@ -607,7 +607,7 @@ def streamed_nsf_hifigan(
         return audio_ext[:, halo * upp : (halo + tb) * upp]
 
     fn = _cached_jit(
-        ("nsf", gen, mesh, axis, mel.shape),
+        ("nsf", gen, mesh, axis, mel.shape, halo),
         lambda: jax.shard_map(
             block,
             mesh=mesh,
@@ -818,7 +818,7 @@ def streamed_unit2wav_new_mel(
 
     spec_frames = P(None, axis, None)
     fn = _cached_jit(
-        ("unit2wav_new", model, mesh, axis, units.shape, k_step, infer_speedup, sampler),
+        ("unit2wav_new", model, mesh, axis, units.shape, mel.cache_key(), k_step, infer_speedup, sampler),
         lambda: jax.shard_map(
             block,
             mesh=mesh,
@@ -855,7 +855,7 @@ def whole_unit2wav_new_reference(
         return run
 
     fn = _cached_jit(
-        ("unit2wav_new_whole", model, units.shape,
+        ("unit2wav_new_whole", model, units.shape, mel.cache_key(),
          tuple(sorted(kwargs.items()))),
         make,
     )

@@ -222,3 +222,66 @@ def test_mesh_max_batch_divisibility(synth):
     mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
     with pytest.raises(ValueError):
         BatchedSynth(model, params, buckets=(32,), max_batch=3, mesh=mesh)
+
+
+def test_no_cross_bucket_starvation(synth):
+    """A request in a different bucket must complete while same-bucket
+    traffic keeps arriving (worker serves its pending list first)."""
+    eng, _, _ = synth
+    rng = np.random.default_rng(9)
+    results = {}
+
+    def small(i):
+        u, f, v = _req(rng, 24)  # bucket 32
+        results[f"s{i}"] = eng.infer(u, f, v, spk_id=1,
+                                     key=jax.random.PRNGKey(i))
+
+    def big():
+        u, f, v = _req(rng, 50)  # bucket 64
+        results["big"] = eng.infer(u, f, v, spk_id=1,
+                                   key=jax.random.PRNGKey(99))
+
+    threads = [threading.Thread(target=small, args=(i,)) for i in range(6)]
+    tb = threading.Thread(target=big)
+    threads[0].start()
+    tb.start()
+    for th in threads[1:]:
+        th.start()
+    tb.join(timeout=120)
+    assert not tb.is_alive(), "big-bucket request starved"
+    for th in threads:
+        th.join(timeout=120)
+    assert results["big"].shape == (50 * HOP,)
+
+
+def test_close_fails_queued_requests():
+    """close() must not leave blocked callers hanging."""
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1)
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+        jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+    )["params"]
+    eng = BatchedSynth(model, params, buckets=(32,), max_batch=2,
+                       max_wait_ms=5.0)
+    rng = np.random.default_rng(11)
+    u, f, v = _req(rng, 16)
+    eng.infer(u, f, v, spk_id=1, key=jax.random.PRNGKey(0))  # warm/compile
+
+    outcomes = []
+
+    def caller(i):
+        try:
+            eng.infer(u, f, v, spk_id=1, key=jax.random.PRNGKey(i))
+            outcomes.append("ok")
+        except RuntimeError:
+            outcomes.append("closed")
+
+    threads = [threading.Thread(target=caller, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    eng.close()
+    for th in threads:
+        th.join(timeout=60)
+    assert all(not th.is_alive() for th in threads), "caller hung after close"
+    assert len(outcomes) == 4
