@@ -55,6 +55,8 @@ def parse_args(argv=None):
     p.add_argument("-ddsp", "--ddsp_model_path", default=None)
     p.add_argument("-id", "--spk_id", type=int, default=1)
     p.add_argument("-mix", "--spk_mix_dict", default="None")
+    # diffusion-stage speaker id (main_diff.py:132-139); 'auto' = same as -id
+    p.add_argument("-diffid", "--diff_spk_id", default="auto")
     p.add_argument("-k", "--key", type=float, default=0.0)
     p.add_argument("-e", "--enhance", default="true")
     p.add_argument("-pe", "--pitch_extractor", default="yin")
@@ -135,6 +137,10 @@ def main(argv=None):
 
     spk_mix_dict = literal_eval(cmd.spk_mix_dict)
     spk_id = jnp.array([[cmd.spk_id]], jnp.int32)
+    diff_spk_id = (
+        spk_id if cmd.diff_spk_id == "auto"
+        else jnp.array([[int(cmd.diff_spk_id)]], jnp.int32)
+    )  # main_diff.py:280-283
 
     segments = split_audio(audio, sample_rate)
     print(f"Cut the input audio into {len(segments)} slices")
@@ -150,7 +156,8 @@ def main(argv=None):
         seg_volume = volume[:, start_frame : start_frame + t_seg]
         key, sub = jax.random.split(key)
 
-        common = dict(spk_id=spk_id, spk_mix_dict=spk_mix_dict, infer=True)
+        stage_spk = spk_id if family == "ddsp" else diff_spk_id
+        common = dict(spk_id=stage_spk, spk_mix_dict=spk_mix_dict, infer=True)
         if family != "ddsp" and cmd.formant_shift_key:
             # formant change via the pitch-aug embedding (main_diff.py:356-371)
             common["aug_shift"] = jnp.full((1, 1, 1), cmd.formant_shift_key)

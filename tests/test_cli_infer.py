@@ -1,0 +1,118 @@
+"""End-to-end `cli.infer` (main.py / main_diff.py parity): tiny checkpoint
+on disk -> real CLI invocation -> output wav."""
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_svc_tpu.train.checkpoint import save_checkpoint
+from ddsp_svc_tpu.utils.config import save_config
+
+SR, HOP, WIN = 16000, 64, 256
+N_UNIT = 256  # hubertsoft output width
+
+
+def _write_ddsp_ckpt(tmp_path):
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=2)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+        jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+    )["params"]
+    save_checkpoint(str(tmp_path), 5, jax.device_get(params))
+    save_config(
+        tmp_path / "config.yaml",
+        {
+            "data": {
+                "sampling_rate": SR, "block_size": HOP, "duration": 2,
+                "encoder": "hubertsoft", "encoder_ckpt": None,
+                "encoder_sample_rate": 16000, "encoder_hop_size": 320,
+                "encoder_out_channels": N_UNIT,
+                "f0_extractor": "yin", "f0_min": 65, "f0_max": 800,
+            },
+            "model": {"type": "CombSubSuperFast", "win_length": WIN,
+                      "n_spk": 2},
+            "infer": {},
+        },
+    )
+    return tmp_path / "model_5.ckpt"
+
+
+def _write_wav(path, seconds=0.4):
+    n = np.arange(int(SR * seconds))
+    audio = 0.4 * np.sin(2 * np.pi * 220.0 * n / SR) * np.minimum(
+        1.0, n / 800.0
+    )
+    wavfile.write(path, SR, (audio * 32767).astype(np.int16))
+
+
+def test_infer_cli_ddsp_end_to_end(tmp_path):
+    from ddsp_svc_tpu.cli.infer import main
+
+    ckpt = _write_ddsp_ckpt(tmp_path)
+    in_wav = tmp_path / "in.wav"
+    out_wav = tmp_path / "out.wav"
+    _write_wav(in_wav)
+
+    main(["-m", str(ckpt), "-i", str(in_wav), "-o", str(out_wav),
+          "-k", "2", "-id", "2", "-pe", "yin"])
+
+    assert out_wav.exists()
+    sr, data = wavfile.read(out_wav)
+    assert sr == SR
+    assert len(data) > 0 and np.isfinite(
+        data.astype(np.float32)
+    ).all() and np.abs(data).max() > 0
+
+
+@pytest.mark.slow
+def test_infer_cli_diffusion_end_to_end(tmp_path):
+    """Unit2Mel (Diffusion family) through the CLI incl. -diffid and the
+    random-init vocoder fallback."""
+    from ddsp_svc_tpu.cli.infer import main
+    from ddsp_svc_tpu.models.cascade import Unit2Mel
+
+    model = Unit2Mel(N_UNIT, 2, False, 128, n_layers=2, n_chans=16,
+                     n_hidden=16, k_step_max=20)
+    t = 16
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, t, N_UNIT)), 220.0 * jnp.ones((1, t, 1)),
+        jnp.ones((1, t, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        gt_spec=jnp.zeros((1, t, 128)), infer=False,
+    )["params"]
+    save_checkpoint(str(tmp_path), 9, jax.device_get(params))
+    save_config(
+        tmp_path / "config.yaml",
+        {
+            "data": {
+                "sampling_rate": 44100, "block_size": 512, "duration": 2,
+                "encoder": "hubertsoft", "encoder_ckpt": None,
+                "encoder_sample_rate": 16000, "encoder_hop_size": 320,
+                "encoder_out_channels": N_UNIT,
+                "f0_extractor": "yin", "f0_min": 65, "f0_max": 800,
+            },
+            "model": {"type": "Diffusion", "n_spk": 2,
+                      "use_pitch_aug": False, "n_layers": 2, "n_chans": 16,
+                      "n_hidden": 16, "k_step_max": 20},
+            "vocoder": {"type": "nsf-hifigan", "ckpt": None},
+            "infer": {},
+        },
+    )
+    in_wav = tmp_path / "in.wav"
+    out_wav = tmp_path / "out.wav"
+    n = np.arange(int(44100 * 0.35))
+    audio = 0.4 * np.sin(2 * np.pi * 220.0 * n / 44100)
+    wavfile.write(in_wav, 44100, (audio * 32767).astype(np.int16))
+
+    main(["-m", str(tmp_path / "model_9.ckpt"), "-i", str(in_wav),
+          "-o", str(out_wav), "-id", "1", "-diffid", "2", "-kstep", "10",
+          "-speedup", "2", "-method", "ddim", "-pe", "yin"])
+
+    assert out_wav.exists()
+    sr, data = wavfile.read(out_wav)
+    assert len(data) > 0 and np.isfinite(data.astype(np.float32)).all()
