@@ -97,7 +97,16 @@ def main(argv=None):
             opt_state=ckpt.restore_into(jax.device_get(state.opt_state), opt_payload)
         )
 
-    mesh = make_mesh(len(jax.devices()))
+    n_dev = len(jax.devices())
+    batch = int(args.train.batch_size)
+    if batch % n_dev != 0:
+        # dp shards the batch; use the largest device count that divides it
+        # rather than failing deep inside pjit with a sharding error
+        while n_dev > 1 and batch % n_dev != 0:
+            n_dev -= 1
+        print(f" [!] batch_size {batch} not divisible by "
+              f"{len(jax.devices())} devices — using dp={n_dev}")
+    mesh = make_mesh(n_dev)
     mel_fn = build_mel_extractor(args).extract if needs_mel(args) else None
     train(args, model, state, mesh=mesh, mel_extract_fn=mel_fn,
           initial_step=initial_step)
