@@ -116,3 +116,26 @@ def test_infer_cli_diffusion_end_to_end(tmp_path):
     assert out_wav.exists()
     sr, data = wavfile.read(out_wav)
     assert len(data) > 0 and np.isfinite(data.astype(np.float32)).all()
+
+
+@pytest.mark.slow
+def test_batch_infer_cli_end_to_end(tmp_path):
+    """batch_infer.py parity: recursive directory conversion."""
+    from ddsp_svc_tpu.cli.batch_infer import main as batch_main
+
+    ckpt = _write_ddsp_ckpt(tmp_path)
+    in_dir = tmp_path / "in" / "sub"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir(parents=True)
+    _write_wav(in_dir / "a.wav")
+    _write_wav(in_dir.parent / "b.wav")
+
+    batch_main(["-m", str(ckpt), "-i", str(in_dir.parent),
+                "-o", str(out_dir), "-id", "1", "-pe", "yin"])
+
+    outs = sorted(p.relative_to(out_dir).as_posix()
+                  for p in out_dir.rglob("*.wav"))
+    assert outs == ["b.wav", "sub/a.wav"]
+    for p in out_dir.rglob("*.wav"):
+        sr, data = wavfile.read(p)
+        assert len(data) > 0
