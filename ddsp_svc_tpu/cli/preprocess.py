@@ -16,6 +16,10 @@ from .common import build_f0_extractor, build_mel_extractor, build_units_encoder
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("--resume", action="store_true",
+                        help="skip files whose outputs already exist "
+                             "(beyond-reference: the reference always "
+                             "reprocesses the whole corpus)")
     cmd = parser.parse_args(argv)
     args = load_config(cmd.config)
 
@@ -35,6 +39,7 @@ def main(argv=None):
             hop_size=args.data.block_size,
             use_pitch_aug=bool(args.model.use_pitch_aug),
             extensions=tuple(args.data.extensions or ["wav"]),
+            skip_existing=cmd.resume,
         )
 
 

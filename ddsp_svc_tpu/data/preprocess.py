@@ -33,6 +33,7 @@ def preprocess(
     use_pitch_aug: bool = False,
     extensions: tuple[str, ...] = ("wav",),
     rng: np.random.Generator | None = None,
+    skip_existing: bool = False,
 ) -> None:
     import jax.numpy as jnp
     from tqdm import tqdm
@@ -43,6 +44,12 @@ def preprocess(
         path_srcdir, extensions=list(extensions), is_pure=True, is_sort=True
     )
     pitch_aug_dict = {}
+    aug_dict_path = os.path.join(path, "pitch_aug_dict.npy")
+    if skip_existing and os.path.exists(aug_dict_path):
+        # resume: keep recorded keyshifts for files we will skip
+        pitch_aug_dict = dict(
+            np.load(aug_dict_path, allow_pickle=True).item()
+        )
 
     def out_path(kind, file):
         return os.path.join(path, kind, file + ".npy")
@@ -53,6 +60,15 @@ def preprocess(
         np.save(p, arr)
 
     for file in tqdm(filelist, desc=f"preprocess {path_srcdir}"):
+        if skip_existing:
+            expected = ["f0", "volume"]
+            if units_encoder is not None:
+                expected.append("units")
+            if mel_extractor is not None:
+                expected += ["mel", "aug_mel", "aug_vol"]
+            done = all(os.path.exists(out_path(k, file)) for k in expected)
+            if done and (mel_extractor is None or file in pitch_aug_dict):
+                continue
         audio, sr = load_wav(os.path.join(path_srcdir, file))
         if sr != sample_rate:
             from ..ops.resample import resample
@@ -104,4 +120,4 @@ def preprocess(
             shutil.move(os.path.join(path_srcdir, file), skip_dir)
 
     if mel_extractor is not None:
-        np.save(os.path.join(path, "pitch_aug_dict.npy"), pitch_aug_dict)
+        np.save(aug_dict_path, pitch_aug_dict)

@@ -139,3 +139,41 @@ class TestSpeakerMix:
         assert np.isfinite(np.asarray(out_mix)).all()
         # different speaker conditioning must change the output
         assert not np.allclose(np.asarray(out_single), np.asarray(out_mix))
+
+
+class TestPreprocessResume:
+    def test_skip_existing(self, tmp_path):
+        """--resume: files with complete outputs are skipped; deleted
+        outputs are regenerated."""
+        from ddsp_svc_tpu.data.preprocess import preprocess
+        from ddsp_svc_tpu.features.f0 import F0Extractor
+        from ddsp_svc_tpu.features.volume import VolumeExtractor
+
+        sr, hop = 16000, 64
+        root = str(tmp_path)
+        rng = np.random.default_rng(1)
+        for name in ("a.wav", "b.wav"):
+            n = np.arange(sr)
+            audio = (0.3 * np.sin(2 * np.pi * 220 * n / sr)).astype(
+                np.float32
+            ) + 0.01 * rng.standard_normal(sr).astype(np.float32)
+            wav = os.path.join(root, "audio", name)
+            os.makedirs(os.path.dirname(wav), exist_ok=True)
+            save_wav(wav, audio, sr)
+
+        f0x = F0Extractor("yin", sr, hop, 65, 800)
+        volx = VolumeExtractor(hop)
+        preprocess(root, f0x, volx, sample_rate=sr, hop_size=hop)
+
+        f0_a = os.path.join(root, "f0", "a.wav.npy")
+        f0_b = os.path.join(root, "f0", "b.wav.npy")
+        mtime_a = os.path.getmtime(f0_a)
+        os.remove(f0_b)
+
+        import time
+
+        time.sleep(0.05)
+        preprocess(root, f0x, volx, sample_rate=sr, hop_size=hop,
+                   skip_existing=True)
+        assert os.path.getmtime(f0_a) == mtime_a, "a.wav was reprocessed"
+        assert os.path.exists(f0_b), "b.wav was not regenerated"
