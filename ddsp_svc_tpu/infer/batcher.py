@@ -56,17 +56,27 @@ class BatchedSynth:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         mesh=None,
+        forward_builder=None,
+        out_hop: int | None = None,
     ):
         """``mesh``: optional 1-axis `jax.sharding.Mesh` — the request batch
         is then sharded over it (data-parallel serving: params replicated,
         rows split across chips, XLA inserts no collectives in the forward).
-        ``max_batch`` must be divisible by the mesh size."""
+        ``max_batch`` must be divisible by the mesh size.
+
+        ``forward_builder``: optional ``builder(bucket) -> fwd(params,
+        units, f0, volume, spk, keys) -> audio (n, bucket*out_hop)`` for
+        non-ddsp synthesis graphs (e.g. cascade + vocoder; see
+        SvcPipeline.enable_batching). ``out_hop`` = output samples per
+        frame (defaults to model.block_size; the vocoder hop for mel
+        families)."""
         self.model = model
         self.params = params
         self.buckets = tuple(sorted(buckets))
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
-        self.hop = model.block_size
+        self.hop = out_hop if out_hop is not None else model.block_size
+        self.forward_builder = forward_builder
         self.mesh = mesh
         if mesh is not None:
             (axis,) = mesh.axis_names
@@ -140,18 +150,20 @@ class BatchedSynth:
         if fn is None:
             model = self.model
 
-            def fwd(params, units, f0, volume, spk, keys):
-                b = units.shape[0]
-                noise = jax.vmap(
-                    lambda k: jax.random.normal(
-                        k, (bucket * model.block_size,), jnp.float32
+            if self.forward_builder is not None:
+                fwd = self.forward_builder(bucket)
+            else:
+                def fwd(params, units, f0, volume, spk, keys):
+                    noise = jax.vmap(
+                        lambda k: jax.random.normal(
+                            k, (bucket * model.block_size,), jnp.float32
+                        )
+                    )(keys)
+                    sig, _, _ = model.apply(
+                        {"params": params}, units, f0, volume,
+                        spk_id=spk, infer=True, noise=noise,
                     )
-                )(keys)
-                sig, _, _ = model.apply(
-                    {"params": params}, units, f0, volume,
-                    spk_id=spk, infer=True, noise=noise,
-                )
-                return sig
+                    return sig
 
             if self.mesh is not None:
                 bs, rep = self._batch_sharding, self._replicated

@@ -82,27 +82,104 @@ class SvcPipeline:
         self.batcher = None
 
     def enable_batching(self, buckets=(128, 256, 512, 1024), max_batch: int = 8,
-                        max_wait_ms: float = 5.0, mesh=None):
-        """Route ddsp-family synthesis through the dynamic request batcher
+                        max_wait_ms: float = 5.0, mesh=None, **model_kwargs):
+        """Route synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
         bucket ride one device call. The reference's flask_api serves one
         request per model pass; on TPU a single request leaves the chip
         mostly idle (see PERF.md roofline), so batching is the serving
-        throughput lever."""
-        if self.family != "ddsp":
-            raise NotImplementedError(
-                "dynamic batching currently covers the ddsp family; "
-                "diffusion/reflow samplers carry per-request step counts"
-            )
+        throughput lever.
+
+        For diffusion/reflow families the sampler settings are fixed at
+        enable time (``model_kwargs``: speedup/method/k_step or
+        infer_step/method/t_start — exactly what a server process pins at
+        startup); the batched graph is a vmap of the identical
+        single-request cascade+vocoder computation, so each request's
+        output is independent of its batch."""
         from .batcher import BatchedSynth
 
         if self.batcher is not None:
             self.batcher.close()
+        if self.family == "ddsp":
+            self.batcher = BatchedSynth(
+                self.model, self.variables["params"], buckets=buckets,
+                max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
+            )
+            return self.batcher
+
+        kwargs = self._sampler_kwargs(model_kwargs)
+        vocoder = self.vocoder
+        model = self.model
+        self._batch_kwargs = dict(kwargs)  # infer() must route only
+        # same-settings requests through the batcher
+
+        def builder(bucket):
+            def single(params, u, f, v, s, k):
+                mel = model.apply(
+                    {"params": params["model"]}, u[None], f[None], v[None],
+                    spk_id=s[None], spk_mix_dict=None, infer=True,
+                    key=k, rngs={"noise": k}, **kwargs,
+                )
+                if vocoder.type == "nsf-hifigan-log10":  # Vocoder.infer parity
+                    mel = mel / 0.434294
+                audio = vocoder.model.apply(
+                    {"params": params["vocoder"]}, mel, f[None, :, 0],
+                    key=k,
+                )
+                return audio[0]
+
+            def fwd(params, units, f0, volume, spk, keys):
+                return jax.vmap(
+                    single, in_axes=(None, 0, 0, 0, 0, 0)
+                )(params, units, f0, volume, spk, keys)
+
+            return fwd
+
         self.batcher = BatchedSynth(
-            self.model, self.variables["params"], buckets=buckets,
-            max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
+            self.model,
+            {"model": self.variables["params"], "vocoder": vocoder.params},
+            buckets=buckets, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            mesh=mesh, forward_builder=builder,
+            out_hop=vocoder.vocoder_hop_size,
         )
         return self.batcher
+
+    def _batch_settings_match(self, sampler_kwargs) -> bool:
+        """Only requests with the batcher's pinned sampler settings may ride
+        the batched graph (mel_extract_fn closures are per-instance,
+        compare the static values only)."""
+        pinned = getattr(self, "_batch_kwargs", None)
+        if pinned is None:
+            return False
+
+        def static(d):
+            return {k: v for k, v in d.items() if k != "mel_extract_fn"}
+
+        return static(pinned) == static(sampler_kwargs)
+
+    def _sampler_kwargs(self, model_kwargs):
+        """The static sampler settings for a non-ddsp forward (the same
+        resolution rules as the direct path in infer())."""
+        args = self.args
+        if self.family in ("diffusion", "unit2mel"):
+            kwargs = dict(
+                infer_speedup=model_kwargs.get("speedup", 10),
+                sampler=model_kwargs.get("method", "dpm-solver"),
+                k_step=model_kwargs.get("k_step", args.model.k_step_max or 300),
+            )
+        else:
+            kwargs = dict(
+                infer_step=model_kwargs.get("infer_step", 20),
+                sampler=model_kwargs.get("method", "euler"),
+                t_start=model_kwargs.get(
+                    "t_start", float(args.model.t_start or 0.0)
+                ),
+            )
+        if self.family != "unit2mel":
+            kwargs["mel_extract_fn"] = (
+                lambda wav: self.vocoder.extract(wav, args.data.sampling_rate)
+            )
+        return kwargs
 
     def _ddsp_forward(self):
         """Jitted flagship forward (shape-polymorphic via jit's own cache)."""
@@ -196,25 +273,23 @@ class SvcPipeline:
                 )
             out_sr = args.data.sampling_rate
         else:
+            sampler_kwargs = self._sampler_kwargs(model_kwargs)
             kwargs = dict(common)
-            if self.family in ("diffusion", "unit2mel"):
-                kwargs.update(
-                    infer_speedup=model_kwargs.get("speedup", 10),
-                    sampler=model_kwargs.get("method", "dpm-solver"),
-                    k_step=model_kwargs.get("k_step", args.model.k_step_max or 300),
-                )
-            else:
-                kwargs.update(
-                    infer_step=model_kwargs.get("infer_step", 20),
-                    sampler=model_kwargs.get("method", "euler"),
-                    t_start=model_kwargs.get(
-                        "t_start", float(args.model.t_start or 0.0)
-                    ),
-                )
-            if self.family != "unit2mel":
-                kwargs["mel_extract_fn"] = (
-                    lambda wav: self.vocoder.extract(wav, args.data.sampling_rate)
-                )
+            kwargs.update(sampler_kwargs)
+            if (batcher is not None and spk_mix_dict is None
+                    and t <= batcher.buckets[-1]
+                    and self._batch_settings_match(sampler_kwargs)):
+                jax.effects_barrier()  # host staging (axon d2h)
+                out = jnp.asarray(
+                    batcher.infer(
+                        np.asarray(units)[0], np.asarray(f0)[0],
+                        np.asarray(volume_j)[0], spk_id, sub,
+                    )
+                )[None, :]
+                out_sr = self.vocoder.vocoder_sample_rate
+                out = out * mask[:, : out.shape[-1]]
+                jax.effects_barrier()
+                return np.asarray(out)[0], out_sr
             if spk_mix_dict is None:
                 static_key = tuple(
                     (k, v) for k, v in sorted(kwargs.items())

@@ -285,3 +285,97 @@ def test_close_fails_queued_requests():
         th.join(timeout=60)
     assert all(not th.is_alive() for th in threads), "caller hung after close"
     assert len(outcomes) == 4
+
+
+def _tiny_vocoder_ckpt(tmp_path):
+    """A small NSF-HiFiGAN checkpoint on disk (hop 64 at 16 kHz, 16 mels)."""
+    from flax import serialization
+
+    from ddsp_svc_tpu.models.nsf_hifigan import Generator
+
+    cfg = dict(
+        sampling_rate=SR, num_mels=16, n_fft=WIN, win_size=WIN,
+        hop_size=HOP, fmin=40, fmax=7000,
+        upsample_rates=(4, 4, 4), upsample_kernel_sizes=(8, 8, 8),
+        upsample_initial_channel=16, resblock="1",
+        resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+    )
+    gen = Generator(
+        sampling_rate=cfg["sampling_rate"], num_mels=cfg["num_mels"],
+        upsample_rates=cfg["upsample_rates"],
+        upsample_kernel_sizes=cfg["upsample_kernel_sizes"],
+        upsample_initial_channel=cfg["upsample_initial_channel"],
+        resblock=cfg["resblock"],
+        resblock_kernel_sizes=cfg["resblock_kernel_sizes"],
+        resblock_dilation_sizes=cfg["resblock_dilation_sizes"],
+    )
+    params = gen.init(
+        {"params": jax.random.PRNGKey(3), "noise": jax.random.PRNGKey(4)},
+        jnp.zeros((1, 8, 16)), 220.0 * jnp.ones((1, 8)),
+    )["params"]
+    cfg_ser = {k: list(v) if isinstance(v, tuple) else v
+               for k, v in cfg.items()}
+    cfg_ser["resblock_dilation_sizes"] = [
+        list(d) for d in cfg["resblock_dilation_sizes"]
+    ]
+    path = tmp_path / "voc.msgpack"
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {"params": jax.device_get(params), "config": cfg_ser}
+        ))
+    return str(path)
+
+
+def test_pipeline_batched_diffusion_matches_direct(tmp_path):
+    """Mel-family batching: the batched (vmapped cascade+vocoder) path must
+    reproduce the direct path exactly (same per-request key, t == bucket)."""
+    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+    from ddsp_svc_tpu.models.cascade import Unit2Mel
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    voc_path = _tiny_vocoder_ckpt(tmp_path)
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": N_UNIT},
+        "model": {"type": "Diffusion", "n_spk": 2, "k_step_max": 20},
+        "vocoder": {"type": "nsf-hifigan", "ckpt": voc_path},
+        "enhancer": None,
+    })
+    model = Unit2Mel(N_UNIT, 2, False, 16, n_layers=2, n_chans=16,
+                     n_hidden=16, k_step_max=20)
+    t = 16
+    variables = {"params": model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, t, N_UNIT)), 220.0 * jnp.ones((1, t, 1)),
+        jnp.ones((1, t, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        gt_spec=jnp.zeros((1, t, 16)), infer=False,
+    )["params"]}
+
+    pipe = SvcPipeline.from_parts(model, variables, args, _StubUnitsEncoder())
+
+    bucket = 32
+    n = np.arange(bucket * HOP)
+    audio = (0.3 * np.sin(2 * np.pi * 220.0 * n / SR)).astype(np.float32)
+
+    settings = dict(k_step=10, method="ddim", speedup=2)
+    pipe._key = jax.random.PRNGKey(77)
+    direct, sr_direct = pipe.infer(audio, SR, spk_id=2, **settings)
+
+    batcher = pipe.enable_batching(buckets=(bucket,), max_batch=2,
+                                   max_wait_ms=5.0, **settings)
+    try:
+        pipe._key = jax.random.PRNGKey(77)
+        batched, sr_batched = pipe.infer(audio, SR, spk_id=2, **settings)
+
+        # mismatched settings fall back to the direct path, not the batcher
+        pipe._key = jax.random.PRNGKey(77)
+        other, _ = pipe.infer(audio, SR, spk_id=2, k_step=4, method="ddim",
+                              speedup=2)
+    finally:
+        batcher.close()
+        pipe.batcher = None
+
+    assert sr_direct == sr_batched == SR
+    assert batched.shape == direct.shape
+    np.testing.assert_allclose(batched, direct, rtol=2e-4, atol=2e-5)
+    assert other.shape == direct.shape  # fallback worked
