@@ -72,6 +72,19 @@ def make_handler(pipeline, default_kwargs):
             spk_id = int(float(val("sSpeakId", 1)))
             out_rate = int(val("sampleRate", 44100))
             pad = float(val("fSafePrefixPadLength", 0.0))
+            # diffusion-variant fields (flask_api_diff.py:39-56): absent
+            # fields leave the server defaults untouched
+            extra = {}
+            if "sample_method" in form:
+                sm = val("sample_method", "None")
+                extra["method"] = "pndm" if sm == "None" else "dpm-solver"
+            if "sample_interval" in form:
+                extra["speedup"] = int(float(val("sample_interval", 20)))
+            if "skip_steps" in form:
+                kstep = 1000 - int(float(val("skip_steps", 0)))
+                if kstep < extra.get("speedup", 20):
+                    kstep = 300
+                extra["k_step"] = kstep
 
             in_sr, data = wavfile.read(io.BytesIO(wav_bytes))
             if data.dtype == np.int16:
@@ -82,7 +95,7 @@ def make_handler(pipeline, default_kwargs):
 
             out, sr = pipeline.infer(
                 audio, in_sr, spk_id=spk_id, key_shift=pitch,
-                silence_front=pad, **default_kwargs,
+                silence_front=pad, **{**default_kwargs, **extra},
             )
             if sr != out_rate:
                 import jax.numpy as jnp
