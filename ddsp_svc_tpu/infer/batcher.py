@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -183,8 +184,6 @@ class BatchedSynth:
         ``_pending`` list, which is always served FIRST next round (age
         order) — requeueing to the shared queue would let sustained
         one-bucket traffic starve the others."""
-        import time
-
         if self._pending:
             first = self._pending.pop(0)
         else:

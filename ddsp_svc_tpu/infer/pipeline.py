@@ -6,6 +6,8 @@ f0/volume/units -> model -> (enhancer | vocoder) -> audio out.
 """
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 import jax
@@ -30,10 +32,9 @@ class SvcPipeline:
     ):
         from ..cli.common import build_units_encoder
 
-        from ..cli.common import build_units_encoder as _bue
-
         model, variables, args = load_model(model_path)
-        self._init_from_parts(model, variables, args, _bue(args),
+        self._init_from_parts(model, variables, args,
+                              build_units_encoder(args),
                               pitch_extractor, f0_min, f0_max, enhance)
 
     @classmethod
@@ -71,8 +72,6 @@ class SvcPipeline:
             vc = self.args.vocoder or {}
             self.vocoder = Vocoder(vc.get("type", "nsf-hifigan"), vc.get("ckpt"))
         self._key = jax.random.PRNGKey(0)
-        import threading
-
         self._key_lock = threading.Lock()  # infer() is called from server threads
         # jit cache per static signature: realtime feeds fixed-context
         # blocks, so after the first block every call hits a compiled

@@ -16,17 +16,10 @@ import jax.numpy as jnp
 from ddsp_svc_tpu.cli.api import make_handler, parse_multipart
 from ddsp_svc_tpu.infer.pipeline import SvcPipeline
 from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+from helpers import StubUnitsEncoder
 from ddsp_svc_tpu.utils.config import DotDict
 
 SR, HOP, WIN, N_UNIT = 16000, 64, 256, 16
-
-
-class _StubUnitsEncoder:
-    def encode(self, audio, sample_rate, hop):
-        t = audio.shape[-1] // hop
-        frames = np.asarray(audio)[0, : t * hop].reshape(t, hop)
-        base = jnp.asarray(frames.std(axis=1, keepdims=True), jnp.float32)
-        return jnp.tile(base, (1, N_UNIT))[None]
 
 
 def _make_pipeline():
@@ -42,7 +35,7 @@ def _make_pipeline():
         jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
         jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
     )
-    return SvcPipeline.from_parts(model, variables, args, _StubUnitsEncoder())
+    return SvcPipeline.from_parts(model, variables, args, StubUnitsEncoder(N_UNIT, channel_ramp=False))
 
 
 @pytest.fixture(scope="module")

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from ddsp_svc_tpu.infer.batcher import BatchedSynth
 from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+from helpers import StubUnitsEncoder
 
 SR, HOP, WIN, N_UNIT = 16000, 64, 256, 16
 
@@ -101,18 +102,6 @@ def test_bucket_selection_and_overflow(synth):
         eng.infer(u, f, v, spk_id=1, key=jax.random.PRNGKey(0))
 
 
-class _StubUnitsEncoder:
-    """Deterministic tiny stand-in for UnitsEncoder (hash of frame RMS)."""
-
-    def encode(self, audio, sample_rate, hop):
-        t = audio.shape[-1] // hop
-        frames = np.asarray(audio)[0, : t * hop].reshape(t, hop)
-        base = jnp.asarray(frames.std(axis=1, keepdims=True), jnp.float32)
-        return jnp.tile(base, (1, N_UNIT))[None] * jnp.linspace(
-            0.5, 1.5, N_UNIT
-        )
-
-
 def test_pipeline_batched_matches_direct():
     """SvcPipeline.enable_batching wiring: same audio in -> same audio out
     as the jitted direct path. The two paths draw exciter noise differently
@@ -143,7 +132,7 @@ def test_pipeline_batched_matches_direct():
     bias[2 * f_bins : 3 * f_bins] = -30.0
     variables["params"]["unit2ctrl"]["dense_out"]["bias"] = jnp.asarray(bias)
 
-    pipe = SvcPipeline.from_parts(model, variables, args, _StubUnitsEncoder())
+    pipe = SvcPipeline.from_parts(model, variables, args, StubUnitsEncoder(N_UNIT, channel_ramp=True))
 
     bucket = 64
     n = np.arange(bucket * HOP)
@@ -351,7 +340,7 @@ def test_pipeline_batched_diffusion_matches_direct(tmp_path):
         gt_spec=jnp.zeros((1, t, 16)), infer=False,
     )["params"]}
 
-    pipe = SvcPipeline.from_parts(model, variables, args, _StubUnitsEncoder())
+    pipe = SvcPipeline.from_parts(model, variables, args, StubUnitsEncoder(N_UNIT, channel_ramp=True))
 
     bucket = 32
     n = np.arange(bucket * HOP)
