@@ -449,6 +449,106 @@ def bench_train(batch=24, seconds=2.0):
         n_iter *= 2
 
 
+def bench_train_vocoder(batch=16, frames=16):
+    """NSF-HiFiGAN GAN training throughput (gen+MPD+MSD fwd/bwd, HiFiGAN
+    8192-sample crops): audio-seconds trained per wall-second. The reference
+    cannot train its vocoder at all — this measures the beyond-reference
+    trainer (train/vocoder_solver.py)."""
+    from ddsp_svc_tpu.models.nsf_hifigan import Generator
+    from ddsp_svc_tpu.models.vocoder import DEFAULT_NSF_CONFIG
+    from ddsp_svc_tpu.ops.mel import LogMelSpectrogram
+    from ddsp_svc_tpu.train.vocoder_solver import (
+        init_vocoder_training,
+        make_vocoder_train_steps,
+    )
+
+    cfg = dict(DEFAULT_NSF_CONFIG)
+    gen = Generator(
+        sampling_rate=cfg["sampling_rate"], num_mels=cfg["num_mels"],
+        upsample_rates=tuple(cfg["upsample_rates"]),
+        upsample_kernel_sizes=tuple(cfg["upsample_kernel_sizes"]),
+        upsample_initial_channel=cfg["upsample_initial_channel"],
+        resblock=cfg["resblock"],
+        resblock_kernel_sizes=tuple(cfg["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=tuple(
+            tuple(d) for d in cfg["resblock_dilation_sizes"]
+        ),
+    )
+    mel_mod = LogMelSpectrogram(
+        sr=cfg["sampling_rate"], n_mels=cfg["num_mels"], n_fft=cfg["n_fft"],
+        win_size=cfg["win_size"], hop_length=cfg["hop_size"],
+        fmin=cfg["fmin"], fmax=cfg["fmax"],
+    )
+    rng = np.random.default_rng(0)
+    mel_ex = jnp.asarray(
+        rng.standard_normal((batch, frames, cfg["num_mels"])), jnp.float32
+    )
+    f0_ex = 220.0 * jnp.ones((batch, frames, 1), jnp.float32)
+    with _cpu():
+        state_g, state_d, disc = init_vocoder_training(
+            gen, mel_ex[:1], f0_ex[:1], jax.random.PRNGKey(0)
+        )
+    dev = jax.devices()[0]
+    state_g = jax.tree.map(
+        lambda a: jax.device_put(a, dev) if hasattr(a, "dtype") else a,
+        state_g,
+    )
+    state_d = jax.tree.map(
+        lambda a: jax.device_put(a, dev) if hasattr(a, "dtype") else a,
+        state_d,
+    )
+    disc_step, gen_step = make_vocoder_train_steps(gen, disc, mel_mod.extract)
+    batch_d = _put({
+        "mel": np.asarray(mel_ex),
+        "f0": np.asarray(f0_ex),
+        "audio": 0.1 * rng.standard_normal(
+            (batch, frames * cfg["hop_size"])
+        ).astype(np.float32),
+    })
+    audio_s_per_step = batch * frames * cfg["hop_size"] / cfg["sampling_rate"]
+
+    last = None
+    for attempt in range(5):
+        try:
+            state_d, md = disc_step(
+                state_d, state_g.params, batch_d, jax.random.PRNGKey(1)
+            )
+            state_g, mg = gen_step(
+                state_g, state_d.params, batch_d, jax.random.PRNGKey(2)
+            )
+            _sync(mg["gen_loss"])
+            break
+        except Exception as e:
+            last = e
+            if attempt == 4:
+                raise last
+            time.sleep(30)
+    n_iter = 2
+    while True:
+        start = time.perf_counter()
+        mg = None
+        for i in range(n_iter):
+            state_d, _ = disc_step(
+                state_d, state_g.params, batch_d, jax.random.PRNGKey(3 + i)
+            )
+            state_g, mg = gen_step(
+                state_g, state_d.params, batch_d, jax.random.PRNGKey(100 + i)
+            )
+        loss = _sync(mg["gen_loss"])
+        elapsed = time.perf_counter() - start
+        if elapsed >= MIN_WINDOW_S or n_iter >= 512:
+            rtf = n_iter * audio_s_per_step / elapsed
+            return {
+                "metric": "train_vocoder_rtf_44k1",
+                "value": round(rtf, 2),
+                "unit": "audio_seconds_trained_per_wall_second_per_chip",
+                "steps_per_s": round(n_iter / elapsed, 3),
+                "gen_loss": round(loss, 4),
+                "vs_baseline": None,  # the reference has no vocoder trainer
+            }
+        n_iter *= 2
+
+
 CONFIGS = {
     "combsub": bench_combsub,
     "combsub_pallas": lambda: bench_combsub(use_pallas=True),
@@ -471,6 +571,9 @@ DICT_CONFIGS = {
                 "aggregate_x_realtime_per_chip"),
     "train": (lambda: bench_train(), "train_rtf_44k1",
               "audio_seconds_trained_per_wall_second_per_chip"),
+    "train_vocoder": (lambda: bench_train_vocoder(),
+                      "train_vocoder_rtf_44k1",
+                      "audio_seconds_trained_per_wall_second_per_chip"),
 }
 
 

@@ -94,6 +94,24 @@ def main(argv=None):
         print(f" [*] resumed from {latest} (step {step})")
 
     disc_step, gen_step = make_vocoder_train_steps(gen, disc, mel_x.extract)
+
+    # data-parallel over a 1-axis mesh: params replicated, batch rows
+    # sharded — XLA inserts the gradient all-reduce (the same
+    # jit-over-NamedSharding recipe as the main trainer, SCALING.md)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    batch_sz = int(args.train.batch_size)
+    n_dev = len(jax.devices())
+    while n_dev > 1 and batch_sz % n_dev != 0:
+        n_dev -= 1
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P("data"))
+    state_g = jax.device_put(state_g, repl)
+    state_d = jax.device_put(state_d, repl)
+    if n_dev > 1:
+        print(f" [*] data-parallel over {n_dev} devices")
+
     key = jax.random.PRNGKey(int(args.train.seed or 0))
     interval_log = int(args.train.interval_log or 10)
     interval_val = int(args.train.interval_val or 2000)
@@ -103,9 +121,9 @@ def main(argv=None):
     while saver.global_step < total:
         batch_np = sampler.sample()
         batch = {
-            "audio": jnp.asarray(batch_np["audio"]),
-            "mel": jnp.asarray(batch_np["mel"]),
-            "f0": jnp.asarray(batch_np["f0"]),
+            "audio": jax.device_put(jnp.asarray(batch_np["audio"]), rows),
+            "mel": jax.device_put(jnp.asarray(batch_np["mel"]), rows),
+            "f0": jax.device_put(jnp.asarray(batch_np["f0"]), rows),
         }
         key, k1, k2 = jax.random.split(key, 3)
         state_d, md = disc_step(state_d, state_g.params, batch, k1)

@@ -1,5 +1,6 @@
 """Tests for cascade models and NSF-HiFiGAN (tiny configs)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -143,3 +144,55 @@ def test_discriminators_and_gan_losses():
     v = msd.init(jax.random.PRNGKey(0), y, y_hat)
     r, g, fr, fg = msd.apply(v, y, y_hat)
     assert np.isfinite(float(discriminator_loss(r, g)))
+
+
+@pytest.mark.slow
+def test_vocoder_gan_step_data_parallel():
+    """The vocoder GAN train steps run with the batch sharded over the full
+    virtual mesh (params replicated — XLA inserts the grad all-reduce), the
+    cli.train_vocoder data-parallel recipe."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ddsp_svc_tpu.models.nsf_hifigan import Generator
+    from ddsp_svc_tpu.ops.mel import LogMelSpectrogram
+    from ddsp_svc_tpu.train.vocoder_solver import (
+        init_vocoder_training,
+        make_vocoder_train_steps,
+    )
+
+    sr, hop, m = 16000, 64, 8
+    gen = Generator(
+        sampling_rate=sr, num_mels=m, upsample_rates=(4, 4, 4),
+        upsample_kernel_sizes=(8, 8, 8), upsample_initial_channel=16,
+        resblock="1", resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),),
+    )
+    mel_x = LogMelSpectrogram(sr=sr, n_mels=m, n_fft=256, win_size=256,
+                              hop_length=hop, fmin=40, fmax=7000)
+    b, t = 8, 16
+    state_g, state_d, disc = init_vocoder_training(
+        gen, jnp.zeros((1, t, m)), jnp.zeros((1, t, 1)),
+        jax.random.PRNGKey(0),
+    )
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    repl, rows = NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))
+    state_g = jax.device_put(state_g, repl)
+    state_d = jax.device_put(state_d, repl)
+    disc_step, gen_step = make_vocoder_train_steps(gen, disc, mel_x.extract)
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": jax.device_put(
+            jnp.asarray(rng.standard_normal((b, t, m)), jnp.float32), rows
+        ),
+        "f0": jax.device_put(220.0 * jnp.ones((b, t, 1), jnp.float32), rows),
+        "audio": jax.device_put(
+            jnp.asarray(0.1 * rng.standard_normal((b, t * hop)), jnp.float32),
+            rows,
+        ),
+    }
+    state_d, md = disc_step(state_d, state_g.params, batch,
+                            jax.random.PRNGKey(1))
+    state_g, mg = gen_step(state_g, state_d.params, batch,
+                           jax.random.PRNGKey(2))
+    assert np.isfinite(float(md["disc_loss"]))
+    assert np.isfinite(float(mg["gen_loss"]))
