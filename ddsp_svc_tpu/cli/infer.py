@@ -173,13 +173,31 @@ def main(argv=None):
                 if t_seg + pad_t < min_t:
                     pad_t = min_t - t_seg  # short segment: pad up to halo min
                     pad_t += (-(t_seg + pad_t)) % n_dev
+                # pad with edge replication (units; real neighboring frames
+                # for f0/volume, which exist utterance-wide). The padded
+                # tail is trimmed after synthesis; within the final
+                # receptive-field window (~FRAME_HALO frames) the streamed
+                # output may differ from the non-streamed segment, which
+                # has its own conv edge there — the cross-fade splicing
+                # hides segment seams exactly as the reference's does
+                total_t = f0.shape[1]
+                ext = min(pad_t, total_t - (start_frame + t_seg))
+                syn = pad_t - ext
+                e1 = start_frame + t_seg + ext
+                seg_units_p = jnp.pad(
+                    seg_units, ((0, 0), (0, pad_t), (0, 0)), mode="edge"
+                )
+                seg_f0_p = jnp.pad(
+                    f0[:, start_frame:e1], ((0, 0), (0, syn), (0, 0)),
+                    mode="edge",
+                )
+                seg_volume_p = jnp.pad(
+                    volume[:, start_frame:e1], ((0, 0), (0, syn), (0, 0)),
+                    mode="edge",
+                )
                 mesh = Mesh(np.array(jax.devices()[:n_dev]), ("time",))
                 seg_output = streamed_forward(
-                    model, variables,
-                    jnp.pad(seg_units, ((0, 0), (0, pad_t), (0, 0))),
-                    jnp.pad(seg_f0, ((0, 0), (0, pad_t), (0, 0)),
-                            mode="edge"),
-                    jnp.pad(seg_volume, ((0, 0), (0, pad_t), (0, 0))),
+                    model, variables, seg_units_p, seg_f0_p, seg_volume_p,
                     sub, mesh=mesh, spk_id=spk_id,
                 )[:, : t_seg * args.data.block_size]
             else:
