@@ -178,11 +178,65 @@ def check_combsub_bf16_quality():
     return {"ok": bool(snr > 25.0), "snr_db_bf16_vs_f32": round(snr, 2)}
 
 
+
+
+def check_batcher_serving():
+    """BatchedSynth on the real chip: a padded request's output must equal
+    the direct padded forward with the same per-request noise key."""
+    from ddsp_svc_tpu.infer.batcher import BatchedSynth
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+    sr, hop, win, n_unit = 44100, 512, 2048, 768
+    model = CombSubSuperFast(sr, hop, win, n_unit=n_unit, n_spk=2)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        )["params"]
+    dev = jax.devices()[0]
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+
+    rng = np.random.default_rng(5)
+    t, bucket = 100, 128
+    units = rng.standard_normal((t, n_unit)).astype(np.float32)
+    f0 = (220.0 * np.exp(0.1 * rng.standard_normal((t, 1)))).astype(np.float32)
+    vol = 0.5 * np.ones((t, 1), np.float32)
+    key = jax.random.PRNGKey(9)
+
+    eng = BatchedSynth(model, params, buckets=(bucket,), max_batch=2,
+                       max_wait_ms=5.0)
+    try:
+        got = eng.infer(units, f0, vol, spk_id=1, key=key)
+    finally:
+        eng.close()
+
+    u = np.zeros((1, bucket, n_unit), np.float32); u[0, :t] = units
+    f = np.full((1, bucket, 1), 220.0, np.float32); f[0, :t] = f0
+    v = np.zeros((1, bucket, 1), np.float32); v[0, :t] = vol
+    noise = jax.random.normal(key, (1, bucket * hop), jnp.float32)
+
+    def direct(p, u, f, v, n):
+        sig, _, _ = model.apply(
+            {"params": p}, u, f, v, spk_id=jnp.ones((1, 1), jnp.int32),
+            infer=True, noise=n,
+        )
+        return sig
+
+    ref = _fetch(jax.jit(direct)(params, jnp.asarray(u), jnp.asarray(f),
+                                 jnp.asarray(v), noise))[0, : t * hop]
+    denom = max(float(np.abs(ref).max()), 1e-9)
+    rel = float(np.abs(got - ref).max()) / denom
+    return {"ok": bool(rel < 1e-4), "max_rel_err": rel}
+
+
 CHECKS = {
     "pallas_combtooth": check_pallas_combtooth,
     "pallas_oscillator": check_pallas_oscillator,
     "nsf_bf16_quality": check_nsf_bf16_quality,
     "combsub_bf16_quality": check_combsub_bf16_quality,
+    "batcher_serving": check_batcher_serving,
 }
 
 
