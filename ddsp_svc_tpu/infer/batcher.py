@@ -37,9 +37,14 @@ class _Request:
     key: jax.Array
     n_frames: int
     bucket: int
+    sig: tuple = ()  # static sampler signature; only same-sig requests batch
     done: threading.Event = field(default_factory=threading.Event)
     result: np.ndarray | None = None
     error: Exception | None = None
+
+    @property
+    def group(self) -> tuple:
+        return (self.bucket, self.sig)
 
 
 class BatchedSynth:
@@ -65,12 +70,15 @@ class BatchedSynth:
         rows split across chips, XLA inserts no collectives in the forward).
         ``max_batch`` must be divisible by the mesh size.
 
-        ``forward_builder``: optional ``builder(bucket) -> fwd(params,
+        ``forward_builder``: optional ``builder(bucket, sig) -> fwd(params,
         units, f0, volume, spk, keys) -> audio (n, bucket*out_hop)`` for
         non-ddsp synthesis graphs (e.g. cascade + vocoder; see
-        SvcPipeline.enable_batching). ``out_hop`` = output samples per
-        frame (defaults to model.block_size; the vocoder hop for mel
-        families)."""
+        SvcPipeline.enable_batching). ``sig`` is the request's static
+        sampler signature — only requests sharing (bucket, sig) ride one
+        device call, so per-request sampler settings (the
+        flask_api_diff.py:39-56 fields) batch within matching groups.
+        ``out_hop`` = output samples per frame (defaults to
+        model.block_size; the vocoder hop for mel families)."""
         self.model = model
         self.params = params
         self.buckets = tuple(sorted(buckets))
@@ -97,13 +105,17 @@ class BatchedSynth:
         self._worker.start()
 
     # ---- public ---------------------------------------------------------
-    def infer(self, units, f0, volume, spk_id: int, key) -> np.ndarray:
-        """units (T, C), f0/volume (T, 1) -> audio (T * hop,). Blocking."""
+    def infer(self, units, f0, volume, spk_id: int, key,
+              sig: tuple = ()) -> np.ndarray:
+        """units (T, C), f0/volume (T, 1) -> audio (T * hop,). Blocking.
+
+        ``sig``: hashable static sampler signature (ignored for ddsp
+        synths); requests batch only with same-(bucket, sig) peers."""
         t = units.shape[0]
         bucket = self._bucket_for(t)
         req = _Request(
             np.asarray(units, np.float32), np.asarray(f0, np.float32),
-            np.asarray(volume, np.float32), int(spk_id), key, t, bucket,
+            np.asarray(volume, np.float32), int(spk_id), key, t, bucket, sig,
         )
         if self._stop:
             raise RuntimeError("BatchedSynth closed")
@@ -146,13 +158,13 @@ class BatchedSynth:
             "split the request (cli/infer.py segmenting) or add a bucket"
         )
 
-    def _fn(self, bucket: int):
-        fn = self._jit.get(bucket)
+    def _fn(self, bucket: int, sig: tuple = ()):
+        fn = self._jit.get((bucket, sig))
         if fn is None:
             model = self.model
 
             if self.forward_builder is not None:
-                fwd = self.forward_builder(bucket)
+                fwd = self.forward_builder(bucket, sig)
             else:
                 def fwd(params, units, f0, volume, spk, keys):
                     noise = jax.vmap(
@@ -175,15 +187,15 @@ class BatchedSynth:
                 )
             else:
                 fn = jax.jit(fwd)
-            self._jit[bucket] = fn
+            self._jit[(bucket, sig)] = fn
         return fn
 
     def _collect(self) -> list[_Request]:
-        """One batch: take the oldest waiting request, then gather same-bucket
-        requests for up to max_wait. Other-bucket arrivals go to the worker's
-        ``_pending`` list, which is always served FIRST next round (age
-        order) — requeueing to the shared queue would let sustained
-        one-bucket traffic starve the others."""
+        """One batch: take the oldest waiting request, then gather
+        same-(bucket, sig) requests for up to max_wait. Other-group arrivals
+        go to the worker's ``_pending`` list, which is always served FIRST
+        next round (age order) — requeueing to the shared queue would let
+        sustained one-group traffic starve the others."""
         if self._pending:
             first = self._pending.pop(0)
         else:
@@ -194,7 +206,7 @@ class BatchedSynth:
         for r in list(self._pending):
             if len(batch) >= self.max_batch:
                 break
-            if r.bucket == first.bucket:
+            if r.group == first.group:
                 self._pending.remove(r)
                 batch.append(r)
         deadline = time.monotonic() + self.max_wait_s
@@ -209,7 +221,7 @@ class BatchedSynth:
             if r is None:
                 self._q.put(None)
                 break
-            if r.bucket == first.bucket:
+            if r.group == first.group:
                 batch.append(r)
             else:
                 self._pending.append(r)
@@ -244,7 +256,7 @@ class BatchedSynth:
             keys.append(r.key)
         while len(keys) < n:  # dummy rows
             keys.append(jax.random.PRNGKey(0))
-        out = self._fn(bucket)(
+        out = self._fn(bucket, batch[0].sig)(
             self.params, jnp.asarray(units), jnp.asarray(f0),
             jnp.asarray(volume), jnp.asarray(spk), jnp.stack(keys),
         )

@@ -81,7 +81,8 @@ class SvcPipeline:
         self.batcher = None
 
     def enable_batching(self, buckets=(128, 256, 512, 1024), max_batch: int = 8,
-                        max_wait_ms: float = 5.0, mesh=None, **model_kwargs):
+                        max_wait_ms: float = 5.0, mesh=None,
+                        max_signatures: int = 4, **model_kwargs):
         """Route synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
         bucket ride one device call. The reference's flask_api serves one
@@ -89,12 +90,16 @@ class SvcPipeline:
         mostly idle (see PERF.md roofline), so batching is the serving
         throughput lever.
 
-        For diffusion/reflow families the sampler settings are fixed at
-        enable time (``model_kwargs``: speedup/method/k_step or
-        infer_step/method/t_start — exactly what a server process pins at
-        startup); the batched graph is a vmap of the identical
-        single-request cascade+vocoder computation, so each request's
-        output is independent of its batch."""
+        For diffusion/reflow families the sampler settings
+        (``model_kwargs``: speedup/method/k_step or
+        infer_step/method/t_start) become a static *signature*: requests
+        batch with same-signature peers, so the per-request sampler fields
+        of flask_api_diff.py:39-56 still ride batched graphs. Each distinct
+        signature costs one XLA compile per bucket; at most
+        ``max_signatures`` (beyond the enable-time default) are admitted —
+        further novel settings fall back to the direct path. The batched
+        graph is a vmap of the identical single-request cascade+vocoder
+        computation, so each request's output is independent of its batch."""
         from .batcher import BatchedSynth
 
         if self.batcher is not None:
@@ -109,15 +114,25 @@ class SvcPipeline:
         kwargs = self._sampler_kwargs(model_kwargs)
         vocoder = self.vocoder
         model = self.model
-        self._batch_kwargs = dict(kwargs)  # infer() must route only
-        # same-settings requests through the batcher
+        family = self.family
+        self._batch_sigs = {self._static_sig(kwargs)}  # admitted signatures
+        self._batch_max_sigs = max_signatures
+        self._batch_sig_lock = threading.Lock()
 
-        def builder(bucket):
+        def builder(bucket, sig):
+            kw = dict(sig)  # the signature IS the static sampler kwargs
+            if family != "unit2mel":
+                kw["mel_extract_fn"] = (
+                    lambda wav: vocoder.extract(
+                        wav, self.args.data.sampling_rate
+                    )
+                )
+
             def single(params, u, f, v, s, k):
                 mel = model.apply(
                     {"params": params["model"]}, u[None], f[None], v[None],
                     spk_id=s[None], spk_mix_dict=None, infer=True,
-                    key=k, rngs={"noise": k}, **kwargs,
+                    key=k, rngs={"noise": k}, **kw,
                 )
                 if vocoder.type == "nsf-hifigan-log10":  # Vocoder.infer parity
                     mel = mel / 0.434294
@@ -143,18 +158,29 @@ class SvcPipeline:
         )
         return self.batcher
 
-    def _batch_settings_match(self, sampler_kwargs) -> bool:
-        """Only requests with the batcher's pinned sampler settings may ride
-        the batched graph (mel_extract_fn closures are per-instance,
-        compare the static values only)."""
-        pinned = getattr(self, "_batch_kwargs", None)
-        if pinned is None:
+    @staticmethod
+    def _static_sig(sampler_kwargs) -> tuple:
+        """Hashable batching signature: the static sampler settings
+        (mel_extract_fn closures are per-instance and identical across
+        requests, so they are rebuilt inside the batched graph instead)."""
+        return tuple(sorted(
+            (k, v) for k, v in sampler_kwargs.items() if k != "mel_extract_fn"
+        ))
+
+    def _admit_sig(self, sig: tuple) -> bool:
+        """Admit a request's signature for batching, capped at
+        ``max_signatures`` distinct values (each costs one compile per
+        bucket); non-admitted signatures use the direct path."""
+        sigs = getattr(self, "_batch_sigs", None)
+        if sigs is None:
             return False
-
-        def static(d):
-            return {k: v for k, v in d.items() if k != "mel_extract_fn"}
-
-        return static(pinned) == static(sampler_kwargs)
+        with self._batch_sig_lock:
+            if sig in sigs:
+                return True
+            if len(sigs) <= self._batch_max_sigs:
+                sigs.add(sig)
+                return True
+        return False
 
     def _sampler_kwargs(self, model_kwargs):
         """The static sampler settings for a non-ddsp forward (the same
@@ -275,14 +301,15 @@ class SvcPipeline:
             sampler_kwargs = self._sampler_kwargs(model_kwargs)
             kwargs = dict(common)
             kwargs.update(sampler_kwargs)
+            sig = self._static_sig(sampler_kwargs)
             if (batcher is not None and spk_mix_dict is None
                     and t <= batcher.buckets[-1]
-                    and self._batch_settings_match(sampler_kwargs)):
+                    and self._admit_sig(sig)):
                 jax.effects_barrier()  # host staging (axon d2h)
                 out = jnp.asarray(
                     batcher.infer(
                         np.asarray(units)[0], np.asarray(f0)[0],
-                        np.asarray(volume_j)[0], spk_id, sub,
+                        np.asarray(volume_j)[0], spk_id, sub, sig=sig,
                     )
                 )[None, :]
                 out_sr = self.vocoder.vocoder_sample_rate

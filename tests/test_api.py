@@ -151,3 +151,74 @@ def test_malformed_body_returns_500(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=60)
     assert e.value.code == 500
+
+
+def test_diffusion_per_request_sampler_fields(tmp_path):
+    """flask_api_diff.py:39-56 fields (sample_method/sample_interval/
+    skip_steps) vary per request; each distinct setting batches under its
+    own signature and returns valid audio — over real HTTP sockets."""
+    from http.server import ThreadingHTTPServer
+
+    from test_batcher import _tiny_vocoder_ckpt
+    from ddsp_svc_tpu.models.cascade import Unit2Mel
+
+    voc_path = _tiny_vocoder_ckpt(tmp_path)
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": N_UNIT},
+        "model": {"type": "Diffusion", "n_spk": 2, "k_step_max": 20},
+        "vocoder": {"type": "nsf-hifigan", "ckpt": voc_path},
+        "enhancer": None,
+    })
+    model = Unit2Mel(N_UNIT, 2, False, 16, n_layers=2, n_chans=16,
+                     n_hidden=16, k_step_max=20)
+    t = 16
+    variables = {"params": model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, t, N_UNIT)), 220.0 * jnp.ones((1, t, 1)),
+        jnp.ones((1, t, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        gt_spec=jnp.zeros((1, t, 16)), infer=False,
+    )["params"]}
+    pipeline = SvcPipeline.from_parts(
+        model, variables, args, StubUnitsEncoder(N_UNIT, channel_ramp=True))
+    batcher = pipeline.enable_batching(
+        buckets=(64,), max_batch=2, max_wait_ms=10.0,
+        k_step=10, method="dpm-solver", speedup=2)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pipeline, {}))
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        def post(skip_steps):
+            body, ctype = _encode_multipart({
+                "sample": _wav_bytes(), "fPitchChange": 0.0, "sSpeakId": 1,
+                "sampleRate": SR, "sample_method": "dpm-solver",
+                "sample_interval": 2, "skip_steps": skip_steps,
+            })
+            req = urllib.request.Request(
+                base + "/voiceChangeModel", data=body, method="POST",
+                headers={"Content-Type": ctype},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return r.status, r.read()
+
+        results = [None] * 3
+        skips = [990, 990, 996]  # k_step 10, 10 (one batch), 4 (own sig)
+
+        def worker(i):
+            results[i] = post(skips[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(3)]
+        for w in threads:
+            w.start()
+        for w in threads:
+            w.join()
+        for status, payload in results:
+            assert status == 200
+            _, data = wavfile.read(io.BytesIO(payload))
+            assert len(data) > 0
+        assert len(pipeline._batch_sigs) >= 2  # both settings admitted
+    finally:
+        srv.shutdown()
+        batcher.close()

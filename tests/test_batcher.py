@@ -347,19 +347,30 @@ def test_pipeline_batched_diffusion_matches_direct(tmp_path):
     audio = (0.3 * np.sin(2 * np.pi * 220.0 * n / SR)).astype(np.float32)
 
     settings = dict(k_step=10, method="ddim", speedup=2)
+    other_settings = dict(k_step=4, method="ddim", speedup=2)
     pipe._key = jax.random.PRNGKey(77)
     direct, sr_direct = pipe.infer(audio, SR, spk_id=2, **settings)
+    pipe._key = jax.random.PRNGKey(77)
+    other_direct, _ = pipe.infer(audio, SR, spk_id=2, **other_settings)
 
     batcher = pipe.enable_batching(buckets=(bucket,), max_batch=2,
-                                   max_wait_ms=5.0, **settings)
+                                   max_wait_ms=5.0, max_signatures=1,
+                                   **settings)
     try:
         pipe._key = jax.random.PRNGKey(77)
         batched, sr_batched = pipe.infer(audio, SR, spk_id=2, **settings)
 
-        # mismatched settings fall back to the direct path, not the batcher
+        # per-request sampler settings batch under their own signature
+        # (flask_api_diff fields) and must reproduce the direct path
         pipe._key = jax.random.PRNGKey(77)
-        other, _ = pipe.infer(audio, SR, spk_id=2, k_step=4, method="ddim",
-                              speedup=2)
+        other, _ = pipe.infer(audio, SR, spk_id=2, **other_settings)
+        assert len(pipe._batch_sigs) == 2
+
+        # the signature cap: a third distinct setting falls back direct
+        pipe._key = jax.random.PRNGKey(77)
+        capped, _ = pipe.infer(audio, SR, spk_id=2, k_step=6, method="ddim",
+                               speedup=2)
+        assert len(pipe._batch_sigs) == 2  # not admitted
     finally:
         batcher.close()
         pipe.batcher = None
@@ -367,4 +378,5 @@ def test_pipeline_batched_diffusion_matches_direct(tmp_path):
     assert sr_direct == sr_batched == SR
     assert batched.shape == direct.shape
     np.testing.assert_allclose(batched, direct, rtol=2e-4, atol=2e-5)
-    assert other.shape == direct.shape  # fallback worked
+    np.testing.assert_allclose(other, other_direct, rtol=2e-4, atol=2e-5)
+    assert capped.shape == direct.shape  # fallback worked
