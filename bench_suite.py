@@ -286,7 +286,8 @@ def bench_realtime_latency(n_blocks=20):
     }
 
 
-def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8):
+def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
+                  transfer_int16=False):
     """Serving throughput through the dynamic batcher (infer/batcher.py):
     aggregate RTF with max_batch=8 concurrent requests vs a max_batch=1
     engine — the quantified batching lever from PERF.md implication 1.
@@ -318,7 +319,7 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8):
 
     def run_engine(mb, concurrency):
         eng = BatchedSynth(model, params, buckets=(bucket,), max_batch=mb,
-                           max_wait_ms=20.0)
+                           max_wait_ms=20.0, transfer_int16=transfer_int16)
         try:
             # warm (compile) with retries: the tunnel fails in waves
             last = None
@@ -367,7 +368,8 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8):
     rtf_solo = run_engine(1, 1)
     rtf_batched = run_engine(max_batch, max_batch)
     return {
-        "metric": "serving_throughput_rtf_44k1",
+        "metric": ("serving_i16_throughput_rtf_44k1" if transfer_int16
+                   else "serving_throughput_rtf_44k1"),
         "value": round(rtf_batched, 2),
         "unit": "aggregate_x_realtime_per_chip",
         "solo_rtf": round(rtf_solo, 2),
@@ -569,6 +571,11 @@ DICT_CONFIGS = {
     "serving": (lambda: bench_serving(),
                 "serving_throughput_rtf_44k1",
                 "aggregate_x_realtime_per_chip"),
+    # d2h-bandwidth lever: int16 device->host transfer (PERF.md: the batched
+    # output fetch dominates serving wall time on constrained links)
+    "serving_i16": (lambda: bench_serving(transfer_int16=True),
+                    "serving_i16_throughput_rtf_44k1",
+                    "aggregate_x_realtime_per_chip"),
     "train": (lambda: bench_train(), "train_rtf_44k1",
               "audio_seconds_trained_per_wall_second_per_chip"),
     "train_vocoder": (lambda: bench_train_vocoder(),

@@ -128,12 +128,21 @@ def main(argv=None):
     p.add_argument("-p", "--port", type=int, default=6842)
     p.add_argument("-pe", "--pitch_extractor", default="yin")
     p.add_argument("--batch", type=int, default=0, metavar="N",
-                   help="enable dynamic request batching (ddsp family): up "
-                        "to N concurrent requests share one device call")
+                   help="enable dynamic request batching (all families): up "
+                        "to N concurrent requests sharing a (frame bucket, "
+                        "sampler settings) signature run as one device call")
     p.add_argument("--batch_wait_ms", type=float, default=5.0)
+    p.add_argument("--batch_i16", action="store_true",
+                   help="transfer batched audio device->host as int16 "
+                        "(halves d2h bytes; <=1-LSB rounding, free at the "
+                        "int16 wav output)")
+    p.add_argument("--batch_max_signatures", type=int, default=4,
+                   help="max distinct per-request sampler settings admitted "
+                        "to batched graphs (each costs one compile per "
+                        "bucket); further novel settings run direct")
     p.add_argument("--batch_devices", type=int, default=1, metavar="D",
                    help="shard each batch over the first D local devices "
-                        "(data-parallel serving; requires --batch % D == 0)")
+                        "(data-parallel serving; requires --batch %% D == 0)")
     cmd = p.parse_args(argv)
 
     from ..infer.pipeline import SvcPipeline
@@ -149,7 +158,9 @@ def main(argv=None):
             mesh = Mesh(np.array(jax.devices()[: cmd.batch_devices]),
                         ("data",))
         pipeline.enable_batching(max_batch=cmd.batch,
-                                 max_wait_ms=cmd.batch_wait_ms, mesh=mesh)
+                                 max_wait_ms=cmd.batch_wait_ms, mesh=mesh,
+                                 max_signatures=cmd.batch_max_signatures,
+                                 transfer_int16=cmd.batch_i16)
     server = ThreadingHTTPServer(("0.0.0.0", cmd.port), make_handler(pipeline, {}))
     print(f"voiceChangeModel API on :{cmd.port}")
     server.serve_forever()

@@ -64,6 +64,7 @@ class BatchedSynth:
         mesh=None,
         forward_builder=None,
         out_hop: int | None = None,
+        transfer_int16: bool = False,
     ):
         """``mesh``: optional 1-axis `jax.sharding.Mesh` — the request batch
         is then sharded over it (data-parallel serving: params replicated,
@@ -78,7 +79,14 @@ class BatchedSynth:
         device call, so per-request sampler settings (the
         flask_api_diff.py:39-56 fields) batch within matching groups.
         ``out_hop`` = output samples per frame (defaults to
-        model.block_size; the vocoder hop for mel families)."""
+        model.block_size; the vocoder hop for mel families).
+
+        ``transfer_int16``: quantize the batch output to int16 ON DEVICE and
+        dequantize after the host fetch — halves device→host bytes. Serving
+        is d2h-bound on constrained links (PERF.md: the tunnel moves
+        ~15 MB/s; a max_batch=8 × 30 s f32 batch is ~42 MB), and the HTTP
+        surface emits int16 wav anyway, so the ≤1-LSB (−96 dBFS) rounding
+        is free at the output."""
         self.model = model
         self.params = params
         self.buckets = tuple(sorted(buckets))
@@ -86,6 +94,7 @@ class BatchedSynth:
         self.max_wait_s = max_wait_ms / 1000.0
         self.hop = out_hop if out_hop is not None else model.block_size
         self.forward_builder = forward_builder
+        self.transfer_int16 = transfer_int16
         self.mesh = mesh
         if mesh is not None:
             (axis,) = mesh.axis_names
@@ -178,6 +187,15 @@ class BatchedSynth:
                     )
                     return sig
 
+            if self.transfer_int16:
+                inner = fwd
+
+                def fwd(params, units, f0, volume, spk, keys, _inner=inner):
+                    audio = _inner(params, units, f0, volume, spk, keys)
+                    return jnp.clip(
+                        jnp.round(audio * 32767.0), -32768.0, 32767.0
+                    ).astype(jnp.int16)
+
             if self.mesh is not None:
                 bs, rep = self._batch_sharding, self._replicated
                 fn = jax.jit(
@@ -262,6 +280,8 @@ class BatchedSynth:
         )
         jax.effects_barrier()
         out = np.asarray(out)
+        if self.transfer_int16:
+            out = out.astype(np.float32) / 32767.0
         for i, r in enumerate(batch):
             r.result = out[i, : r.n_frames * self.hop]
             r.done.set()

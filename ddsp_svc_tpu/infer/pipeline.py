@@ -82,7 +82,8 @@ class SvcPipeline:
 
     def enable_batching(self, buckets=(128, 256, 512, 1024), max_batch: int = 8,
                         max_wait_ms: float = 5.0, mesh=None,
-                        max_signatures: int = 4, **model_kwargs):
+                        max_signatures: int = 4, transfer_int16: bool = False,
+                        **model_kwargs):
         """Route synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
         bucket ride one device call. The reference's flask_api serves one
@@ -108,6 +109,7 @@ class SvcPipeline:
             self.batcher = BatchedSynth(
                 self.model, self.variables["params"], buckets=buckets,
                 max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
+                transfer_int16=transfer_int16,
             )
             return self.batcher
 
@@ -154,7 +156,7 @@ class SvcPipeline:
             {"model": self.variables["params"], "vocoder": vocoder.params},
             buckets=buckets, max_batch=max_batch, max_wait_ms=max_wait_ms,
             mesh=mesh, forward_builder=builder,
-            out_hop=vocoder.vocoder_hop_size,
+            out_hop=vocoder.vocoder_hop_size, transfer_int16=transfer_int16,
         )
         return self.batcher
 

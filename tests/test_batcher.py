@@ -156,6 +156,26 @@ def test_pipeline_batched_matches_direct():
     np.testing.assert_allclose(batched, direct, rtol=2e-4, atol=2e-6)
 
 
+def test_transfer_int16_matches_f32(synth):
+    """int16 device->host transfer (the d2h-bandwidth lever) reproduces the
+    f32 path within one 16-bit LSB."""
+    eng, model, params = synth
+    eng16 = BatchedSynth(model, params, buckets=(32,), max_batch=2,
+                         max_wait_ms=5.0, transfer_int16=True)
+    try:
+        rng = np.random.default_rng(21)
+        u, f, v = _req(rng, 24)
+        key = jax.random.PRNGKey(13)
+        ref = eng.infer(u, f, v, spk_id=2, key=key)
+        got = eng16.infer(u, f, v, spk_id=2, key=key)
+        assert got.shape == ref.shape
+        # the int16 path clips to full-scale, like the wav output does
+        ref = np.clip(ref, -32768.0 / 32767.0, 1.0)
+        np.testing.assert_allclose(got, ref, atol=1.01 / 32767.0)
+    finally:
+        eng16.close()
+
+
 def test_error_delivery(synth):
     eng, _, _ = synth
     rng = np.random.default_rng(3)
