@@ -123,6 +123,9 @@ def make_handler(pipeline, default_kwargs):
 
 
 def main(argv=None):
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-p", "--port", type=int, default=6842)

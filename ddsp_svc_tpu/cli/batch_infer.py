@@ -16,6 +16,9 @@ from ..utils.config import traverse_dir
 
 
 def main(argv=None):
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-i", "--input_dir", required=True)

@@ -12,6 +12,33 @@ from ..ops.mel import LogMelSpectrogram
 from ..utils.config import DotDict
 
 
+def enable_compile_cache(path: str | None = None) -> str | None:
+    """Persist XLA executables across process restarts so serving/inference
+    startup skips recompiles (first compile of the big graphs takes minutes
+    on some backends). Precedence: explicit ``path`` > DDSP_SVC_TPU_CACHE
+    env (``0`` disables) > ~/.cache/ddsp_svc_tpu/xla."""
+    env = os.environ.get("DDSP_SVC_TPU_CACHE", "")
+    if env == "0":
+        return None
+    import jax
+
+    if path is None and not env and str(
+        jax.config.jax_platforms or ""
+    ).startswith("cpu"):
+        # explicitly-forced CPU (tests/dev loops): XLA:CPU AOT reloads log
+        # machine-feature-mismatch errors — opt in via env/path instead.
+        # (reading the config does not initialize the backend, so --help
+        # stays instant on slow-attach backends)
+        return None
+    path = path or env or os.path.expanduser("~/.cache/ddsp_svc_tpu/xla")
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache even fast compiles: serving restarts re-pay every one of them
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path
+
+
 def load_encoder_params(path: str | None):
     """Load converted flax params (.npz/.msgpack) if present, else None
     (random init with a warning — converters live in convert/)."""

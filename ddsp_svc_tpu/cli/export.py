@@ -20,6 +20,9 @@ from ..train.solver import model_family
 
 
 def main(argv=None):
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-o", "--output", required=True)

@@ -14,6 +14,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-i", "--input")

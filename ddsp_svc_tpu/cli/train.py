@@ -48,6 +48,9 @@ def init_model_params(args, model, key):
 
 
 def main(argv=None):
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", required=True)
     cmd = parser.parse_args(argv)
