@@ -153,14 +153,15 @@ def bench_sins(batch=16, seconds=10.0):
     )
 
 
-def bench_nsf(batch=4, seconds=10.0, dtype=None):
+def bench_nsf(batch=4, seconds=10.0, dtype=None, subpixel=False):
     # batch 16 x 10 s upsample buffers (512x to audio rate across wide
     # channel stages) crash the remote compile helper; 4 x 10 s keeps the
     # activations in budget and the chip fully fed
     from ddsp_svc_tpu.models.nsf_hifigan import Generator
 
     t = int(seconds * SR) // HOP
-    gen = Generator(sampling_rate=SR, num_mels=M, dtype=dtype)
+    gen = Generator(sampling_rate=SR, num_mels=M, dtype=dtype,
+                    subpixel_upsample=subpixel)
     rng = np.random.default_rng(0)
     with _cpu():
         params = gen.init(
@@ -558,6 +559,10 @@ CONFIGS = {
     "sins": bench_sins,
     "nsf": bench_nsf,
     "nsf_bf16": lambda: bench_nsf(dtype=jnp.bfloat16),
+    # matmul+depth-to-space upsamplers vs lhs-dilated transposed conv
+    # (models/nn.py ConvTranspose1d.subpixel) — decides the Generator default
+    "nsf_subpixel": lambda: bench_nsf(subpixel=True),
+    "nsf_subpixel_bf16": lambda: bench_nsf(dtype=jnp.bfloat16, subpixel=True),
     "nsf_bf16_b8": lambda: bench_nsf(batch=8, dtype=jnp.bfloat16),
     "cascade": lambda: _bench_cascade("diffusion"),
     "reflow": lambda: _bench_cascade("reflow"),

@@ -84,6 +84,15 @@ class ConvTranspose1d(nn.Module):
 
     Implemented as an lhs-dilated conv with the flipped kernel — the exact
     transpose-conv equivalence, XLA lowers it to a single conv HLO.
+
+    ``subpixel=True`` computes the SAME function (same parameters, so
+    checkpoints/converters are unchanged) as one stride-1 conv producing
+    stride*features channels followed by depth-to-space. The lhs-dilated
+    form makes the MXU convolve a kernel of length k over an input that is
+    (stride-1)/stride zeros; the subpixel form is a dense
+    (taps*in) x (stride*out) matmul per frame — the standard TPU-friendly
+    lowering for big-stride upsamplers (NSF-HiFiGAN Generator stages,
+    k=2*stride).
     """
 
     features: int
@@ -93,6 +102,7 @@ class ConvTranspose1d(nn.Module):
     use_bias: bool = True
     weight_norm: bool = False
     dtype: jnp.dtype | None = None
+    subpixel: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -115,18 +125,55 @@ class ConvTranspose1d(nn.Module):
             kernel = self.param("kernel", kinit, kshape)
         dtype = self.dtype or x.dtype
         k, s, p = self.kernel_size, self.stride, self.padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            jnp.flip(kernel, 0).astype(dtype),
-            window_strides=(1,),
-            padding=[(k - 1 - p, k - 1 - p)],
-            lhs_dilation=(s,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        if self.subpixel and s > 1:
+            y = self._subpixel(x, kernel, dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                jnp.flip(kernel, 0).astype(dtype),
+                window_strides=(1,),
+                padding=[(k - 1 - p, k - 1 - p)],
+                lhs_dilation=(s,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
         if self.use_bias:
             bias = self.param("bias", _kaiming_uniform_torch(fan_in), (self.features,))
             y = y + bias.astype(dtype)
         return y
+
+    def _subpixel(self, x, kernel, dtype):
+        """Equivalent subpixel form. Derivation: the transposed conv is
+        y[q*s + r] = sum_i K[r + p + i*s] * x[q - i]  (K zero outside [0, k)),
+        so each output phase r is a stride-1 correlation of x with the
+        phase's subsampled taps; one conv emits all s phases as channel
+        blocks and a reshape interleaves them."""
+        t_in, in_ch = x.shape[1], x.shape[2]
+        k, s, p, c = self.kernel_size, self.stride, self.padding, self.features
+        i_max = (k - 1 - p) // s
+        i_min = -((s - 1 + p) // s)
+        n_t = i_max - i_min + 1
+        # W[d, cin, r*c + cout] = K[r + p + (i_max - d)*s] (0 when outside)
+        zero = jnp.zeros((in_ch, c), kernel.dtype)
+        rows = []
+        for d in range(n_t):
+            i = i_max - d
+            taps = []
+            for r in range(s):
+                j = r + p + i * s
+                taps.append(kernel[j] if 0 <= j < k else zero)
+            rows.append(jnp.concatenate(taps, axis=-1))  # (in, s*c)
+        w = jnp.stack(rows, axis=0)  # (n_t, in, s*c)
+        out_len = (t_in - 1) * s - 2 * p + k
+        q_n = -(-out_len // s)  # ceil: interleaved frames needed
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            w.astype(dtype),
+            window_strides=(1,),
+            padding=[(i_max, q_n - t_in - i_min)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )  # (B, q_n, s*c)
+        y = y.reshape(y.shape[0], q_n * s, c)
+        return y[:, :out_len]
 
 
 class ConvTranspose2d(nn.Module):

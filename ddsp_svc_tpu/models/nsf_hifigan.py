@@ -117,6 +117,12 @@ class Generator(nn.Module):
     resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     weight_norm: bool = True
     dtype: jnp.dtype | None = None
+    # subpixel upsamplers: same math/params as the lhs-dilated transposed
+    # conv (see models/nn.py ConvTranspose1d.subpixel) but lowered as dense
+    # matmul + depth-to-space — no zero-dilated input on the MXU. Off until
+    # the TPU A/B (bench_suite nsf_subpixel) says it wins; on XLA:CPU the
+    # dilated form is faster.
+    subpixel_upsample: bool = False
 
     @property
     def upp(self) -> int:
@@ -148,6 +154,7 @@ class Generator(nn.Module):
             x = ConvTranspose1d(
                 c_cur, k, stride=u, padding=(k - u) // 2,
                 weight_norm=self.weight_norm, dtype=self.dtype, name=f"ups_{i}",
+                subpixel=self.subpixel_upsample,
             )(x)
             if i + 1 < num_upsamples:
                 stride_f0 = int(np.prod(self.upsample_rates[i + 1 :]))
