@@ -16,7 +16,8 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     """Persist XLA executables across process restarts so serving/inference
     startup skips recompiles (first compile of the big graphs takes minutes
     on some backends). Precedence: explicit ``path`` > DDSP_SVC_TPU_CACHE
-    env (``0`` disables) > ~/.cache/ddsp_svc_tpu/xla."""
+    env (``0`` disables) > /tmp/ddsp_svc_tpu_jax_cache (the same directory
+    bench.py warms)."""
     env = os.environ.get("DDSP_SVC_TPU_CACHE", "")
     if env == "0":
         return None
@@ -30,7 +31,7 @@ def enable_compile_cache(path: str | None = None) -> str | None:
         # (reading the config does not initialize the backend, so --help
         # stays instant on slow-attach backends)
         return None
-    path = path or env or os.path.expanduser("~/.cache/ddsp_svc_tpu/xla")
+    path = path or env or "/tmp/ddsp_svc_tpu_jax_cache"
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
