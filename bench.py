@@ -36,8 +36,11 @@ import jax
 import jax.numpy as jnp
 
 # first compile of the full model over the tunneled backend can take minutes;
-# cache compiled executables across bench runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/ddsp_svc_tpu_jax_cache")
+# cache compiled executables across bench runs (per-user dir, shared with the
+# CLIs' enable_compile_cache default)
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/ddsp_svc_tpu_jax_cache_{os.getuid()}"
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

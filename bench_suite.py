@@ -13,6 +13,7 @@ bench.py. Select configs: python bench_suite.py [names...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -21,7 +22,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/ddsp_svc_tpu_jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/ddsp_svc_tpu_jax_cache_{os.getuid()}"
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -597,7 +600,6 @@ def main(names=None):
         jax.profiler.start_trace(profile_dir)
         print(f"# profiling to {profile_dir}", flush=True)
     names = names or (list(CONFIGS) + list(DICT_CONFIGS))
-    import os
     results_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_SUITE.json")
     try:

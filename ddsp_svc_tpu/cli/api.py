@@ -41,6 +41,30 @@ def make_handler(pipeline, default_kwargs):
     from scipy.io import wavfile
 
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            """Monitoring endpoints (beyond the reference's flask_api):
+            /health liveness; /stats serving counters (batcher occupancy,
+            queue depth, latency percentiles)."""
+            import json
+
+            if self.path == "/health":
+                body = {"status": "ok"}
+            elif self.path == "/stats":
+                batcher = pipeline.batcher
+                body = {
+                    "batching": batcher.stats() if batcher is not None
+                    else None,
+                }
+            else:
+                self.send_error(404)
+                return
+            payload = json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
         def do_POST(self):
             if self.path != "/voiceChangeModel":
                 self.send_error(404)
@@ -123,9 +147,6 @@ def make_handler(pipeline, default_kwargs):
 
 
 def main(argv=None):
-    from .common import enable_compile_cache
-
-    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-p", "--port", type=int, default=6842)
@@ -147,6 +168,10 @@ def main(argv=None):
                    help="shard each batch over the first D local devices "
                         "(data-parallel serving; requires --batch %% D == 0)")
     cmd = p.parse_args(argv)
+
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
 
     from ..infer.pipeline import SvcPipeline
 

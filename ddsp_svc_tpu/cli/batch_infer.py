@@ -16,9 +16,6 @@ from ..utils.config import traverse_dir
 
 
 def main(argv=None):
-    from .common import enable_compile_cache
-
-    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-i", "--input_dir", required=True)
@@ -31,6 +28,10 @@ def main(argv=None):
     p.add_argument("-method", "--method", default=None)
     p.add_argument("-step", "--infer_step", type=int, default=None)
     cmd = p.parse_args(argv)
+
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
 
     pipeline = SvcPipeline(cmd.model_path, pitch_extractor=cmd.pitch_extractor)
     kwargs = {}

@@ -12,26 +12,32 @@ from ..ops.mel import LogMelSpectrogram
 from ..utils.config import DotDict
 
 
+def default_compile_cache_dir() -> str:
+    """Per-user cache directory: a fixed world-shared /tmp name would let
+    another local user pre-create or poison the directory of deserialized
+    XLA executables."""
+    return f"/tmp/ddsp_svc_tpu_jax_cache_{os.getuid()}"
+
+
 def enable_compile_cache(path: str | None = None) -> str | None:
     """Persist XLA executables across process restarts so serving/inference
     startup skips recompiles (first compile of the big graphs takes minutes
     on some backends). Precedence: explicit ``path`` > DDSP_SVC_TPU_CACHE
-    env (``0`` disables) > /tmp/ddsp_svc_tpu_jax_cache (the same directory
-    bench.py warms)."""
-    env = os.environ.get("DDSP_SVC_TPU_CACHE", "")
-    if env == "0":
-        return None
+    env (``0`` disables) > per-user /tmp default (shared with bench.py)."""
     import jax
 
-    if path is None and not env and str(
-        jax.config.jax_platforms or ""
-    ).startswith("cpu"):
-        # explicitly-forced CPU (tests/dev loops): XLA:CPU AOT reloads log
-        # machine-feature-mismatch errors — opt in via env/path instead.
-        # (reading the config does not initialize the backend, so --help
-        # stays instant on slow-attach backends)
-        return None
-    path = path or env or "/tmp/ddsp_svc_tpu_jax_cache"
+    if path is None:
+        env = os.environ.get("DDSP_SVC_TPU_CACHE", "")
+        if env == "0":
+            return None
+        if not env and str(
+            jax.config.jax_platforms or ""
+        ).startswith("cpu"):
+            # explicitly-forced CPU (tests/dev loops): XLA:CPU AOT reloads
+            # log machine-feature-mismatch errors — opt in via env/path
+            # instead. (reading the config does not initialize the backend)
+            return None
+        path = env or default_compile_cache_dir()
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -20,15 +20,16 @@ from ..train.solver import model_family
 
 
 def main(argv=None):
-    from .common import enable_compile_cache
-
-    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--mlir", default=None)
     cmd = p.parse_args(argv)
+
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
 
     model, variables, args = load_model(cmd.model_path)
     family = model_family(args.model.type)

@@ -10,14 +10,15 @@ import argparse
 
 
 def main():
-    from .common import enable_compile_cache
-
-    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--model", default=None, help="checkpoint to preload")
     args = p.parse_args()
+
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
 
     from ..gui.web import GuiApp, serve
 

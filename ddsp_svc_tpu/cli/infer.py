@@ -78,10 +78,11 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    cmd = parse_args(argv)
+
     from .common import enable_compile_cache
 
     enable_compile_cache()
-    cmd = parse_args(argv)
     model, variables, args = load_model(cmd.model_path)
     family = model_family(args.model.type)
 

@@ -21,6 +21,10 @@ def main(argv=None):
                              "(beyond-reference: the reference always "
                              "reprocesses the whole corpus)")
     cmd = parser.parse_args(argv)
+
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     args = load_config(cmd.config)
 
     f0_extractor = build_f0_extractor(args)

@@ -14,9 +14,6 @@ import numpy as np
 
 
 def main(argv=None):
-    from .common import enable_compile_cache
-
-    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-i", "--input")
@@ -31,6 +28,10 @@ def main(argv=None):
     p.add_argument("--extra_time", type=float, default=2.0)
     p.add_argument("--phase_vocoder", action="store_true")
     cmd = p.parse_args(argv)
+
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
 
     from ..infer.pipeline import SvcPipeline
     from ..infer.realtime import RealtimeVC

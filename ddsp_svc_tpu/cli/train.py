@@ -48,12 +48,13 @@ def init_model_params(args, model, key):
 
 
 def main(argv=None):
-    from .common import enable_compile_cache
-
-    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", required=True)
     cmd = parser.parse_args(argv)
+
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     args = load_config(cmd.config)
 
     # multi-host: initialize the distributed runtime when launched under a

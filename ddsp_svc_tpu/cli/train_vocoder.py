@@ -27,12 +27,13 @@ from ..utils.config import load_config
 
 
 def main(argv=None):
-    from .common import enable_compile_cache
-
-    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", required=True)
     cmd = parser.parse_args(argv)
+
+    from .common import enable_compile_cache
+
+    enable_compile_cache()
     args = load_config(cmd.config)
 
     cfg = dict(DEFAULT_NSF_CONFIG)

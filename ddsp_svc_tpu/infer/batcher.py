@@ -110,6 +110,14 @@ class BatchedSynth:
         self._pending: list[_Request] = []  # worker-owned (single thread)
         self._jit = {}
         self._stop = False
+        # serving observability (stats()): counters under a lock, latencies
+        # in a bounded ring
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_errors = 0
+        self._n_batches = 0
+        self._n_rows = 0  # real rows across batches (occupancy numerator)
+        self._latencies_ms: list[float] = []  # ring, newest-last
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -128,15 +136,50 @@ class BatchedSynth:
         )
         if self._stop:
             raise RuntimeError("BatchedSynth closed")
+        t0 = time.monotonic()
         self._q.put(req)
         # stop-aware wait: a put() racing close()'s queue drain must not
         # leave this caller blocked forever
         while not req.done.wait(timeout=1.0):
             if self._stop and not req.done.is_set():
                 raise RuntimeError("BatchedSynth closed")
+        with self._stats_lock:
+            self._n_requests += 1
+            if req.error is not None:
+                self._n_errors += 1
+            self._latencies_ms.append((time.monotonic() - t0) * 1000.0)
+            if len(self._latencies_ms) > 512:
+                del self._latencies_ms[:-512]
         if req.error is not None:
             raise req.error
         return req.result
+
+    def stats(self) -> dict:
+        """Serving counters for monitoring endpoints: request/error/batch
+        totals, mean batch occupancy (real rows / max_batch slots), queue
+        depth, and latency percentiles over the last 512 requests."""
+        with self._stats_lock:
+            lat = sorted(self._latencies_ms)
+            n_req, n_err = self._n_requests, self._n_errors
+            n_b, n_rows = self._n_batches, self._n_rows
+        pct = (lambda p: round(lat[min(len(lat) - 1,
+                                       int(p * len(lat)))], 2)) if lat else (
+            lambda p: None)
+        return {
+            "requests": n_req,
+            "errors": n_err,
+            "batches": n_b,
+            "mean_batch_occupancy": (
+                round(n_rows / (n_b * self.max_batch), 4) if n_b else None
+            ),
+            "queue_depth": self._q.qsize() + len(self._pending),
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p95": pct(0.95),
+            "latency_ms_p99": pct(0.99),
+            "buckets": list(self.buckets),
+            "max_batch": self.max_batch,
+            "compiled_signatures": len(self._jit),
+        }
 
     def close(self):
         self._stop = True
@@ -181,11 +224,11 @@ class BatchedSynth:
                             k, (bucket * model.block_size,), jnp.float32
                         )
                     )(keys)
-                    sig, _, _ = model.apply(
+                    audio, _, _ = model.apply(
                         {"params": params}, units, f0, volume,
                         spk_id=spk, infer=True, noise=noise,
                     )
-                    return sig
+                    return audio
 
             if self.transfer_int16:
                 inner = fwd
@@ -280,6 +323,9 @@ class BatchedSynth:
         )
         jax.effects_barrier()
         out = np.asarray(out)
+        with self._stats_lock:
+            self._n_batches += 1
+            self._n_rows += len(batch)
         if self.transfer_int16:
             out = out.astype(np.float32) / 32767.0
         for i, r in enumerate(batch):

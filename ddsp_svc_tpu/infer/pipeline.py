@@ -97,8 +97,9 @@ class SvcPipeline:
         batch with same-signature peers, so the per-request sampler fields
         of flask_api_diff.py:39-56 still ride batched graphs. Each distinct
         signature costs one XLA compile per bucket; at most
-        ``max_signatures`` (beyond the enable-time default) are admitted —
-        further novel settings fall back to the direct path. The batched
+        ``max_signatures`` distinct signatures total (including the
+        enable-time default) are admitted — further novel settings fall
+        back to the direct path. The batched
         graph is a vmap of the identical single-request cascade+vocoder
         computation, so each request's output is independent of its batch."""
         from .batcher import BatchedSynth
@@ -171,15 +172,15 @@ class SvcPipeline:
 
     def _admit_sig(self, sig: tuple) -> bool:
         """Admit a request's signature for batching, capped at
-        ``max_signatures`` distinct values (each costs one compile per
-        bucket); non-admitted signatures use the direct path."""
+        ``max_signatures`` distinct values total (each costs one compile
+        per bucket); non-admitted signatures use the direct path."""
         sigs = getattr(self, "_batch_sigs", None)
         if sigs is None:
             return False
         with self._batch_sig_lock:
             if sig in sigs:
                 return True
-            if len(sigs) <= self._batch_max_sigs:
+            if len(sigs) < self._batch_max_sigs:
                 sigs.add(sig)
                 return True
         return False

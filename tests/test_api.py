@@ -127,6 +127,32 @@ def test_concurrent_requests_batched(server):
     assert status == 200
 
 
+def test_health_and_stats_endpoints(server):
+    import json
+
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        assert r.status == 200
+        assert json.loads(r.read()) == {"status": "ok"}
+
+    # at least one conversion has run by now (fixture ordering not
+    # guaranteed) — drive one to make counters non-trivial
+    _post_voice(server, _wav_bytes(), spk=1)
+    with urllib.request.urlopen(server + "/stats", timeout=30) as r:
+        assert r.status == 200
+        body = json.loads(r.read())
+    b = body["batching"]
+    assert b["requests"] >= 1
+    assert b["batches"] >= 1
+    assert b["errors"] >= 0
+    assert 0 < b["mean_batch_occupancy"] <= 1
+    assert b["latency_ms_p50"] > 0
+    assert b["max_batch"] == 4
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/nope-get", timeout=30)
+    assert e.value.code == 404
+
+
 def test_unknown_path_404(server):
     req = urllib.request.Request(server + "/nope", data=b"x", method="POST")
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -374,7 +374,7 @@ def test_pipeline_batched_diffusion_matches_direct(tmp_path):
     other_direct, _ = pipe.infer(audio, SR, spk_id=2, **other_settings)
 
     batcher = pipe.enable_batching(buckets=(bucket,), max_batch=2,
-                                   max_wait_ms=5.0, max_signatures=1,
+                                   max_wait_ms=5.0, max_signatures=2,
                                    **settings)
     try:
         pipe._key = jax.random.PRNGKey(77)

@@ -38,8 +38,8 @@ def test_subpixel_matches_dilated(k, s, p, weight_norm):
 
 
 def test_generator_subpixel_matches_dilated():
-    """Full Generator forward: subpixel_upsample=True (default) equals the
-    lhs-dilated form on the same params."""
+    """Full Generator forward: subpixel_upsample=True equals the
+    lhs-dilated form (the default) on the same params."""
     from ddsp_svc_tpu.models.nsf_hifigan import Generator
 
     kw = dict(
