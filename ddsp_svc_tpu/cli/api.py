@@ -167,6 +167,10 @@ def main(argv=None):
     p.add_argument("--batch_devices", type=int, default=1, metavar="D",
                    help="shard each batch over the first D local devices "
                         "(data-parallel serving; requires --batch %% D == 0)")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile every batching bucket before accepting "
+                        "traffic (first requests never pay a compile; a "
+                        "persistent-cache load on restart)")
     cmd = p.parse_args(argv)
 
     from .common import enable_compile_cache
@@ -189,6 +193,9 @@ def main(argv=None):
                                  max_wait_ms=cmd.batch_wait_ms, mesh=mesh,
                                  max_signatures=cmd.batch_max_signatures,
                                  transfer_int16=cmd.batch_i16)
+        if cmd.warmup:
+            print("warming batch buckets ...", flush=True)
+            pipeline.warmup_batching()
     server = ThreadingHTTPServer(("0.0.0.0", cmd.port), make_handler(pipeline, {}))
     print(f"voiceChangeModel API on :{cmd.port}")
     server.serve_forever()

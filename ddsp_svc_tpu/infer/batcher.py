@@ -154,6 +154,20 @@ class BatchedSynth:
             raise req.error
         return req.result
 
+    def warmup(self, n_unit: int, sig: tuple = ()) -> None:
+        """Compile (and run once) every bucket's batched graph before
+        traffic arrives, so the first real request never pays a compile.
+        With the persistent compile cache this is a cache load on restart.
+        ``n_unit`` = units feature width; ``sig`` = the sampler signature
+        to pre-admit (the server's startup defaults)."""
+        for bucket in self.buckets:
+            t = bucket
+            units = np.zeros((t, n_unit), np.float32)
+            f0 = np.full((t, 1), 220.0, np.float32)
+            vol = np.zeros((t, 1), np.float32)
+            self.infer(units, f0, vol, spk_id=1, key=jax.random.PRNGKey(0),
+                       sig=sig)
+
     def stats(self) -> dict:
         """Serving counters for monitoring endpoints: request/error/batch
         totals, mean batch occupancy (real rows / max_batch slots), queue

@@ -161,6 +161,18 @@ class SvcPipeline:
         )
         return self.batcher
 
+    def warmup_batching(self) -> None:
+        """Precompile every batching bucket (cli/api --warmup): runs one
+        dummy request per bucket under the enable-time default signature, so
+        the first live request never pays a compile."""
+        if self.batcher is None:
+            raise RuntimeError("enable_batching() first")
+        sig = ()
+        if self.family != "ddsp":
+            with self._batch_sig_lock:
+                sig = next(iter(self._batch_sigs))
+        self.batcher.warmup(int(self.args.data.encoder_out_channels), sig)
+
     @staticmethod
     def _static_sig(sampler_kwargs) -> tuple:
         """Hashable batching signature: the static sampler settings

@@ -127,6 +127,19 @@ def test_concurrent_requests_batched(server):
     assert status == 200
 
 
+def test_warmup_precompiles_all_buckets():
+    pipe = _make_pipeline()
+    batcher = pipe.enable_batching(buckets=(32, 64), max_batch=2,
+                                   max_wait_ms=5.0)
+    try:
+        assert len(batcher._jit) == 0
+        pipe.warmup_batching()
+        assert sorted(batcher._jit) == [(32, ()), (64, ())]
+    finally:
+        batcher.close()
+        pipe.batcher = None
+
+
 def test_health_and_stats_endpoints(server):
     import json
 
