@@ -400,3 +400,105 @@ def test_pipeline_batched_diffusion_matches_direct(tmp_path):
     np.testing.assert_allclose(batched, direct, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(other, other_direct, rtol=2e-4, atol=2e-5)
     assert capped.shape == direct.shape  # fallback worked
+
+
+def test_fuzz_mixed_sig_concurrency(tmp_path):
+    """Concurrency fuzz for signature-grouped batching: threads fire
+    requests with two different sampler settings interleaved; every output
+    must equal the same request run serialized through the batcher (batch
+    composition and signature grouping must not leak between requests)."""
+    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+    from ddsp_svc_tpu.models.cascade import Unit2Mel
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    voc_path = _tiny_vocoder_ckpt(tmp_path)
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": N_UNIT},
+        "model": {"type": "Diffusion", "n_spk": 2, "k_step_max": 20},
+        "vocoder": {"type": "nsf-hifigan", "ckpt": voc_path},
+        "enhancer": None,
+    })
+    model = Unit2Mel(N_UNIT, 2, False, 16, n_layers=2, n_chans=16,
+                     n_hidden=16, k_step_max=20)
+    t = 16
+    variables = {"params": model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, t, N_UNIT)), 220.0 * jnp.ones((1, t, 1)),
+        jnp.ones((1, t, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        gt_spec=jnp.zeros((1, t, 16)), infer=False,
+    )["params"]}
+    pipe = SvcPipeline.from_parts(model, variables, args,
+                                  StubUnitsEncoder(N_UNIT, channel_ramp=True))
+
+    bucket = 32
+    n = np.arange(bucket * HOP)
+    sig_sets = [dict(k_step=10, method="ddim", speedup=2),
+                dict(k_step=4, method="ddim", speedup=2)]
+    jobs = []  # (audio, settings, key_seed)
+    rng = np.random.default_rng(3)
+    for i in range(8):
+        freq = 180.0 + 30.0 * rng.random()
+        audio = (0.3 * np.sin(2 * np.pi * freq * n / SR)).astype(np.float32)
+        jobs.append((audio, sig_sets[i % 2], 1000 + i))
+
+    batcher = pipe.enable_batching(buckets=(bucket,), max_batch=4,
+                                   max_wait_ms=20.0, max_signatures=2,
+                                   **sig_sets[0])
+    try:
+        results = [None] * len(jobs)
+        errors = []
+
+        def worker(i):
+            audio, settings, seed = jobs[i]
+            try:
+                # pipeline.infer draws keys from a shared PRNG whose split
+                # order is nondeterministic across threads, so drive the
+                # batcher directly with the request's own pinned key
+                hop = HOP
+                f0 = pipe._f0_extractor(SR, hop).extract(audio, uv_interp=True)
+                from ddsp_svc_tpu.features.volume import VolumeExtractor
+                vol = VolumeExtractor(hop).extract(audio)
+                units = pipe.units_encoder.encode(
+                    jnp.asarray(audio, jnp.float32)[None, :], SR, hop)
+                tt = units.shape[1]
+                sig = pipe._static_sig(pipe._sampler_kwargs(settings))
+                assert pipe._admit_sig(sig)
+                key = jax.random.split(jax.random.PRNGKey(seed))[1]
+                results[i] = batcher.infer(
+                    np.asarray(units)[0],
+                    np.asarray(f0, np.float32)[:tt, None],
+                    np.asarray(vol, np.float32)[:tt, None],
+                    1, key, sig=sig)
+            except Exception as e:
+                errors.append((i, e))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(jobs))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert not errors, errors[0]
+        # solo path = pipeline.infer applies the volume mask; compare the
+        # batcher output against the same request driven solo through the
+        # batcher instead (exact same graph), serialized
+        for i, (audio, settings, seed) in enumerate(jobs):
+            f0 = pipe._f0_extractor(SR, HOP).extract(audio, uv_interp=True)
+            from ddsp_svc_tpu.features.volume import VolumeExtractor
+            vol = VolumeExtractor(HOP).extract(audio)
+            units = pipe.units_encoder.encode(
+                jnp.asarray(audio, jnp.float32)[None, :], SR, HOP)
+            tt = units.shape[1]
+            sig = pipe._static_sig(pipe._sampler_kwargs(settings))
+            key = jax.random.split(jax.random.PRNGKey(seed))[1]
+            ref = batcher.infer(
+                np.asarray(units)[0],
+                np.asarray(f0, np.float32)[:tt, None],
+                np.asarray(vol, np.float32)[:tt, None],
+                1, key, sig=sig)
+            np.testing.assert_allclose(results[i], ref, rtol=2e-4,
+                                       atol=2e-5, err_msg=str(i))
+    finally:
+        batcher.close()
+        pipe.batcher = None
