@@ -233,12 +233,88 @@ def check_batcher_serving():
     return {"ok": bool(rel < 1e-4), "max_rel_err": rel}
 
 
+def check_nsf_subpixel():
+    """Subpixel Generator upsamplers (matmul + depth-to-space,
+    models/nn.py ConvTranspose1d.subpixel) vs the lhs-dilated lowering ON
+    HARDWARE: same params, near-identical output."""
+    from ddsp_svc_tpu.models.nsf_hifigan import Generator
+
+    sr, m = 44100, 128
+    b, t = 2, 64
+    rng = np.random.default_rng(5)
+    gen_ref = Generator(sampling_rate=sr, num_mels=m)
+    gen_sub = Generator(sampling_rate=sr, num_mels=m, subpixel_upsample=True)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = gen_ref.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, m)), 220.0 * jnp.ones((1, 16)),
+            key=jax.random.PRNGKey(0),
+        )["params"]
+    dev = jax.devices()[0]
+    mel = jax.device_put(
+        (rng.standard_normal((b, t, m)) * 2.0 - 6.0).astype(np.float32), dev
+    )
+    f0 = jax.device_put(220.0 * np.ones((b, t), np.float32), dev)
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+    key = jax.random.PRNGKey(3)
+    y_ref = _fetch(jax.jit(
+        lambda p, mel, f0: gen_ref.apply({"params": p}, mel, f0, key=key)
+    )(params, mel, f0))
+    y_sub = _fetch(jax.jit(
+        lambda p, mel, f0: gen_sub.apply({"params": p}, mel, f0, key=key)
+    )(params, mel, f0))
+    denom = max(float(np.abs(y_ref).max()), 1e-9)
+    rel = float(np.abs(y_sub - y_ref).max()) / denom
+    return {"ok": bool(rel < 1e-4), "max_rel_err": rel}
+
+
+def check_batcher_i16():
+    """int16 d2h transfer vs f32 through the batcher ON HARDWARE: one
+    16-bit LSB agreement (the --batch_i16 serving lever)."""
+    from ddsp_svc_tpu.infer.batcher import BatchedSynth
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+    sr, hop, win, n_unit = 44100, 512, 2048, 768
+    t = 64
+    model = CombSubSuperFast(sr, hop, win, n_unit=n_unit, n_spk=1)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        )["params"]
+    dev = jax.devices()[0]
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+    rng = np.random.default_rng(11)
+    units = rng.standard_normal((t, n_unit)).astype(np.float32)
+    f0 = (220.0 * np.exp(0.1 * rng.standard_normal((t, 1)))).astype(np.float32)
+    vol = 0.5 * np.ones((t, 1), np.float32)
+    key = jax.random.PRNGKey(7)
+    eng = BatchedSynth(model, params, buckets=(t,), max_batch=1,
+                       max_wait_ms=1.0)
+    eng16 = BatchedSynth(model, params, buckets=(t,), max_batch=1,
+                         max_wait_ms=1.0, transfer_int16=True)
+    try:
+        ref = eng.infer(units, f0, vol, spk_id=1, key=key)
+        got = eng16.infer(units, f0, vol, spk_id=1, key=key)
+    finally:
+        eng.close()
+        eng16.close()
+    ref = np.clip(ref, -32768.0 / 32767.0, 1.0)
+    err = float(np.abs(got - ref).max())
+    return {"ok": bool(err <= 1.01 / 32767.0), "max_abs_err": err}
+
+
 CHECKS = {
     "pallas_combtooth": check_pallas_combtooth,
     "pallas_oscillator": check_pallas_oscillator,
     "nsf_bf16_quality": check_nsf_bf16_quality,
     "combsub_bf16_quality": check_combsub_bf16_quality,
     "batcher_serving": check_batcher_serving,
+    "nsf_subpixel": check_nsf_subpixel,
+    "batcher_i16": check_batcher_i16,
 }
 
 
