@@ -15,6 +15,9 @@ def main(argv=None):
     if not argv:
         print(__doc__)
         return 1
+    if argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
     kind, rest = argv[0], argv[1:]
     if kind == "hubert":
         from .hubert import convert_hubert
