@@ -236,7 +236,14 @@ def check_batcher_serving():
 def check_nsf_subpixel():
     """Subpixel Generator upsamplers (matmul + depth-to-space,
     models/nn.py ConvTranspose1d.subpixel) vs the lhs-dilated lowering ON
-    HARDWARE: same params, near-identical output."""
+    HARDWARE: same params, same function.
+
+    Compared under matmul_precision='highest': at the TPU default the MXU
+    rounds conv inputs to bf16 and the two lowerings contract in different
+    orders, so they each sit ~4e-3 from the f32 function and ~2.6e-3 from
+    each other (measured) — a property of the default precision, not of the
+    lowering. At 'highest' both agree with CPU f32 to ~3e-5 and with each
+    other to ~1e-5. The default-precision spread is reported as info."""
     from ddsp_svc_tpu.models.nsf_hifigan import Generator
 
     sr, m = 44100, 128
@@ -258,15 +265,21 @@ def check_nsf_subpixel():
     f0 = jax.device_put(220.0 * np.ones((b, t), np.float32), dev)
     params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
     key = jax.random.PRNGKey(3)
-    y_ref = _fetch(jax.jit(
-        lambda p, mel, f0: gen_ref.apply({"params": p}, mel, f0, key=key)
-    )(params, mel, f0))
-    y_sub = _fetch(jax.jit(
-        lambda p, mel, f0: gen_sub.apply({"params": p}, mel, f0, key=key)
-    )(params, mel, f0))
+    def run(gen, precision):
+        def f(p, mel, f0):
+            with jax.default_matmul_precision(precision):
+                return gen.apply({"params": p}, mel, f0, key=key)
+        return _fetch(jax.jit(f)(params, mel, f0))
+
+    y_ref = run(gen_ref, "highest")
+    y_sub = run(gen_sub, "highest")
     denom = max(float(np.abs(y_ref).max()), 1e-9)
     rel = float(np.abs(y_sub - y_ref).max()) / denom
-    return {"ok": bool(rel < 1e-4), "max_rel_err": rel}
+    rel_default = float(
+        np.abs(run(gen_sub, "default") - run(gen_ref, "default")).max()
+    ) / denom
+    return {"ok": bool(rel < 1e-4), "max_rel_err_highest": rel,
+            "max_rel_err_default_precision": rel_default}
 
 
 def check_batcher_i16():
