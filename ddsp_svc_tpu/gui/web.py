@@ -14,6 +14,15 @@ the shell is a single-page web UI on the Python stdlib http server instead:
                        the same engine the live audio callback uses
   POST /api/stream/start|stop   live sounddevice IO when the wheel exists
                        (gated import, 501 otherwise)
+  POST /api/workflow/config     {"base": path, ...train overrides} ->
+                       derived YAML path (gui/workflow.py derive_config)
+  POST /api/workflow/start      {"kind": preprocess|train|tensorboard,
+                       "config": path-or-logdir} -> spawn the CLI as a
+                       subprocess (one at a time, 409 when busy)
+  POST /api/workflow/stop       terminate the running job (exact pgid)
+  GET  /api/workflow/log?since=N  incremental job log + state
+                       (the training-workflow surface of the reference's
+                       webui (outdated).py:94-125)
 
 Settings mirror the reference Config (gui.py:150-165): spk_id, threshold,
 pitch, samplerate, block_time, crossfade_time, extra_time, f0_extractor,
@@ -29,6 +38,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from . import workflow as wf
 from .i18n import LOCALES, get_locale
 
 F0_MODES = ["yin", "crepe", "rmvpe"]
@@ -112,6 +122,21 @@ def _page() -> str:
  <div id="stats"></div>
  <audio id="player" controls></audio>
 </fieldset>
+<fieldset><legend data-i18n="training_section"></legend>
+ <label><span data-i18n="base_config"></span>
+  <input id="base_config" type="text" size="48"></label>
+ <label><span data-i18n="override_batch_size"></span>
+  <input id="ov_batch_size" type="number" min="1" step="1"></label>
+ <label><span data-i18n="override_lr"></span>
+  <input id="ov_lr" type="number" min="0" step="0.0001"></label>
+ <button onclick="writeConfig()" data-i18n="write_config"></button>
+ <button onclick="startJob('preprocess')" data-i18n="run_preprocess"></button>
+ <button onclick="startJob('train')" data-i18n="run_train"></button>
+ <button onclick="startJob('tensorboard')" data-i18n="run_tensorboard"></button>
+ <button onclick="stopJob()" data-i18n="stop_job"></button>
+ <span id="job_state" data-i18n="job_status_idle"></span>
+ <pre id="job_log" style="max-height:16em;overflow:auto"></pre>
+</fieldset>
 <script>
 let locales = {{}};
 async function refresh() {{
@@ -161,6 +186,47 @@ async function convert() {{
   document.getElementById('player').src =
     URL.createObjectURL(await r.blob());
 }}
+let jobCursor = 0, jobTimer = null;
+async function writeConfig() {{
+  const r = await fetch('/api/workflow/config', {{method: 'POST',
+    body: JSON.stringify({{
+      base: document.getElementById('base_config').value,
+      batch_size: document.getElementById('ov_batch_size').value,
+      lr: document.getElementById('ov_lr').value,
+    }})}});
+  const j = await r.json();
+  if (!r.ok) {{ alert(j.error); return; }}
+  window._derived = j.path;
+  document.getElementById('job_log').textContent = 'config: ' + j.path;
+}}
+async function startJob(kind) {{
+  const cfg = window._derived || document.getElementById('base_config').value;
+  const r = await fetch('/api/workflow/start', {{method: 'POST',
+    body: JSON.stringify({{kind, config: cfg}})}});
+  const j = await r.json();
+  if (!r.ok) {{ alert(j.error); return; }}
+  jobCursor = 0;
+  document.getElementById('job_log').textContent = '';
+  if (!jobTimer) jobTimer = setInterval(pollJob, 1500);
+}}
+async function stopJob() {{
+  await fetch('/api/workflow/stop', {{method: 'POST', body: '{{}}'}});
+}}
+async function pollJob() {{
+  const j = await (await fetch('/api/workflow/log?since=' + jobCursor)).json();
+  const log = document.getElementById('job_log');
+  if (j.lines.length) {{
+    log.textContent += j.lines.join('\\n') + '\\n';
+    log.scrollTop = log.scrollHeight;
+  }}
+  jobCursor = j.next;
+  document.getElementById('job_state').dataset.i18n = j.running
+    ? 'job_status_running'
+    : (j.returncode === 0 || j.returncode === null
+       ? 'job_status_idle' : 'job_status_failed');
+  translate();
+  if (!j.running && jobTimer) {{ clearInterval(jobTimer); jobTimer = null; }}
+}}
 (async () => {{
   locales = await (await fetch('/api/locales')).json();
   await refresh();
@@ -178,6 +244,7 @@ class GuiApp:
         self.pipeline_factory = pipeline_factory or self._default_factory
         self.stats: dict = {}
         self.stream_thread = None
+        self.jobs = wf.JobRunner()
         self._lock = threading.Lock()
 
     @staticmethod
@@ -305,6 +372,14 @@ def make_handler(app: GuiApp):
                 })
             elif self.path == "/api/locales":
                 self._json({k: get_locale(k) for k in LOCALES})
+            elif self.path.startswith("/api/workflow/log"):
+                since = 0
+                if "since=" in self.path:
+                    try:
+                        since = int(self.path.split("since=")[1].split("&")[0])
+                    except ValueError:
+                        pass
+                self._json(app.jobs.poll(since))
             else:
                 self.send_error(404)
 
@@ -360,6 +435,29 @@ def make_handler(app: GuiApp):
                         self._json({"error": str(e)}, 501)
                 elif self.path == "/api/stream/stop":
                     app.stream_stop()
+                    self._json({"ok": True})
+                elif self.path == "/api/workflow/config":
+                    body = json.loads(self._read_body())
+                    base = body.pop("base", "")
+                    if not base:
+                        self._json({"error": "no base config given"}, 400)
+                        return
+                    self._json({"ok": True,
+                                "path": wf.derive_config(base, body)})
+                elif self.path == "/api/workflow/start":
+                    body = json.loads(self._read_body())
+                    kind = body.get("kind", "")
+                    target = body.get("config", "")
+                    if kind not in wf.JOB_KINDS:
+                        self._json({"error": f"unknown kind {kind!r}"}, 400)
+                        return
+                    try:
+                        app.jobs.start(kind, wf.job_argv(kind, target))
+                        self._json({"ok": True, "kind": kind})
+                    except RuntimeError as e:  # a job is still running
+                        self._json({"error": str(e)}, 409)
+                elif self.path == "/api/workflow/stop":
+                    app.jobs.stop()
                     self._json({"ok": True})
                 else:
                     self.send_error(404)

@@ -119,9 +119,12 @@ class Generator(nn.Module):
     dtype: jnp.dtype | None = None
     # subpixel upsamplers: same math/params as the lhs-dilated transposed
     # conv (see models/nn.py ConvTranspose1d.subpixel) but lowered as dense
-    # matmul + depth-to-space — no zero-dilated input on the MXU. Off until
-    # the TPU A/B (bench_suite nsf_subpixel) says it wins; on XLA:CPU the
-    # dilated form is faster.
+    # matmul + depth-to-space — no zero-dilated input on the MXU. Measured
+    # TPU A/B (bench_suite nsf_subpixel): 154x vs 286x f32, 225x vs 363x
+    # bf16 — the dilated lowering WINS on v5e (XLA's native conv_transpose
+    # beats the phase-packed matmul at these channel widths), so this stays
+    # off; kept for layout experiments (equivalence proven on hardware,
+    # TPU_CHECKS.json nsf_subpixel).
     subpixel_upsample: bool = False
 
     @property
