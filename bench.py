@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
@@ -78,7 +79,15 @@ def warmup():
     print(f"# warmup done ({time.perf_counter() - st:.0f}s)", flush=True)
 
 
+_EMIT_LOCK = threading.Lock()
+_STATE = {"emitted": False, "rtf": None, "shape": None}
+
+
 def emit(payload: dict):
+    with _EMIT_LOCK:
+        if _STATE["emitted"]:
+            return
+        _STATE["emitted"] = True
     print(json.dumps(payload), flush=True)
 
 
@@ -95,10 +104,71 @@ def load_last_good():
         with open(LAST_GOOD) as f:
             return json.load(f)
     except Exception:
+        pass
+    # the scratch cache is gitignored; in a fresh checkout fall back to the
+    # committed suite results (same metric semantics, "combsub" entry)
+    try:
+        suite = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_SUITE.json")
+        with open(suite) as f:
+            entry = json.load(f)["combsub"]
+        return {"value": entry["value"], "time": entry.get("measured_at_unix")}
+    except Exception:
         return None
 
 
+def _cached_or_null_payload(reason: str) -> dict:
+    rtf = _STATE["rtf"]
+    if rtf is not None:
+        return {
+            "metric": METRIC,
+            "value": round(rtf, 2),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(rtf / 200.0, 3),
+            "partial": True,
+            "error": reason,
+        }
+    cached = load_last_good()
+    if cached and cached.get("value"):
+        return {
+            "metric": METRIC,
+            "value": round(float(cached["value"]), 2),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(float(cached["value"]) / 200.0, 3),
+            "cached": True,
+            "measured_at_unix": cached.get("time"),
+            "error": reason,
+        }
+    return {
+        "metric": METRIC,
+        "value": None,
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": None,
+        "error": reason,
+    }
+
+
+def _start_watchdog():
+    """The tunnel can HANG (not error) for unbounded time; a blocked C call
+    never returns to the interpreter, so only a side thread can save the
+    one-JSON-line contract. After the deadline, emit the best available
+    number (banked this run > last-good cache > null) and hard-exit 0."""
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
+
+    def fire():
+        emit(_cached_or_null_payload(
+            f"watchdog: no completed run within {deadline:.0f}s "
+            f"(tunnel hung or degraded)"))
+        os._exit(0)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    _start_watchdog()
     from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
 
     sr, block, win, n_unit = 44100, 512, 2048, 768
@@ -214,6 +284,10 @@ def main():
             if rtf is None or got > rtf:
                 rtf = got
                 shape = {"batch": batch, "seconds": seconds}
+                # bank immediately: the watchdog and the cached-fallback
+                # path must see mid-run results if a later shape hangs
+                _STATE["rtf"], _STATE["shape"] = rtf, shape
+                save_last_good(rtf, {"metric": METRIC, **shape})
         except Exception as e:
             last_err = e
             print(f"# bench measure({batch}, {seconds}) failed: "
@@ -221,7 +295,6 @@ def main():
             break  # session likely poisoned; keep what we banked
 
     if rtf is not None:
-        save_last_good(rtf, {"metric": METRIC, **shape})
         emit({
             "metric": METRIC,
             "value": round(rtf, 2),
@@ -230,26 +303,9 @@ def main():
         })
         return
 
-    cached = load_last_good()
-    if cached and cached.get("value"):
-        emit({
-            "metric": METRIC,
-            "value": round(float(cached["value"]), 2),
-            "unit": "x_realtime_per_chip",
-            "vs_baseline": round(float(cached["value"]) / 200.0, 3),
-            "cached": True,
-            "measured_at_unix": cached.get("time"),
-            "error": f"live run failed: {str(last_err)[:160]}",
-        })
-        return
-
-    emit({
-        "metric": METRIC,
-        "value": None,
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": None,
-        "error": str(last_err)[:300] if last_err else "no measurement",
-    })
+    emit(_cached_or_null_payload(
+        f"live run failed: {str(last_err)[:200]}" if last_err
+        else "no measurement"))
 
 
 if __name__ == "__main__":
