@@ -592,8 +592,42 @@ DICT_CONFIGS = {
 }
 
 
+def run_isolated(names, timeout_s: float):
+    """Run each config in its own subprocess under a deadline. The tunnel can
+    hang (not error) on one workload; isolation keeps the rest of the suite
+    measurable and each child updates BENCH_SUITE.json incrementally itself."""
+    import signal
+    import subprocess
+
+    for name in names:
+        print(f"# [{name}] isolated, deadline {timeout_s:.0f}s", flush=True)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), name],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            start_new_session=True,
+        )
+        try:
+            proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            # kill the exact process group we started (never by pattern)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+            print(json.dumps({
+                "metric": f"{name}_rtf_44k1", "value": None,
+                "error": f"isolated run exceeded {timeout_s:.0f}s (hung)",
+            }), flush=True)
+
+
 def main(names=None):
     profile_dir = None
+    if names and "--isolate" in names:
+        names = [n for n in names if n != "--isolate"]
+        timeout_s = float(os.environ.get("BENCH_CONFIG_DEADLINE_S", "1800"))
+        run_isolated(names or (list(CONFIGS) + list(DICT_CONFIGS)), timeout_s)
+        return
     if names and "--profile" in names:
         names = [n for n in names if n != "--profile"]
         profile_dir = "/tmp/ddsp_svc_tpu_trace"
