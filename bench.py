@@ -37,13 +37,10 @@ import jax
 import jax.numpy as jnp
 
 # first compile of the full model over the tunneled backend can take minutes;
-# cache compiled executables across bench runs (per-user dir, shared with the
-# CLIs' enable_compile_cache default)
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/ddsp_svc_tpu_jax_cache_{os.getuid()}"
-)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# cache compiled executables across bench runs (the CLIs' shared per-user dir)
+from ddsp_svc_tpu.cli.common import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 MIN_WINDOW_S = 5.0
 LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -22,11 +22,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/ddsp_svc_tpu_jax_cache_{os.getuid()}"
-)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from ddsp_svc_tpu.cli.common import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 SR, HOP, WIN, N_UNIT, M = 44100, 512, 2048, 768, 128
 MIN_WINDOW_S = 5.0
@@ -592,6 +590,15 @@ DICT_CONFIGS = {
 }
 
 
+def _save_results(path: str, results: dict):
+    """Atomic replace: a SIGKILL mid-write (run_isolated's deadline) must
+    never leave a truncated BENCH_SUITE.json that wipes committed results."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(results, f, indent=1)
+    os.replace(tmp, path)
+
+
 def run_isolated(names, timeout_s: float):
     """Run each config in its own subprocess under a deadline. The tunnel can
     hang (not error) on one workload; isolation keeps the rest of the suite
@@ -615,8 +622,10 @@ def run_isolated(names, timeout_s: float):
             except ProcessLookupError:
                 pass
             proc.wait()
+            metric = (DICT_CONFIGS[name][1] if name in DICT_CONFIGS
+                      else f"{name}_rtf_44k1")
             print(json.dumps({
-                "metric": f"{name}_rtf_44k1", "value": None,
+                "metric": metric, "value": None,
                 "error": f"isolated run exceeded {timeout_s:.0f}s (hung)",
             }), flush=True)
 
@@ -647,8 +656,7 @@ def main(names=None):
             try:
                 line = fn()
                 results[name] = {**line, "measured_at_unix": time.time()}
-                with open(results_path, "w") as f:
-                    json.dump(results, f, indent=1)
+                _save_results(results_path, results)
             except Exception as e:
                 line = {"metric": metric, "value": None, "unit": unit,
                         "error": str(e)[:100]}
@@ -664,8 +672,7 @@ def main(names=None):
                 "vs_baseline": round(rtf / 200.0, 3),
             }
             results[name] = {**line, "measured_at_unix": time.time()}
-            with open(results_path, "w") as f:
-                json.dump(results, f, indent=1)
+            _save_results(results_path, results)
         except Exception as e:
             line = {
                 "metric": f"{name}_rtf_44k1", "value": None,

@@ -41,8 +41,9 @@ def enable_compile_cache(path: str | None = None) -> str | None:
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # cache even fast compiles: serving restarts re-pay every one of them
+    # cache even fast/small compiles: serving restarts re-pay every one
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return path
 
 

@@ -72,8 +72,17 @@ def job_argv(kind: str, config_or_dir: str) -> list[str]:
         return [sys.executable, "-m", "ddsp_svc_tpu.cli.train",
                 "-c", config_or_dir]
     if kind == "tensorboard":
+        # the GUI hands over the config YAML; tensorboard wants the
+        # experiment dir the trainer logs into (config env.expdir)
+        logdir = config_or_dir
+        if os.path.isfile(logdir):
+            try:
+                cfg = load_config(logdir)
+                logdir = cfg.env.expdir
+            except Exception:
+                pass  # fall back to the raw argument (may be a dir)
         return [sys.executable, "-m", "tensorboard.main",
-                "--logdir", config_or_dir, "--port", "6006",
+                "--logdir", logdir, "--port", "6006",
                 "--bind_all"]
     raise ValueError(f"unknown job kind: {kind}")
 
@@ -92,6 +101,7 @@ class JobRunner:
         self._returncode: int | None = None
         self._lines: deque[tuple[int, str]] = deque(maxlen=LOG_LINES)
         self._seq = 0
+        self._gen = 0  # job generation: stale pumps must not touch the log
 
     def start(self, kind: str, argv: list[str], cwd: str | None = None):
         with self._lock:
@@ -101,6 +111,7 @@ class JobRunner:
             self._returncode = None
             self._lines.clear()
             self._seq = 0
+            self._gen += 1
             # the package may be run from a checkout rather than installed:
             # prepend its parent dir so `-m ddsp_svc_tpu.cli.*` resolves in
             # the child regardless of the server's cwd (keeps any existing
@@ -117,18 +128,20 @@ class JobRunner:
                 start_new_session=True,
             )
             threading.Thread(
-                target=self._pump, args=(self._proc,), daemon=True
+                target=self._pump, args=(self._proc, self._gen), daemon=True
             ).start()
 
-    def _pump(self, proc: subprocess.Popen):
+    def _pump(self, proc: subprocess.Popen, gen: int):
         for line in proc.stdout:
             with self._lock:
+                if self._gen != gen:
+                    break  # a newer job owns the log; drop the stale tail
                 self._lines.append((self._seq, line.rstrip("\n")))
                 self._seq += 1
         proc.stdout.close()
         rc = proc.wait()
         with self._lock:
-            if proc is self._proc:
+            if self._gen == gen:
                 self._returncode = rc
 
     def stop(self, timeout: float = 10.0):

@@ -123,11 +123,13 @@ class BatchedSynth:
 
     # ---- public ---------------------------------------------------------
     def infer(self, units, f0, volume, spk_id: int, key,
-              sig: tuple = ()) -> np.ndarray:
+              sig: tuple = (), record_stats: bool = True) -> np.ndarray:
         """units (T, C), f0/volume (T, 1) -> audio (T * hop,). Blocking.
 
         ``sig``: hashable static sampler signature (ignored for ddsp
-        synths); requests batch only with same-(bucket, sig) peers."""
+        synths); requests batch only with same-(bucket, sig) peers.
+        ``record_stats=False`` (warmup) keeps multi-minute first-compile
+        latencies out of the /stats percentiles."""
         t = units.shape[0]
         bucket = self._bucket_for(t)
         req = _Request(
@@ -143,13 +145,14 @@ class BatchedSynth:
         while not req.done.wait(timeout=1.0):
             if self._stop and not req.done.is_set():
                 raise RuntimeError("BatchedSynth closed")
-        with self._stats_lock:
-            self._n_requests += 1
-            if req.error is not None:
-                self._n_errors += 1
-            self._latencies_ms.append((time.monotonic() - t0) * 1000.0)
-            if len(self._latencies_ms) > 512:
-                del self._latencies_ms[:-512]
+        if record_stats:
+            with self._stats_lock:
+                self._n_requests += 1
+                if req.error is not None:
+                    self._n_errors += 1
+                self._latencies_ms.append((time.monotonic() - t0) * 1000.0)
+                if len(self._latencies_ms) > 512:
+                    del self._latencies_ms[:-512]
         if req.error is not None:
             raise req.error
         return req.result
@@ -166,7 +169,7 @@ class BatchedSynth:
             f0 = np.full((t, 1), 220.0, np.float32)
             vol = np.zeros((t, 1), np.float32)
             self.infer(units, f0, vol, spk_id=1, key=jax.random.PRNGKey(0),
-                       sig=sig)
+                       sig=sig, record_stats=False)
 
     def stats(self) -> dict:
         """Serving counters for monitoring endpoints: request/error/batch

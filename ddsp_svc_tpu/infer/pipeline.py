@@ -265,10 +265,31 @@ class SvcPipeline:
         f0 = jnp.asarray(f0, jnp.float32)[None, :, None] * 2 ** (key_shift / 12.0)
 
         volume = VolumeExtractor(hop).extract(audio)
-        mask = (volume > 10 ** (threhold / 20.0)).astype("float32")
-        mask = np.pad(mask, (4, 4), constant_values=(mask[0], mask[-1]))
-        mask = np.array([np.max(mask[n : n + 9]) for n in range(len(mask) - 8)])
-        mask = upsample(jnp.asarray(mask)[None, :, None], args.data.block_size)[..., 0]
+        frame_mask = (volume > 10 ** (threhold / 20.0)).astype("float32")
+        frame_mask = np.pad(frame_mask, (4, 4),
+                            constant_values=(frame_mask[0], frame_mask[-1]))
+        frame_mask = np.array(
+            [np.max(frame_mask[n : n + 9]) for n in range(len(frame_mask) - 8)]
+        )
+
+        def upsampled_mask(on_host: bool):
+            """Sample-rate mask, built where it is consumed: batched results
+            come back host-resident, so masking them on the host avoids a
+            full audio-size h2d+d2h round trip (the serving path is
+            d2h-bound, PERF.md); direct paths keep the tiny frame-level
+            upload + on-device upsample."""
+            if on_host:
+                with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                    m = upsample(
+                        jnp.asarray(frame_mask, jnp.float32)[None, :, None],
+                        args.data.block_size,
+                    )[..., 0]
+                    return np.asarray(m)
+            return upsample(
+                jnp.asarray(frame_mask, jnp.float32)[None, :, None],
+                args.data.block_size,
+            )[..., 0]
+
         volume_j = jnp.asarray(volume, jnp.float32)[None, :, None]
 
         units = self.units_encoder.encode(
@@ -294,13 +315,13 @@ class SvcPipeline:
                     )
                 elif batcher is not None:
                     # host staging: the batcher pads/stacks on the host
-                    # (axon d2h needs the barrier first)
+                    # (axon d2h needs the barrier first); its result stays
+                    # host-resident — the tail only re-uploads if an
+                    # enhancer pass needs the device
                     jax.effects_barrier()
-                    out = jnp.asarray(
-                        batcher.infer(
-                            np.asarray(units)[0], np.asarray(f0)[0],
-                            np.asarray(volume_j)[0], spk_id, sub,
-                        )
+                    out = batcher.infer(
+                        np.asarray(units)[0], np.asarray(f0)[0],
+                        np.asarray(volume_j)[0], spk_id, sub,
                     )[None, :]
                 else:
                     out = self._ddsp_forward()(
@@ -321,16 +342,14 @@ class SvcPipeline:
                     and t <= batcher.buckets[-1]
                     and self._admit_sig(sig)):
                 jax.effects_barrier()  # host staging (axon d2h)
-                out = jnp.asarray(
-                    batcher.infer(
-                        np.asarray(units)[0], np.asarray(f0)[0],
-                        np.asarray(volume_j)[0], spk_id, sub, sig=sig,
-                    )
+                out = batcher.infer(
+                    np.asarray(units)[0], np.asarray(f0)[0],
+                    np.asarray(volume_j)[0], spk_id, sub, sig=sig,
                 )[None, :]
                 out_sr = self.vocoder.vocoder_sample_rate
+                mask = upsampled_mask(on_host=True)
                 out = out * mask[:, : out.shape[-1]]
-                jax.effects_barrier()
-                return np.asarray(out)[0], out_sr
+                return out[0], out_sr
             if spk_mix_dict is None:
                 static_key = tuple(
                     (k, v) for k, v in sorted(kwargs.items())
@@ -362,7 +381,14 @@ class SvcPipeline:
             out = self.vocoder.infer(mel, f0, key=sub)
             out_sr = self.vocoder.vocoder_sample_rate
 
-        out = out * mask[:, : out.shape[-1]]
+        if isinstance(out, np.ndarray):  # host-resident batched result
+            out = out * upsampled_mask(on_host=True)[:, : out.shape[-1]]
+            if self.enhancer is None:
+                return out[0], out_sr
+            out = jnp.asarray(out)  # only the enhancer needs the device
+        else:
+            mask = upsampled_mask(on_host=False)
+            out = out * mask[:, : out.shape[-1]]
         if self.enhancer is not None:
             out, out_sr = self.enhancer.enhance(
                 out, args.data.sampling_rate, f0, args.data.block_size,

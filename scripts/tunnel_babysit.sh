@@ -15,7 +15,7 @@ import jax, jax.numpy as jnp, numpy as np
 x = jnp.ones((256, 256))
 y = jax.jit(lambda a: (a @ a).sum())(x)
 jax.effects_barrier()
-assert float(np.asarray(y)) == 256.0 * 256.0
+assert float(np.asarray(y)) == 256.0 ** 3
 EOF
 }
 

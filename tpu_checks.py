@@ -16,11 +16,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/ddsp_svc_tpu_jax_cache_{os.getuid()}"
-)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from ddsp_svc_tpu.cli.common import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "TPU_CHECKS.json")
