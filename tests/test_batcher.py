@@ -502,3 +502,16 @@ def test_fuzz_mixed_sig_concurrency(tmp_path):
     finally:
         batcher.close()
         pipe.batcher = None
+
+
+def test_warmup_excluded_from_stats(synth):
+    """Warmup traffic (multi-minute first compiles on some backends) must
+    not pollute the /stats request counters or latency percentiles."""
+    eng, model, params = synth
+    before = eng.stats()
+    eng.warmup(N_UNIT)
+    after = eng.stats()
+    assert after["requests"] == before["requests"]
+    assert after["latency_ms_p99"] == before["latency_ms_p99"]
+    # warmup did compile every bucket's graph
+    assert after["compiled_signatures"] >= len(eng.buckets)

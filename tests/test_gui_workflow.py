@@ -174,3 +174,36 @@ def test_page_has_workflow_section(server):
         body = r.read()
     assert b"/api/workflow/start" in body
     assert b"training_section" in body
+
+
+def test_tensorboard_logdir_resolves_expdir(tmp_path):
+    """The GUI hands job_argv the config YAML; tensorboard must point at
+    the experiment dir the trainer writes (config env.expdir), not the
+    YAML file itself."""
+    cfg = tmp_path / "c.yaml"
+    save_config(str(cfg), {"env": {"expdir": str(tmp_path / "exp" / "run1")}})
+    argv = wf.job_argv("tensorboard", str(cfg))
+    logdir = argv[argv.index("--logdir") + 1]
+    assert logdir == str(tmp_path / "exp" / "run1")
+    # a directory (or missing file) passes through unchanged
+    argv = wf.job_argv("tensorboard", str(tmp_path))
+    assert argv[argv.index("--logdir") + 1] == str(tmp_path)
+
+
+def test_stale_pump_cannot_touch_new_job_log():
+    """A finished-but-undrained pump from a previous job must not append
+    its tail into the next job's log ring (generation guard)."""
+    import io
+
+    class _FakeProc:
+        def __init__(self, text):
+            self.stdout = io.StringIO(text)
+
+        def wait(self):
+            return 7
+
+    r = wf.JobRunner()
+    r._gen = 2  # a newer job owns the log
+    r._pump(_FakeProc("stale1\nstale2\n"), gen=1)
+    st = r.poll()
+    assert st["lines"] == [] and st["returncode"] is None
