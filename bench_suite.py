@@ -289,7 +289,7 @@ def bench_realtime_latency(n_blocks=20):
 
 
 def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
-                  transfer_int16=False):
+                  transfer_int16=False, pipeline_depth=1):
     """Serving throughput through the dynamic batcher (infer/batcher.py):
     aggregate RTF with max_batch=8 concurrent requests vs a max_batch=1
     engine — the quantified batching lever from PERF.md implication 1.
@@ -321,7 +321,8 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
 
     def run_engine(mb, concurrency):
         eng = BatchedSynth(model, params, buckets=(bucket,), max_batch=mb,
-                           max_wait_ms=20.0, transfer_int16=transfer_int16)
+                           max_wait_ms=20.0, transfer_int16=transfer_int16,
+                           pipeline_depth=pipeline_depth)
         try:
             # warm (compile) with retries: the tunnel fails in waves
             last = None
@@ -368,13 +369,18 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
             eng.close()
 
     rtf_solo = run_engine(1, 1)
-    rtf_batched = run_engine(max_batch, max_batch)
+    rtf_batched = run_engine(max_batch, n_requests)
+    name = "serving"
+    if transfer_int16:
+        name += "_i16"
+    if pipeline_depth > 1:
+        name += "_pipelined"
     return {
-        "metric": ("serving_i16_throughput_rtf_44k1" if transfer_int16
-                   else "serving_throughput_rtf_44k1"),
+        "metric": f"{name}_throughput_rtf_44k1",
         "value": round(rtf_batched, 2),
         "unit": "aggregate_x_realtime_per_chip",
         "solo_rtf": round(rtf_solo, 2),
+        "pipeline_depth": pipeline_depth,
         # baseline = one-request-at-a-time serving (the reference's
         # flask_api model), i.e. the solo engine
         "vs_baseline": round(rtf_batched / rtf_solo, 3),
@@ -582,6 +588,14 @@ DICT_CONFIGS = {
     "serving_i16": (lambda: bench_serving(transfer_int16=True),
                     "serving_i16_throughput_rtf_44k1",
                     "aggregate_x_realtime_per_chip"),
+    # overlap lever: delivery thread fetches batch N while batch N+1
+    # computes (pipeline_depth=3), on top of the i16 d2h halving; 32
+    # requests = 4 batches so the overlap reaches steady state
+    "serving_i16_pipelined": (
+        lambda: bench_serving(transfer_int16=True, pipeline_depth=3,
+                              n_requests=32),
+        "serving_i16_pipelined_throughput_rtf_44k1",
+        "aggregate_x_realtime_per_chip"),
     "train": (lambda: bench_train(), "train_rtf_44k1",
               "audio_seconds_trained_per_wall_second_per_chip"),
     "train_vocoder": (lambda: bench_train_vocoder(),

@@ -164,6 +164,10 @@ def main(argv=None):
                    help="max distinct per-request sampler settings admitted "
                         "to batched graphs (each costs one compile per "
                         "bucket); further novel settings run direct")
+    p.add_argument("--batch_pipeline", type=int, default=1, metavar="K",
+                   help="batches in flight (K>=2 overlaps device compute "
+                        "with the device->host fetch of the previous batch "
+                        "— the serving bottleneck on d2h-bound links)")
     p.add_argument("--batch_devices", type=int, default=1, metavar="D",
                    help="shard each batch over the first D local devices "
                         "(data-parallel serving; requires --batch %% D == 0)")
@@ -192,7 +196,8 @@ def main(argv=None):
         pipeline.enable_batching(max_batch=cmd.batch,
                                  max_wait_ms=cmd.batch_wait_ms, mesh=mesh,
                                  max_signatures=cmd.batch_max_signatures,
-                                 transfer_int16=cmd.batch_i16)
+                                 transfer_int16=cmd.batch_i16,
+                                 pipeline_depth=cmd.batch_pipeline)
         if cmd.warmup:
             print("warming batch buckets ...", flush=True)
             pipeline.warmup_batching()

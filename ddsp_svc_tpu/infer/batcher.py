@@ -65,6 +65,7 @@ class BatchedSynth:
         forward_builder=None,
         out_hop: int | None = None,
         transfer_int16: bool = False,
+        pipeline_depth: int = 1,
     ):
         """``mesh``: optional 1-axis `jax.sharding.Mesh` — the request batch
         is then sharded over it (data-parallel serving: params replicated,
@@ -86,7 +87,16 @@ class BatchedSynth:
         is d2h-bound on constrained links (PERF.md: the tunnel moves
         ~15 MB/s; a max_batch=8 × 30 s f32 batch is ~42 MB), and the HTTP
         surface emits int16 wav anyway, so the ≤1-LSB (−96 dBFS) rounding
-        is free at the output."""
+        is free at the output.
+
+        ``pipeline_depth``: number of batches in flight (device compute +
+        host fetch). At the default 1 the worker fetches each batch's
+        output before dispatching the next, leaving the chip idle for the
+        whole device→host transfer; at ≥2 a delivery thread fetches batch
+        N while the worker dispatches batch N+1, so compute overlaps the
+        wire on the d2h-bound serving path. Results are still delivered
+        in dispatch order; at most ``pipeline_depth`` output buffers are
+        live on device."""
         self.model = model
         self.params = params
         self.buckets = tuple(sorted(buckets))
@@ -118,6 +128,17 @@ class BatchedSynth:
         self._n_batches = 0
         self._n_rows = 0  # real rows across batches (occupancy numerator)
         self._latencies_ms: list[float] = []  # ring, newest-last
+        self.pipeline_depth = max(1, int(pipeline_depth))
+        self._deliver_q = None
+        self._delivery = None
+        if self.pipeline_depth > 1:
+            # bounded: the worker blocks rather than queueing unbounded
+            # device output buffers behind a slow fetch
+            self._deliver_q = queue.Queue(maxsize=self.pipeline_depth - 1)
+            self._delivery = threading.Thread(
+                target=self._delivery_loop, daemon=True
+            )
+            self._delivery.start()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -195,6 +216,7 @@ class BatchedSynth:
             "latency_ms_p99": pct(0.99),
             "buckets": list(self.buckets),
             "max_batch": self.max_batch,
+            "pipeline_depth": self.pipeline_depth,
             "compiled_signatures": len(self._jit),
         }
 
@@ -202,6 +224,21 @@ class BatchedSynth:
         self._stop = True
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        if self._delivery is not None:
+            # already-dispatched batches drain normally (FIFO before the
+            # sentinel); then fail anything a dead delivery thread left
+            self._deliver_q.put(None)
+            self._delivery.join(timeout=30)
+            while True:
+                try:
+                    item = self._deliver_q.get_nowait()
+                except queue.Empty:
+                    break
+                if item is None:
+                    continue
+                for r in item[1]:
+                    r.error = RuntimeError("BatchedSynth closed")
+                    r.done.set()
         # no caller may hang on a request the worker will never run:
         # fail everything still queued (racing infer() threads included)
         leftovers = list(self._pending)
@@ -338,6 +375,14 @@ class BatchedSynth:
             self.params, jnp.asarray(units), jnp.asarray(f0),
             jnp.asarray(volume), jnp.asarray(spk), jnp.stack(keys),
         )
+        if self._deliver_q is not None:
+            # async dispatch done; the delivery thread barriers + fetches
+            # while this worker collects and dispatches the next batch
+            self._deliver_q.put((out, batch))
+        else:
+            self._finish(out, batch)
+
+    def _finish(self, out, batch: list[_Request]):
         jax.effects_barrier()
         out = np.asarray(out)
         with self._stats_lock:
@@ -348,3 +393,16 @@ class BatchedSynth:
         for i, r in enumerate(batch):
             r.result = out[i, : r.n_frames * self.hop]
             r.done.set()
+
+    def _delivery_loop(self):
+        while True:
+            item = self._deliver_q.get()
+            if item is None:
+                return
+            out, batch = item
+            try:
+                self._finish(out, batch)
+            except Exception as e:  # a failed fetch fails only its batch
+                for r in batch:
+                    r.error = e
+                    r.done.set()

@@ -83,7 +83,7 @@ class SvcPipeline:
     def enable_batching(self, buckets=(128, 256, 512, 1024), max_batch: int = 8,
                         max_wait_ms: float = 5.0, mesh=None,
                         max_signatures: int = 4, transfer_int16: bool = False,
-                        **model_kwargs):
+                        pipeline_depth: int = 1, **model_kwargs):
         """Route synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
         bucket ride one device call. The reference's flask_api serves one
@@ -110,7 +110,7 @@ class SvcPipeline:
             self.batcher = BatchedSynth(
                 self.model, self.variables["params"], buckets=buckets,
                 max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
-                transfer_int16=transfer_int16,
+                transfer_int16=transfer_int16, pipeline_depth=pipeline_depth,
             )
             return self.batcher
 
@@ -158,6 +158,7 @@ class SvcPipeline:
             buckets=buckets, max_batch=max_batch, max_wait_ms=max_wait_ms,
             mesh=mesh, forward_builder=builder,
             out_hop=vocoder.vocoder_hop_size, transfer_int16=transfer_int16,
+            pipeline_depth=pipeline_depth,
         )
         return self.batcher
 

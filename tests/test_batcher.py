@@ -1,6 +1,7 @@
 """Dynamic-batching serving engine (infer/batcher.py): batch-independence,
 bucket padding, concurrency, error delivery."""
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -515,3 +516,70 @@ def test_warmup_excluded_from_stats(synth):
     assert after["latency_ms_p99"] == before["latency_ms_p99"]
     # warmup did compile every bucket's graph
     assert after["compiled_signatures"] >= len(eng.buckets)
+
+
+def test_pipelined_matches_serial(synth):
+    """pipeline_depth>=2 (delivery thread fetches batch N while N+1
+    computes) must be invisible to callers: same results as the serial
+    engine, in-order delivery, multiple batches in flight."""
+    _, model, params = synth
+    rng = np.random.default_rng(5)
+    reqs = [(_req(rng, 20 + (i % 3)), jax.random.PRNGKey(100 + i))
+            for i in range(10)]
+
+    def run_all(depth):
+        eng = BatchedSynth(model, params, buckets=(32,), max_batch=2,
+                           max_wait_ms=5.0, pipeline_depth=depth)
+        try:
+            outs = [None] * len(reqs)
+            errs = []
+
+            def one(i):
+                (u, f, v), k = reqs[i]
+                try:
+                    outs[i] = eng.infer(u, f, v, spk_id=1, key=k)
+                except Exception as e:
+                    errs.append(e)
+
+            ths = [threading.Thread(target=one, args=(i,))
+                   for i in range(len(reqs))]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+            assert not errs
+            return outs
+        finally:
+            eng.close()
+
+    serial = run_all(1)
+    pipelined = run_all(3)
+    for a, b in zip(serial, pipelined):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pipelined_close_drains_in_flight(synth):
+    """close() must deliver already-dispatched batches and fail queued
+    ones — no caller may hang on a pipelined engine being shut down."""
+    _, model, params = synth
+    eng = BatchedSynth(model, params, buckets=(32,), max_batch=1,
+                       max_wait_ms=1.0, pipeline_depth=2)
+    rng = np.random.default_rng(6)
+    results, errors = [], []
+
+    def one():
+        u, f, v = _req(rng, 16)
+        try:
+            results.append(eng.infer(u, f, v, spk_id=1, key=jax.random.PRNGKey(0)))
+        except Exception as e:
+            errors.append(e)
+
+    ths = [threading.Thread(target=one) for _ in range(6)]
+    for t in ths:
+        t.start()
+    time.sleep(0.2)  # let some dispatch
+    eng.close()
+    for t in ths:
+        t.join(timeout=30)
+        assert not t.is_alive(), "caller hung across close()"
+    assert len(results) + len(errors) == 6
