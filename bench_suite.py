@@ -571,6 +571,9 @@ CONFIGS = {
     "nsf_subpixel": lambda: bench_nsf(subpixel=True),
     "nsf_subpixel_bf16": lambda: bench_nsf(dtype=jnp.bfloat16, subpixel=True),
     "nsf_bf16_b8": lambda: bench_nsf(batch=8, dtype=jnp.bfloat16),
+    # B=16 exceeds the remote compile helper's budget (PERF.md); B=12 is
+    # the untried middle — NSF throughput scales with batch
+    "nsf_bf16_b12": lambda: bench_nsf(batch=12, dtype=jnp.bfloat16),
     "cascade": lambda: _bench_cascade("diffusion"),
     "reflow": lambda: _bench_cascade("reflow"),
 }
