@@ -116,11 +116,11 @@ def bench_combsub(batch=64, seconds=30.0, use_pallas=False, dtype=None):
         )
         return jnp.sum(jnp.abs(s))
 
-    return (
-        lambda i: run(params, jax.random.fold_in(jax.random.PRNGKey(3), i),
-                      units, f0, volume, spk),
-        batch * t * HOP / SR,
-    )
+    call = lambda i: run(params, jax.random.fold_in(jax.random.PRNGKey(3), i),
+                         units, f0, volume, spk)  # noqa: E731
+    call.lowerable = (run, (params, jax.random.PRNGKey(3),
+                            units, f0, volume, spk))
+    return call, batch * t * HOP / SR
 
 
 def bench_sins(batch=16, seconds=10.0):
@@ -147,11 +147,12 @@ def bench_sins(batch=16, seconds=10.0):
         )
         return jnp.sum(jnp.abs(s))
 
-    return (
-        lambda i: run(variables, jax.random.fold_in(jax.random.PRNGKey(3), i),
-                      units, f0, volume, spk),
-        batch * t * HOP / SR,
-    )
+    call = lambda i: run(variables,
+                         jax.random.fold_in(jax.random.PRNGKey(3), i),
+                         units, f0, volume, spk)  # noqa: E731
+    call.lowerable = (run, (variables, jax.random.PRNGKey(3),
+                            units, f0, volume, spk))
+    return call, batch * t * HOP / SR
 
 
 def bench_nsf(batch=4, seconds=10.0, dtype=None, subpixel=False):
@@ -180,11 +181,10 @@ def bench_nsf(batch=4, seconds=10.0, dtype=None, subpixel=False):
     def run(params, key, mel, f0):
         return jnp.sum(jnp.abs(gen.apply({"params": params}, mel, f0, key=key)))
 
-    return (
-        lambda i: run(params, jax.random.fold_in(jax.random.PRNGKey(3), i),
-                      mel, f0),
-        batch * t * HOP / SR,
-    )
+    call = lambda i: run(params, jax.random.fold_in(jax.random.PRNGKey(3), i),
+                         mel, f0)  # noqa: E731
+    call.lowerable = (run, (params, jax.random.PRNGKey(3), mel, f0))
+    return call, batch * t * HOP / SR
 
 
 def _bench_cascade(family, batch=8, seconds=10.0):
@@ -222,12 +222,12 @@ def _bench_cascade(family, batch=8, seconds=10.0):
         )
         return jnp.sum(jnp.abs(out))
 
-    return (
-        lambda i: run(variables["params"],
-                      jax.random.fold_in(jax.random.PRNGKey(4), i),
-                      units, f0, volume, spk),
-        batch * t * HOP / SR,
-    )
+    call = lambda i: run(variables["params"],
+                         jax.random.fold_in(jax.random.PRNGKey(4), i),
+                         units, f0, volume, spk)  # noqa: E731
+    call.lowerable = (run, (variables["params"], jax.random.PRNGKey(4),
+                            units, f0, volume, spk))
+    return call, batch * t * HOP / SR
 
 
 def bench_realtime_latency(n_blocks=20):
@@ -607,6 +607,46 @@ DICT_CONFIGS = {
 }
 
 
+def run_cost_analysis(names=None):
+    """Compiler-reported roofline inputs: lower+compile each synth config
+    and record XLA's own FLOP / bytes-accessed counts per audio-second in
+    COST.json (replaces PERF.md's hand estimates with compiler numbers).
+    Runs on whatever platform jax is configured for; pass --cpu to force
+    the host backend (always available; lowering differs from TPU mainly
+    in fusion aggressiveness, noted in the output)."""
+    names = [n for n in (names or list(CONFIGS)) if n in CONFIGS]
+    platform = jax.devices()[0].platform
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "COST.json")
+    try:
+        with open(out_path) as f:
+            results = json.load(f)
+    except Exception:
+        results = {}
+    for name in names:
+        try:
+            fn, audio_s = CONFIGS[name]()
+            run, args = fn.lowerable
+            ca = run.lower(*args).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            line = {
+                "config": name,
+                "platform": platform,
+                "gflop_per_audio_s": round(float(ca.get("flops", 0.0))
+                                           / 1e9 / audio_s, 4),
+                "mb_accessed_per_audio_s": round(
+                    float(ca.get("bytes accessed", 0.0)) / 1e6 / audio_s, 2),
+                "audio_s_per_call": round(audio_s, 2),
+            }
+            results[f"{name}_{platform}"] = {**line,
+                                             "measured_at_unix": time.time()}
+            _save_results(out_path, results)
+        except Exception as e:
+            line = {"config": name, "platform": platform,
+                    "error": str(e)[:120]}
+        print(json.dumps(line), flush=True)
+
+
 def _save_results(path: str, results: dict):
     """Atomic replace: a SIGKILL mid-write (run_isolated's deadline) must
     never leave a truncated BENCH_SUITE.json that wipes committed results."""
@@ -649,6 +689,13 @@ def run_isolated(names, timeout_s: float):
 
 def main(names=None):
     profile_dir = None
+    if names and "--cost" in names:
+        names = [n for n in names if n != "--cost"]
+        if "--cpu" in names:
+            names.remove("--cpu")
+            jax.config.update("jax_platforms", "cpu")
+        run_cost_analysis(names or None)
+        return
     if names and "--isolate" in names:
         names = [n for n in names if n != "--isolate"]
         timeout_s = float(os.environ.get("BENCH_CONFIG_DEADLINE_S", "1800"))
