@@ -583,3 +583,37 @@ def test_pipelined_close_drains_in_flight(synth):
         t.join(timeout=30)
         assert not t.is_alive(), "caller hung across close()"
     assert len(results) + len(errors) == 6
+
+
+def test_mesh_plus_pipelined_serving_matches_single_device(synth):
+    """Production combo: data-parallel mesh sharding AND overlapped-fetch
+    pipelining must still match the plain single-device engine."""
+    from jax.sharding import Mesh
+
+    eng, model, params = synth
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    eng_mp = BatchedSynth(model, params, buckets=(32, 64), max_batch=4,
+                          max_wait_ms=20.0, mesh=mesh, pipeline_depth=2)
+    try:
+        rng = np.random.default_rng(8)
+        reqs = [(_req(rng, 24), jax.random.PRNGKey(900 + i), 1 + i % 4)
+                for i in range(8)]
+        single = [eng.infer(u, f, v, spk_id=s, key=k)
+                  for (u, f, v), k, s in reqs]
+        results = [None] * len(reqs)
+
+        def worker(i):
+            (u, f, v), k, s = reqs[i]
+            results[i] = eng_mp.infer(u, f, v, spk_id=s, key=k)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(reqs))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for i in range(len(reqs)):
+            np.testing.assert_allclose(results[i], single[i], rtol=2e-4,
+                                       atol=2e-5, err_msg=str(i))
+    finally:
+        eng_mp.close()
