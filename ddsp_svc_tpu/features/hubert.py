@@ -72,8 +72,8 @@ class TransformerLayer(nn.Module):
             num_heads=self.heads, qkv_features=self.dim, out_features=self.dim,
             name="attn",
         )
-        ln1 = nn.LayerNorm(name="norm1")
-        ln2 = nn.LayerNorm(name="norm2")
+        ln1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        ln2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
 
         def ffn(h):
             h = nn.Dense(self.ffn_dim, name="fc1")(h)
@@ -116,10 +116,10 @@ class HubertModel(nn.Module):
         if cfg.pad_center:
             audio = jnp.pad(audio, ((0, 0), (40, 40)))
         x = FeatureExtractor(name="feature_extractor")(audio)
-        x = nn.LayerNorm(name="fp_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="fp_norm")(x)
         x = nn.Dense(cfg.dim, name="fp_proj")(x)
         x = x + PositionalConvEmbedding(cfg.dim, name="pos_conv")(x)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         n = cfg.output_layer or cfg.num_layers
         for i in range(n):
             x = TransformerLayer(

@@ -39,19 +39,29 @@ def _stub(name, pkg=False):
 
 @pytest.fixture(scope="module")
 def ref():
-    """Import the reference model modules (read-only, stubs for absent wheels)."""
+    """Import the reference model modules (read-only, stubs for absent
+    wheels). Stubs WE add are removed at teardown — other test files (e.g.
+    the extractor wheel-dispatch tests) must keep seeing those wheels as
+    absent when they share an xdist worker with this module."""
+    added = []
+
+    def stub_once(name, pkg=False):
+        if name in sys.modules:
+            return sys.modules[name]
+        added.append(name)
+        return _stub(name, pkg)
+
     if REF not in sys.path:
         sys.path.insert(0, REF)
     for name in ("gin", "pyworld", "parselmouth", "torchcrepe", "resampy"):
-        if name not in sys.modules:
-            _stub(name)
+        stub_once(name)
     if "local_attention" not in sys.modules:
-        _stub("local_attention").LocalAttention = object
+        stub_once("local_attention").LocalAttention = object
     if "fairseq" not in sys.modules:
-        _stub("fairseq").checkpoint_utils = types.SimpleNamespace()
+        stub_once("fairseq").checkpoint_utils = types.SimpleNamespace()
     if "torchaudio" not in sys.modules:
-        ta = _stub("torchaudio", pkg=True)
-        tat = _stub("torchaudio.transforms")
+        ta = stub_once("torchaudio", pkg=True)
+        tat = stub_once("torchaudio.transforms")
         tat.Resample = type("Resample", (), {"__init__": lambda self, *a, **k: None})
         ta.transforms = tat
     import ddsp.unit2control as ref_u2c
@@ -59,10 +69,12 @@ def ref():
     import diffusion.naive_v2_diff as ref_nv2
     import diffusion.wavenet as ref_wavenet
     import nsf_hifigan.models as ref_nsf
-    return types.SimpleNamespace(
+    yield types.SimpleNamespace(
         u2c=ref_u2c, vocoder=ref_vocoder, nv2=ref_nv2, wavenet=ref_wavenet,
         nsf=ref_nsf,
     )
+    for name in added:
+        sys.modules.pop(name, None)
 
 
 def sd_numpy(module: torch.nn.Module) -> dict:
@@ -500,3 +512,37 @@ class TestRMVPE:
         ours = np.asarray(E2E0().apply(variables, jnp.asarray(mel)))
         assert ours.shape == g.shape == (b, t, 360)
         np.testing.assert_allclose(ours, g, atol=5e-5, rtol=1e-3)
+
+
+class TestHubertSoft:
+    """Golden forward agreement for the default units encoder: the
+    reference's self-contained HuBERT-Soft net (encoder/hubert/model.py:19-80)
+    at seeded random init, converted through convert/hubert.py (bshall
+    layout), compared over the full units() path (pad(40,40) + conv
+    extractor + 12-layer transformer + 256-proj) — value-validates the
+    converter that was previously only shape-checked."""
+
+    def test_hubert_soft_units(self, ref):
+        import encoder.hubert.model as ref_hubert
+
+        from ddsp_svc_tpu.convert.hubert import convert_hubert_state_dict
+        from ddsp_svc_tpu.features.hubert import ENCODER_CONFIGS, HubertModel
+
+        torch.manual_seed(3)
+        tm = ref_hubert.HubertSoft().eval()
+        rng = np.random.default_rng(11)
+        wav = (0.1 * rng.standard_normal((1, 3200))).astype(np.float32)
+        with torch.inference_mode():
+            want = tm.units(torch.from_numpy(wav).unsqueeze(1)).numpy()
+
+        cfg = ENCODER_CONFIGS["hubertsoft"]
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, convert_hubert_state_dict(sd_numpy(tm), cfg)
+        )
+        got = np.asarray(HubertModel(cfg).apply(variables, jnp.asarray(wav)))
+        assert got.shape == want.shape == (1, 10, 256)
+        # abs-only bound: f32 accumulation noise through 12 random-init
+        # post-norm layers reaches ~3e-3 on an O(2) output (writing this
+        # test caught a real bug — flax LayerNorm eps 1e-6 vs torch 1e-5);
+        # a mapping/transpose error produces O(1) differences
+        np.testing.assert_allclose(got, want, atol=5e-3, rtol=0)
