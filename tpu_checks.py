@@ -318,6 +318,63 @@ def check_batcher_i16():
     return {"ok": bool(err <= 1.01 / 32767.0), "max_abs_err": err}
 
 
+def check_batcher_pipelined():
+    """Overlapped-fetch pipelining (pipeline_depth=3) ON HARDWARE: four
+    concurrent requests through the pipelined engine must be bit-identical
+    to the serial (depth=1) engine — the delivery thread's barrier+fetch
+    while the worker dispatches the next batch must not change anything."""
+    import threading
+
+    from ddsp_svc_tpu.infer.batcher import BatchedSynth
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+    sr, hop, win, n_unit = 44100, 512, 2048, 768
+    t = 64
+    model = CombSubSuperFast(sr, hop, win, n_unit=n_unit, n_spk=1)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        )["params"]
+    dev = jax.devices()[0]
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+    rng = np.random.default_rng(13)
+    reqs = [
+        (rng.standard_normal((t, n_unit)).astype(np.float32),
+         (220.0 * np.exp(0.1 * rng.standard_normal((t, 1)))).astype(np.float32),
+         0.5 * np.ones((t, 1), np.float32),
+         jax.random.PRNGKey(40 + i))
+        for i in range(4)
+    ]
+
+    def run_all(depth):
+        eng = BatchedSynth(model, params, buckets=(t,), max_batch=2,
+                           max_wait_ms=5.0, pipeline_depth=depth)
+        outs = [None] * len(reqs)
+        try:
+            ths = [
+                threading.Thread(
+                    target=lambda i=i: outs.__setitem__(
+                        i, eng.infer(*reqs[i][:3], spk_id=1, key=reqs[i][3]))
+                )
+                for i in range(len(reqs))
+            ]
+            for th in ths:
+                th.start()
+            for th in ths:
+                th.join()
+        finally:
+            eng.close()
+        return outs
+
+    serial = run_all(1)
+    pipelined = run_all(3)
+    err = max(float(np.abs(a - b).max()) for a, b in zip(serial, pipelined))
+    return {"ok": bool(err == 0.0), "max_abs_err": err}
+
+
 CHECKS = {
     "pallas_combtooth": check_pallas_combtooth,
     "pallas_oscillator": check_pallas_oscillator,
@@ -326,6 +383,7 @@ CHECKS = {
     "batcher_serving": check_batcher_serving,
     "nsf_subpixel": check_nsf_subpixel,
     "batcher_i16": check_batcher_i16,
+    "batcher_pipelined": check_batcher_pipelined,
 }
 
 
