@@ -213,6 +213,11 @@ def sine_gen(
     rad = rad.reshape(b, t * upp, 1)
     rad = rad * jnp.arange(1, dim + 1, dtype=f0.dtype).reshape(1, 1, dim)
     if rand_ini is None or noise is None:
+        if key is None:
+            raise ValueError(
+                "sine_gen: key is required when rand_ini or noise is not "
+                "provided (partial sine_kwargs without an rng)"
+            )
         key_ini, key_noise = jax.random.split(key)
     if rand_ini is None:
         rand_ini = jax.random.uniform(key_ini, (1, 1, dim), dtype=f0.dtype)

@@ -58,10 +58,19 @@ def batch_sharding(mesh: Mesh, ndim: int, shard_time: bool = False) -> NamedShar
 
 
 def shard_batch(mesh: Mesh, batch, shard_time: bool = False):
-    """device_put a pytree of batch arrays with data(+time) sharding."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(
-            x, batch_sharding(mesh, getattr(x, "ndim", 0), shard_time)
-        ),
-        batch,
-    )
+    """device_put a pytree of batch arrays with data(+time) sharding.
+
+    Time sharding is applied per leaf only where it is valid: axis 1 must
+    exist and be divisible by the mesh's time extent (a (B, 1) spk_id or
+    (B, 1, 1) aug_shift rides along replicated on 'time')."""
+    tsize = dict(mesh.shape).get("time", 1)
+
+    def put(x):
+        nd = getattr(x, "ndim", 0)
+        st = (
+            shard_time and nd >= 2 and tsize > 1
+            and x.shape[1] % tsize == 0
+        )
+        return jax.device_put(x, batch_sharding(mesh, nd, st))
+
+    return jax.tree_util.tree_map(put, batch)

@@ -28,8 +28,6 @@ order. ``tests/test_stream.py`` asserts whole-vs-blocked agreement.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax
@@ -40,7 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.ddsp import CombSubSuperFast
 from ..ops.source import fast_source_gen, frame_phase_increments_q
 from ..ops.spectral import frame_signal, overlap_add
-from ..ops.window import hann_window
+from ..ops.window import hann_window, sqrt_hann_window
 
 FRAME_HALO = 48  # conv stack (2) + 3 conformer layers (15 each) + margin
 
@@ -129,6 +127,18 @@ def blocked_noise_frames(
     return blocks.transpose(1, 0, 2)
 
 
+def _carry_prefix_offset(q_own, q_left, axis, d, n_dev):
+    """Exact phase-carry offset for a haloed block: sum of every previous
+    device's own int32 increments (all_gather + masked prefix — integer
+    arithmetic is associative, so this is blocking-invariant) minus this
+    block's left-halo increments. q_own: (B, tb, 1); q_left: (B, h, 1)."""
+    s_own = jnp.sum(q_own, axis=1, keepdims=True)  # (B,1,1) int32
+    gathered = lax.all_gather(s_own, axis)  # (D, B, 1, 1)
+    dev_mask = (jnp.arange(n_dev) < d).astype(jnp.int32)
+    prefix = jnp.tensordot(dev_mask, gathered, axes=(0, 0))  # (B,1,1)
+    return prefix - jnp.sum(q_left, axis=1, keepdims=True)
+
+
 def _combsub_block(
     model, variables, units_b, f0_b, vol_b, keys_b, spk_id_b, axis, n_dev, t, tb,
     aug_shift_b=None,
@@ -150,12 +160,9 @@ def _combsub_block(
 
     # exact phase carry: int32 increments, cross-device prefix
     q_ext = frame_phase_increments_q(f0_ext, model.sampling_rate, hop)
-    q_own = q_ext[:, hf : hf + tb]
-    s_own = jnp.sum(q_own, axis=1, keepdims=True)  # (B,1,1) int32
-    gathered = lax.all_gather(s_own, axis)  # (D, B, 1, 1)
-    dev_mask = (jnp.arange(n_dev) < d).astype(jnp.int32)
-    prefix = jnp.tensordot(dev_mask, gathered, axes=(0, 0))  # (B,1,1)
-    offset_ext = prefix - jnp.sum(q_ext[:, :hf], axis=1, keepdims=True)
+    offset_ext = _carry_prefix_offset(
+        q_ext[:, hf : hf + tb], q_ext[:, :hf], axis, d, n_dev
+    )
 
     combtooth_ext, phase_ext = fast_source_gen(
         f0_ext, model.sampling_rate, hop, carry_offset_q=offset_ext
@@ -356,6 +363,14 @@ def streamed_cascade_mel(
         f"block of {tb} frames too small (needs >= {max(FRAME_HALO, hd)})"
     )
     assert mel.hop_length == hop and mel.sr == model.sampling_rate
+    if family != "reflow" and infer_speedup <= 1:
+        raise NotImplementedError(
+            "streamed diffusion requires infer_speedup >= 2: the full "
+            "ancestral chain draws fresh noise per step, which is not "
+            "blocking-invariant (the accelerated samplers are ODE-like "
+            "given the per-frame init noise); run whole-utterance for "
+            "speedup 1"
+        )
 
     key_ddsp, key_init = jax.random.split(key)
     ddsp_keys = jax.random.split(key_ddsp, t)  # (T, 2)
@@ -382,7 +397,8 @@ def streamed_cascade_mel(
         net_mod = RectifiedFlow(naive, out_dims=model.out_dims)
     else:
         net_mod = GaussianDiffusion(
-            naive, out_dims=model.out_dims, k_step=model.k_step_max
+            naive, out_dims=model.out_dims, timesteps=model.timesteps,
+            k_step=model.k_step_max,
         )
 
     def block(variables, units_b, f0_b, vol_b, dkeys_b, ikeys_b, spk_id_b):
@@ -585,12 +601,10 @@ def streamed_nsf_hifigan(
 
         # exact sine-phase carry prefix over devices
         q_own = sine_increments_q(f0_b, upp, gen.sampling_rate)
-        s_own = jnp.sum(q_own, axis=1, keepdims=True)
-        gathered = lax.all_gather(s_own, axis)
-        dev_mask = (jnp.arange(n_dev) < d).astype(jnp.int32)
-        prefix = jnp.tensordot(dev_mask, gathered, axes=(0, 0))
         q_ext = sine_increments_q(f0_ext, upp, gen.sampling_rate)
-        offset_ext = prefix - jnp.sum(q_ext[:, :halo], axis=1, keepdims=True)
+        offset_ext = _carry_prefix_offset(
+            q_own, q_ext[:, :halo], axis, d, n_dev
+        )
 
         # per-frame keyed noise for ext frames: padded coords [d*tb, ...)
         keys_ext = lax.dynamic_slice(
@@ -661,12 +675,9 @@ def _combsubfast_block(
 
     f0_up_ext = upsample(f0_ext, block)
     q_ext = cumsum_increments_q(f0_up_ext, model.sampling_rate, block)
-    q_own = q_ext[:, hf : hf + tb]
-    s_own = jnp.sum(q_own, axis=1, keepdims=True)
-    gathered = lax.all_gather(s_own, axis)
-    dev_mask = (jnp.arange(n_dev) < d).astype(jnp.int32)
-    prefix = jnp.tensordot(dev_mask, gathered, axes=(0, 0))
-    offset_ext = prefix - jnp.sum(q_ext[:, :hf], axis=1, keepdims=True)
+    offset_ext = _carry_prefix_offset(
+        q_ext[:, hf : hf + tb], q_ext[:, :hf], axis, d, n_dev
+    )
 
     x_ext = cumsum_phase_source(
         f0_up_ext, model.sampling_rate, block, carry_offset_q=offset_ext
@@ -713,7 +724,7 @@ def _combsubfast_block(
 
     # framed synthesis without re-padding: ext already carries the one-block
     # margins, frame j here == whole-path padded frame s + j
-    window = jnp.asarray(sqrt_hann_window_cached(2 * block))
+    window = jnp.asarray(sqrt_hann_window(2 * block))
     def filtered(sig, filt):
         frames = frame_signal(sig, 2 * block, block) * window
         fft = jnp.fft.rfft(frames, 2 * block, axis=-1)
@@ -724,10 +735,53 @@ def _combsubfast_block(
     return y[:, block : block + tb * block], hidden_own
 
 
-def sqrt_hann_window_cached(n):
-    from ..ops.window import sqrt_hann_window
+def streamed_combsub_fast_forward(
+    model,  # CombSubFast
+    variables,
+    units: jnp.ndarray,  # (B, T, C)
+    f0: jnp.ndarray,  # (B, T, 1)
+    volume: jnp.ndarray,  # (B, T, 1)
+    key: jax.Array,
+    spk_id=None,
+    mesh: Mesh | None = None,
+    axis: str = "time",
+) -> jnp.ndarray:
+    """Time-sharded standalone CombSubFast synthesis (ddsp/vocoder.py:712-786).
 
-    return sqrt_hann_window(n)
+    Returns (B, T*block) audio matching
+    ``model.apply(..., noise=blocked_uniform(key, B, T, block))`` — the same
+    blocked engine the DiffusionNew cascade rides (_combsubfast_block)."""
+    b, t, _ = units.shape
+    n_dev = mesh.shape[axis]
+    assert t % n_dev == 0, f"frames {t} not divisible by {n_dev} devices"
+    tb = t // n_dev
+    assert tb >= max(FRAME_HALO, 4), (
+        f"block of {tb} frames too small (needs >= {max(FRAME_HALO, 4)})"
+    )
+    noise_keys = jax.random.split(key, t)  # (T, 2)
+    if spk_id is None:
+        spk_id = jnp.ones((b, 1), jnp.int32)
+
+    def block(variables, units_b, f0_b, vol_b, keys_b, spk_id_b):
+        audio, _hidden = _combsubfast_block(
+            model, variables, units_b, f0_b, vol_b, keys_b, spk_id_b,
+            axis, n_dev, t, tb,
+        )
+        return audio
+
+    spec_frames = P(None, axis, None)
+    fn = _cached_jit(
+        ("combsubfast", model, mesh, axis, units.shape),
+        lambda: jax.shard_map(
+            block,
+            mesh=mesh,
+            in_specs=(P(), spec_frames, spec_frames, spec_frames,
+                      P(axis, None), P()),
+            out_specs=P(None, axis),
+            check_vma=False,
+        ),
+    )
+    return fn(variables, units, f0, volume, noise_keys, spk_id)
 
 
 def streamed_unit2wav_new_mel(
@@ -756,6 +810,12 @@ def streamed_unit2wav_new_mel(
     tb = t // n_dev
     hd = WAVENET_HALO
     assert tb >= max(FRAME_HALO, hd)
+    assert mel.hop_length == model.block_size and mel.sr == model.sampling_rate
+    if infer_speedup <= 1:
+        raise NotImplementedError(
+            "streamed diffusion requires infer_speedup >= 2 "
+            "(ancestral per-step noise is not blocking-invariant)"
+        )
 
     key_ddsp, key_init = jax.random.split(key)
     ddsp_keys = jax.random.split(key_ddsp, t)
@@ -772,6 +832,7 @@ def streamed_unit2wav_new_mel(
     wavenet = WaveNet(model.out_dims, model.n_layers, model.n_chans, 256,
                       dtype=model.dtype, name="denoise_fn")
     net_mod = GaussianDiffusion(wavenet, out_dims=model.out_dims,
+                                timesteps=model.timesteps,
                                 k_step=model.k_step_max)
 
     def block(variables, units_b, f0_b, vol_b, dkeys_b, ikeys_b, spk_id_b):
@@ -953,12 +1014,9 @@ def streamed_sins_forward(
 
         f0_up_ext = upsample(f0_ext, block)
         q_ext = cumsum_increments_q(f0_up_ext, model.sampling_rate, block)
-        q_own = q_ext[:, hf : hf + tb]
-        s_own = jnp.sum(q_own, axis=1, keepdims=True)
-        gathered = lax.all_gather(s_own, axis)
-        dev_mask = (jnp.arange(n_dev) < d).astype(jnp.int32)
-        prefix = jnp.tensordot(dev_mask, gathered, axes=(0, 0))
-        offset_ext = prefix - jnp.sum(q_ext[:, :hf], axis=1, keepdims=True)
+        offset_ext = _carry_prefix_offset(
+            q_ext[:, hf : hf + tb], q_ext[:, :hf], axis, d, n_dev
+        )
         x_ext = cumsum_phase_source(
             f0_up_ext, model.sampling_rate, block, carry_offset_q=offset_ext
         )
@@ -1087,12 +1145,9 @@ def streamed_combsub_old_forward(
 
         f0_up_ext = upsample(f0_ext, block)
         q_ext = cumsum_increments_q(f0_up_ext, model.sampling_rate, block)
-        q_own = q_ext[:, hf : hf + tb]
-        s_own = jnp.sum(q_own, axis=1, keepdims=True)
-        gathered = lax.all_gather(s_own, axis)
-        dev_mask = (jnp.arange(n_dev) < d).astype(jnp.int32)
-        prefix = jnp.tensordot(dev_mask, gathered, axes=(0, 0))
-        offset_ext = prefix - jnp.sum(q_ext[:, :hf], axis=1, keepdims=True)
+        offset_ext = _carry_prefix_offset(
+            q_ext[:, hf : hf + tb], q_ext[:, :hf], axis, d, n_dev
+        )
         x_ext = cumsum_phase_source(
             f0_up_ext, model.sampling_rate, block, carry_offset_q=offset_ext
         )
@@ -1204,6 +1259,11 @@ def streamed_unit2mel(
     tb = t // n_dev
     hd = WAVENET_HALO
     assert tb >= hd
+    if infer_speedup <= 1:
+        raise NotImplementedError(
+            "streamed diffusion requires infer_speedup >= 2 "
+            "(ancestral per-step noise is not blocking-invariant)"
+        )
     init_keys = jax.random.split(key, t)
     if spk_id is None:
         spk_id = jnp.ones((b, 1), jnp.int32)
@@ -1211,6 +1271,7 @@ def streamed_unit2mel(
     wavenet = WaveNet(model.out_dims, model.n_layers, model.n_chans,
                       model.n_hidden, dtype=model.dtype, name="denoise_fn")
     net_mod = GaussianDiffusion(wavenet, out_dims=model.out_dims,
+                                timesteps=model.timesteps,
                                 k_step=model.k_step_max)
 
     def block(variables, units_b, f0_b, vol_b, gt_b, ikeys_b, spk_id_b):
@@ -1299,6 +1360,11 @@ def streamed_forward(model, variables, units, f0, volume, key, mesh,
         )
     if isinstance(model, CombSub):
         return streamed_combsub_old_forward(
+            model, variables, units, f0, volume, key, spk_id=spk_id,
+            mesh=mesh, axis=axis,
+        )
+    if isinstance(model, CombSubFast):
+        return streamed_combsub_fast_forward(
             model, variables, units, f0, volume, key, spk_id=spk_id,
             mesh=mesh, axis=axis,
         )

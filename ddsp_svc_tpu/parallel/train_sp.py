@@ -25,7 +25,6 @@ step keeps dropout; use sp when sequence memory, not regularization, binds.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 
@@ -195,7 +194,16 @@ def make_sp_cascade_train_step(
 
     @jax.jit
     def step(state, batch, key):
-        t = batch["units"].shape[1]
+        b, t = batch["units"].shape[:2]
+        # the docstring constraints, asserted here (like every streamed_*
+        # entry) so violations fail with a clear message instead of an
+        # opaque broadcast error deep in the traced loss
+        assert b % dp == 0, f"batch {b} not divisible by dp {dp}"
+        assert t % sp == 0, f"frames {t} not divisible by sp {sp}"
+        need = max(FRAME_HALO, hd)
+        assert t // sp >= need, (
+            f"time-shard of {t // sp} frames too small (needs >= {need})"
+        )
         key_step, key_ddsp, key_noise = jax.random.split(key, 3)
         dkeys = jax.random.split(key_ddsp, t)
         nkeys = jax.random.split(key_noise, t)
