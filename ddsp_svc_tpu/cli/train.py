@@ -98,7 +98,9 @@ def main(argv=None):
     )
     if opt_payload is not None:
         state = state.replace(
-            opt_state=ckpt.restore_into(jax.device_get(state.opt_state), opt_payload)
+            opt_state=ckpt.restore_opt_state(
+                jax.device_get(state.opt_state), opt_payload
+            )
         )
 
     n_dev = len(jax.devices())

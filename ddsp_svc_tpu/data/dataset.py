@@ -159,7 +159,13 @@ class AudioDataset:
         if self.load_audio:
             audio = entry.get("audio")
             if audio is None:
-                audio, _ = load_wav(os.path.join(self.path_root, "audio", name_ext))
+                audio, sr = load_wav(os.path.join(self.path_root, "audio", name_ext))
+                # the cached path asserts this at load time; the lazy path
+                # must too — a mismatched-rate wav would otherwise train on
+                # silently time-shifted, wrongly-scaled crops
+                assert sr == self.sample_rate, (
+                    f"{name_ext}: wav rate {sr} != config {self.sample_rate}"
+                )
                 audio = audio.astype(np.float32)
             out["audio"] = audio[start_frame * self.hop_size : (start_frame + tf) * self.hop_size]
             if len(out["audio"]) < tf * self.hop_size:
@@ -169,14 +175,29 @@ class AudioDataset:
 
         if self.with_mel:
             aug_flag = self.use_aug and rng.random() > 0.5
-            keyshift = entry.get("keyshift", 0.0)
+            keyshift = entry.get("keyshift")
+            if keyshift is None:  # uncached corpus: not preloaded
+                keyshift = float(self.pitch_aug_dict.get(name_ext, 0.0))
             if aug_flag:
-                mel = entry["aug_mel"]
-                out["volume"] = entry["aug_vol"][sl]
+                mel = entry.get("aug_mel")
+                if mel is None:
+                    mel = np.load(self._feat(name_ext, "aug_mel")).astype(
+                        np.float32
+                    )
+                aug_vol = entry.get("aug_vol")
+                if aug_vol is None:
+                    aug_vol = np.load(self._feat(name_ext, "aug_vol")).astype(
+                        np.float32
+                    )[:, None]
+                out["volume"] = aug_vol[sl]
                 out["f0"] = out["f0"] * 2 ** (keyshift / 12.0)
                 out["aug_shift"] = np.array([[keyshift]], np.float32)
             else:
-                mel = entry["mel"]
+                mel = entry.get("mel")
+                if mel is None:
+                    mel = np.load(self._feat(name_ext, "mel")).astype(
+                        np.float32
+                    )
                 out["aug_shift"] = np.array([[0.0]], np.float32)
             out["mel"] = mel[sl]
         elif self.use_aug and self.load_audio:

@@ -91,13 +91,13 @@ def npy_index(path: str) -> tuple[int, tuple[int, ...]]:
     return off, tuple(header["shape"]), header["descr"]
 
 
-def wav_index(path: str) -> tuple[int, int, str]:
-    """(data byte offset, n_samples, kind) of a mono RIFF wav; kind in
-    {'pcm16', 'f32'}."""
+def wav_index(path: str) -> tuple[int, int, str, int]:
+    """(data byte offset, n_samples, kind, sample_rate) of a mono RIFF wav;
+    kind in {'pcm16', 'f32'}."""
     with open(path, "rb") as f:
         riff = f.read(12)
         assert riff[:4] == b"RIFF" and riff[8:12] == b"WAVE", path
-        fmt_code, channels, bits = None, None, None
+        fmt_code, channels, bits, rate = None, None, None, None
         while True:
             head = f.read(8)
             if len(head) < 8:
@@ -106,15 +106,16 @@ def wav_index(path: str) -> tuple[int, int, str]:
             if cid == b"fmt ":
                 fmt = f.read(size)
                 fmt_code, channels = struct.unpack("<HH", fmt[:4])
+                rate = struct.unpack("<I", fmt[4:8])[0]
                 bits = struct.unpack("<H", fmt[14:16])[0]
             elif cid == b"data":
                 off = f.tell()
                 if channels != 1:
                     raise ValueError(f"{path}: prefetcher needs mono wavs")
                 if fmt_code == 1 and bits == 16:
-                    return off, size // 2, "pcm16"
+                    return off, size // 2, "pcm16", rate
                 if fmt_code == 3 and bits == 32:
-                    return off, size // 4, "f32"
+                    return off, size // 4, "f32", rate
                 raise ValueError(
                     f"{path}: unsupported wav format {fmt_code}/{bits} — "
                     "use load_all_data=True for this corpus"
@@ -128,7 +129,7 @@ class PrefetchBatchSampler:
     AudioDataset (load_all_data=False, audio + units streamed from disk)."""
 
     def __init__(self, dataset: AudioDataset, batch_size: int, seed: int = 0,
-                 n_slots: int = 3, n_threads: int = 4):
+                 n_slots: int = 2, n_threads: int = 4):
         if dataset.with_mel:
             raise NotImplementedError(
                 "prefetcher v1 streams the ddsp-family layout (audio+units);"
@@ -175,7 +176,12 @@ class PrefetchBatchSampler:
             assert descr == "<f4", upath
             assert ushape_i[1] == self.n_unit, upath
             apath = os.path.join(d.path_root, "audio", name)
-            aoff, _n, akind = wav_index(apath)
+            aoff, _n, akind, arate = wav_index(apath)
+            if arate != d.sample_rate:
+                raise ValueError(
+                    f"{apath}: wav rate {arate} != config {d.sample_rate} — "
+                    "crop offsets would be silently misaligned"
+                )
             self.index[name] = {
                 "units_fid": self.lib.pf_open(self.handle, upath.encode()),
                 "units_off": uoff,
@@ -189,10 +195,12 @@ class PrefetchBatchSampler:
 
         self._plans = [None] * n_slots
         self._inflight = []
-        for s in range(min(2, n_slots)):  # prime the pipeline
+        # prime the pipeline: sample() resubmits each slot it drains, so
+        # the in-flight set stays at exactly this size (double-buffering
+        # at the default n_slots=2 — extra slots would never be used)
+        for s in range(min(2, n_slots)):
             self._submit(s)
             self._inflight.append(s)
-        self._next_slot = len(self._inflight) % n_slots
 
     def _submit(self, slot: int):
         d = self.dataset

@@ -75,6 +75,18 @@ def preprocess(
 
             audio = np.asarray(resample(jnp.asarray(audio)[None, :], sr, sample_rate))[0]
 
+        # f0 viability first: files destined for skip/ must not pay the
+        # mel/HuBERT extraction cost (the dominant preprocessing work)
+        f0 = f0_extractor.extract(audio, uv_interp=False)
+        uv = f0 == 0
+        if not (~uv).any():
+            print(f"\n[Error] F0 extraction failed: {file}")
+            skip_dir = os.path.join(path, "skip")
+            os.makedirs(skip_dir, exist_ok=True)
+            shutil.move(os.path.join(path_srcdir, file), skip_dir)
+            continue
+        f0[uv] = np.interp(np.where(uv)[0], np.where(~uv)[0], f0[~uv])
+
         volume = volume_extractor.extract(audio)
 
         keyshift = 0.0
@@ -100,24 +112,15 @@ def preprocess(
         else:
             units = None
 
-        f0 = f0_extractor.extract(audio, uv_interp=False)
-        uv = f0 == 0
-        if (~uv).any():
-            f0[uv] = np.interp(np.where(uv)[0], np.where(~uv)[0], f0[~uv])
-            if units is not None:
-                save("units", file, units)
-            save("f0", file, f0)
-            save("volume", file, volume)
-            if mel_extractor is not None:
-                pitch_aug_dict[file] = keyshift
-                save("mel", file, mel)
-                save("aug_mel", file, aug_mel)
-                save("aug_vol", file, aug_vol)
-        else:
-            print(f"\n[Error] F0 extraction failed: {file}")
-            skip_dir = os.path.join(path, "skip")
-            os.makedirs(skip_dir, exist_ok=True)
-            shutil.move(os.path.join(path_srcdir, file), skip_dir)
+        if units is not None:
+            save("units", file, units)
+        save("f0", file, f0)
+        save("volume", file, volume)
+        if mel_extractor is not None:
+            pitch_aug_dict[file] = keyshift
+            save("mel", file, mel)
+            save("aug_mel", file, aug_mel)
+            save("aug_vol", file, aug_vol)
 
     if mel_extractor is not None:
         np.save(aug_dict_path, pitch_aug_dict)

@@ -41,12 +41,19 @@ def save_checkpoint(
     os.makedirs(expdir, exist_ok=True)
     payload = {"global_step": int(step), "params": _to_host(params)}
     if opt_state is not None:
-        payload["opt_state"] = _to_host(opt_state)
+        # optax opt_states are (named)tuples, which msgpack cannot encode;
+        # to_state_dict turns them into nested dicts ('0', '1', ...) that
+        # restore_opt_state maps back through the live template
+        payload["opt_state"] = serialization.to_state_dict(_to_host(opt_state))
     if extra:
         payload.update(extra)
     path = os.path.join(expdir, f"model_{step}.ckpt")
-    with open(path, "wb") as f:
+    # atomic: a crash mid-write must never leave a truncated model_<step>
+    # that latest_checkpoint() would then pick up and brick the resume
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
     return path
 
 
@@ -91,6 +98,20 @@ def restore_into(template, loaded, strict: bool = False, path: str = ""):
             raise ValueError(f"shape mismatch at {path}: {arr.shape} vs {t.shape}")
         return template
     return arr.astype(t.dtype)
+
+
+def restore_opt_state(template_opt_state, loaded):
+    """Rebuild an optax opt_state from its saved state-dict form using the
+    live state as the structural template (tuples/namedtuples round-trip
+    through flax.serialization). Returns the template unchanged (with a
+    warning) when the saved tree does not match — e.g. the optimizer chain
+    changed between runs."""
+    try:
+        return serialization.from_state_dict(template_opt_state, loaded)
+    except Exception as e:  # structure mismatch: warm-start without opt
+        print(f" [!] opt_state restore skipped ({type(e).__name__}: "
+              f"{str(e)[:120]})")
+        return template_opt_state
 
 
 def delete_checkpoint(expdir: str, step: int) -> None:

@@ -166,14 +166,23 @@ def train(args, model, state, mesh=None, mel_extract_fn=None,
     train_ds, valid_ds = get_datasets(
         args, rank=jax.process_index(), world_size=jax.process_count()
     )
+    # data-stream seed: config seed + resumed step, so (a) different seeds
+    # draw different file/crop/gain sequences and (b) a resumed run
+    # continues with fresh batches instead of replaying the head of the
+    # stream (the sampler RNG is not checkpointed)
+    data_seed = int(args.train.seed or 0) + initial_step
     if not bool(args.train.cache_all_data) and not train_ds.with_mel:
         # uncached corpus: native C++ prefetcher overlaps the crop IO with
         # the device step (the torch DataLoader(num_workers) equivalent)
         from ..data.prefetch import PrefetchBatchSampler
 
-        sampler = PrefetchBatchSampler(train_ds, int(args.train.batch_size))
+        sampler = PrefetchBatchSampler(
+            train_ds, int(args.train.batch_size), seed=data_seed
+        )
     else:
-        sampler = BatchSampler(train_ds, int(args.train.batch_size))
+        sampler = BatchSampler(
+            train_ds, int(args.train.batch_size), seed=data_seed
+        )
     saver.log_info(f" [*] {len(train_ds)} train files, {len(valid_ds)} valid files")
 
     interval_log = int(args.train.interval_log or 10)
@@ -184,7 +193,11 @@ def train(args, model, state, mesh=None, mel_extract_fn=None,
     steps_per_epoch = max(len(sampler.files) // int(args.train.batch_size), 1)
     total_steps = epochs * steps_per_epoch
 
-    key = jax.random.PRNGKey(int(args.train.seed or 0))
+    # fold the resumed step into the model-noise stream too (same rationale
+    # as data_seed: resume must not replay the run's first noise draws)
+    key = jax.random.fold_in(
+        jax.random.PRNGKey(int(args.train.seed or 0)), initial_step
+    )
     last_saved_step = -1
 
     if mesh is not None:
@@ -222,8 +235,13 @@ def train(args, model, state, mesh=None, mel_extract_fn=None,
                 params_host,
                 jax.device_get(state.opt_state) if save_opt else None,
             )
-            if last_saved_step >= 0 and interval_force_save and (
-                last_saved_step % interval_force_save != 0
+            # retention (diffusion/solver_new.py:182-185, same semantics as
+            # checkpoint.apply_retention): delete the previous save unless
+            # its step is a force-save multiple; unset interval_force_save
+            # keeps only the latest (not every one — disk safety)
+            if last_saved_step >= 0 and (
+                interval_force_save <= 0
+                or last_saved_step % interval_force_save != 0
             ):
                 saver.delete_model(last_saved_step)
             last_saved_step = saver.global_step

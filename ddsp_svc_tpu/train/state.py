@@ -11,6 +11,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -58,10 +59,31 @@ def create_train_state(
         optax.adamw(learning_rate=schedule, weight_decay=weight_decay, b1=0.9, b2=0.999)
     )
     tx = optax.chain(*chain)
+    opt_state = tx.init(params)
+    if start_step:
+        # resume-aware StepLR (reference train_diff.py:76-80 forces the
+        # scheduler to the resumed global step): the schedule is driven by
+        # optax's internal count, which init() starts at 0 — fast-forward
+        # every count leaf so lr resumes at lr*gamma**(step/decay) instead
+        # of silently restarting at full lr. Counts saved in checkpoints
+        # are therefore absolute global steps (restore overwrites these).
+        from flax import serialization
+
+        sd = serialization.to_state_dict(opt_state)
+
+        def fix(d):
+            for k, v in d.items():
+                if k == "count":
+                    d[k] = np.asarray(start_step, np.int32)
+                elif isinstance(v, dict):
+                    fix(v)
+
+        fix(sd)
+        opt_state = serialization.from_state_dict(opt_state, sd)
     return TrainState(
         step=jnp.asarray(start_step, jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         apply_fn=model.apply,
         tx=tx,
     )

@@ -177,3 +177,50 @@ class TestPreprocessResume:
                    skip_existing=True)
         assert os.path.getmtime(f0_a) == mtime_a, "a.wav was reprocessed"
         assert os.path.exists(f0_b), "b.wav was not regenerated"
+
+
+class TestUncachedPaths:
+    def test_mel_family_uncached_lazy_load(self, tmp_path):
+        """Regression: diffusion/reflow datasets with cache_all_data=False
+        previously raised KeyError('aug_mel'/'mel') on the first crop and
+        silently dropped the recorded keyshift."""
+        from ddsp_svc_tpu.data.dataset import AudioDataset, BatchSampler
+
+        make_layout(str(tmp_path), ["a.wav"], with_mel=True, keyshift=3.0)
+        cached = AudioDataset(str(tmp_path), waveform_sec=1.0, hop_size=64,
+                              sample_rate=16000, load_all_data=True,
+                              with_mel=True, use_aug=True)
+        lazy = AudioDataset(str(tmp_path), waveform_sec=1.0, hop_size=64,
+                            sample_rate=16000, load_all_data=False,
+                            with_mel=True, use_aug=True)
+        for _ in range(10):  # same rng -> identical crops both ways
+            a = cached.sample_crop("a.wav", np.random.default_rng(7))
+            b = lazy.sample_crop("a.wav", np.random.default_rng(7))
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        shifts = {
+            float(lazy.sample_crop("a.wav", np.random.default_rng(i))
+                  ["aug_shift"][0, 0])
+            for i in range(20)
+        }
+        assert 3.0 in shifts  # keyshift read lazily from pitch_aug_dict
+        BatchSampler(lazy, batch_size=2, seed=0).sample()  # end-to-end
+
+    def test_lazy_audio_rejects_wrong_sample_rate(self, tmp_path):
+        from ddsp_svc_tpu.data.dataset import AudioDataset
+
+        make_layout(str(tmp_path), ["a.wav"], sr=16000)
+        ds = AudioDataset(str(tmp_path), waveform_sec=1.0, hop_size=64,
+                          sample_rate=8000, load_all_data=False)
+        with pytest.raises(AssertionError, match="wav rate"):
+            ds.sample_crop("a.wav", np.random.default_rng(0))
+
+    def test_prefetcher_rejects_wrong_sample_rate(self, tmp_path):
+        from ddsp_svc_tpu.data.dataset import AudioDataset
+        from ddsp_svc_tpu.data.prefetch import PrefetchBatchSampler
+
+        make_layout(str(tmp_path), ["a.wav"], sr=16000)
+        ds = AudioDataset(str(tmp_path), waveform_sec=1.0, hop_size=64,
+                          sample_rate=8000, load_all_data=False)
+        with pytest.raises(ValueError, match="wav rate"):
+            PrefetchBatchSampler(ds, batch_size=2)

@@ -66,8 +66,8 @@ def test_pcm16_range_read_matches_wav(corpus):
 
     name = sorted(os.listdir(os.path.join(corpus, "audio", "1")))[0]
     path = os.path.join(corpus, "audio", "1", name)
-    off, n, kind = wav_index(path)
-    assert kind == "pcm16"
+    off, n, kind, rate = wav_index(path)
+    assert kind == "pcm16" and rate > 0
     raw = np.fromfile(path, np.int16, count=n, offset=off)
     from ddsp_svc_tpu.features.audio import load_wav
 

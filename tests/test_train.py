@@ -97,3 +97,73 @@ class TestDdspStep:
         assert all(np.isfinite(losses))
         assert int(state.step) == 5
         assert losses[-1] < losses[0]  # fixed batch: loss must drop
+
+
+class TestOptStateCheckpoint:
+    def _tiny_state(self, start_step=0):
+        import flax.linen as nn
+
+        model = nn.Dense(3)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))["params"]
+        return model, create_train_state(
+            model, params, lr=1e-3, decay_step=100, gamma=0.5,
+            start_step=start_step,
+        )
+
+    def test_save_opt_roundtrip(self, tmp_path):
+        """Regression: optax opt_states are (named)tuples — msgpack cannot
+        serialize tuples, so save_opt previously crashed every save and
+        left a truncated ckpt that bricked the next resume."""
+        model, state = self._tiny_state()
+        # take one real step so moments/counts are non-trivial
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        state = state.apply_gradients(grads=grads)
+        path = ckpt.save_checkpoint(
+            str(tmp_path), 1, jax.device_get(state.params),
+            opt_state=jax.device_get(state.opt_state),
+        )
+        payload, step = ckpt.load_checkpoint(path)
+        assert step == 1 and "opt_state" in payload
+
+        _, fresh = self._tiny_state()
+        restored = ckpt.restore_opt_state(
+            jax.device_get(fresh.opt_state), payload["opt_state"]
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored),
+            jax.tree_util.tree_leaves(jax.device_get(state.opt_state)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and the restored state still steps
+        fresh = fresh.replace(opt_state=restored)
+        fresh.apply_gradients(grads=grads)
+
+    def test_restore_opt_state_mismatch_is_nonfatal(self, tmp_path):
+        model, state = self._tiny_state()
+        template = jax.device_get(state.opt_state)
+        out = ckpt.restore_opt_state(template, {"bogus": 1})
+        assert out is template  # warned and kept the fresh state
+
+    def test_steplr_resume_fast_forwards_schedule(self):
+        """Regression: resuming without a saved opt_state restarted the lr
+        schedule at full lr (reference train_diff.py:76-80 forces the
+        scheduler to the resumed step)."""
+        model, resumed = self._tiny_state(start_step=250)
+        grads = jax.tree_util.tree_map(
+            lambda x: jnp.ones_like(x) * 1e-3, resumed.params
+        )
+        before = jax.device_get(resumed.params)
+        stepped = resumed.apply_gradients(grads=grads)
+        delta_resumed = np.abs(
+            jax.device_get(stepped.params)["kernel"] - before["kernel"]
+        ).max()
+
+        model, fresh = self._tiny_state(start_step=0)
+        before_f = jax.device_get(fresh.params)
+        stepped_f = fresh.apply_gradients(grads=grads)
+        delta_fresh = np.abs(
+            jax.device_get(stepped_f.params)["kernel"] - before_f["kernel"]
+        ).max()
+        # lr at step 250 is 1e-3 * 0.5**2; adam bias correction differs
+        # too, but the resumed update must be clearly smaller
+        assert delta_resumed < 0.5 * delta_fresh
