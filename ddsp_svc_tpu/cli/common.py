@@ -50,20 +50,15 @@ def enable_compile_cache(path: str | None = None) -> str | None:
 def load_encoder_params(path: str | None):
     """Load converted flax params (.npz/.msgpack) if present, else None
     (random init with a warning — converters live in convert/)."""
+    from ..utils.params import load_params
+
     if not path:
         return None
-    if os.path.exists(path) and path.endswith(".msgpack"):
-        from flax import serialization
-
-        with open(path, "rb") as f:
-            return serialization.msgpack_restore(f.read())
-    if os.path.exists(path) and path.endswith(".npz"):
-        from ..convert.flatdict import unflatten
-
-        return unflatten(dict(np.load(path)))
-    print(f" [!] encoder checkpoint {path!r} not found/convertible — "
-          "using random init (convert with python -m ddsp_svc_tpu.convert)")
-    return None
+    params = load_params(path)
+    if params is None:
+        print(f" [!] encoder checkpoint {path!r} not found/convertible — "
+              "using random init (convert with python -m ddsp_svc_tpu.convert)")
+    return params
 
 
 def build_f0_extractor(args: DotDict) -> F0Extractor:

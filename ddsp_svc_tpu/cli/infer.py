@@ -112,9 +112,7 @@ def main(argv=None):
     # volume + mask (main.py:207-214)
     volume_extractor = VolumeExtractor(hop_size)
     volume = volume_extractor.extract(audio)
-    mask = (volume > 10 ** (cmd.threhold / 20.0)).astype("float32")
-    mask = np.pad(mask, (4, 4), constant_values=(mask[0], mask[-1]))
-    mask = np.array([np.max(mask[n : n + 9]) for n in range(len(mask) - 8)])
+    mask = volume_extractor.get_mask(volume, cmd.threhold)
     mask = upsample(jnp.asarray(mask)[None, :, None], args.data.block_size)[..., 0]
     volume = jnp.asarray(volume, jnp.float32)[None, :, None]
 

@@ -109,7 +109,12 @@ def convert_hubert_state_dict(sd: dict, config: HubertConfig) -> dict:
     fairseq = any(k.startswith("feature_extractor.conv_layers") for k in sd)
     params: dict = {}
 
-    # feature extractor
+    # feature extractor — fairseq has two conv-extractor modes
+    # (wav2vec2.py ConvFeatureExtractionModel): 'default' (bias-free convs,
+    # GroupNorm after conv0: keys .{i}.0.weight + .0.2.{weight,bias}) and
+    # 'layer_norm' (HuBERT-Large: biased convs + per-layer LayerNorm:
+    # keys .{i}.0.{weight,bias} + .{i}.2.1.{weight,bias})
+    ln_mode = "feature_extractor.conv_layers.0.2.1.weight" in sd
     fe = {}
     for i in range(7):
         if fairseq:
@@ -117,12 +122,20 @@ def convert_hubert_state_dict(sd: dict, config: HubertConfig) -> dict:
         else:
             w = sd[f"feature_extractor.conv{i}.weight"]
         fe[f"conv{i}"] = {"kernel": conv1d_kernel(w)}
-    if fairseq:
+        if fairseq and ln_mode:
+            fe[f"conv{i}"]["bias"] = sd[
+                f"feature_extractor.conv_layers.{i}.0.bias"
+            ]
+            fe[f"norm{i}"] = {
+                "scale": sd[f"feature_extractor.conv_layers.{i}.2.1.weight"],
+                "bias": sd[f"feature_extractor.conv_layers.{i}.2.1.bias"],
+            }
+    if fairseq and not ln_mode:
         fe["norm0"] = {
             "scale": sd["feature_extractor.conv_layers.0.2.weight"],
             "bias": sd["feature_extractor.conv_layers.0.2.bias"],
         }
-    else:
+    elif not fairseq:
         fe["norm0"] = {
             "scale": sd["feature_extractor.norm0.weight"],
             "bias": sd["feature_extractor.norm0.bias"],

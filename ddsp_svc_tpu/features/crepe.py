@@ -59,11 +59,26 @@ class Crepe(nn.Module):
         return nn.sigmoid(x)
 
 
-def weighted_argmax_f0(salience: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def weighted_argmax_f0(
+    salience: np.ndarray,
+    fmin: float | None = None,
+    fmax: float | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
     """(T, 360) -> (f0 Hz, periodicity) via local weighted average cents
-    (torchcrepe.decode.weighted_argmax equivalent)."""
+    (torchcrepe.decode.weighted_argmax equivalent). fmin/fmax zero the
+    out-of-range bins BEFORE decoding, as torchcrepe.predict does — without
+    the pre-mask an out-of-range argmax (octave error / rumble) decodes to
+    an out-of-range f0 that survives the periodicity gate."""
     idx = np.arange(N_BINS)[None, :]
     cents = idx * 20 + CENTS_OFFSET
+    if fmin is not None or fmax is not None:
+        freq = 10.0 * 2.0 ** (cents / 1200.0)
+        keep = np.ones(N_BINS, bool)[None, :]
+        if fmin is not None:
+            keep &= freq >= fmin
+        if fmax is not None:
+            keep &= freq <= fmax
+        salience = np.where(keep, salience, 0.0)
     center = salience.argmax(axis=1, keepdims=True)
     start = np.clip(center - 4, 0, None)
     end = np.clip(center + 5, None, N_BINS)
@@ -87,7 +102,8 @@ class CrepeInfer:
         self._apply = jax.jit(lambda v, x: self.model.apply(v, x))
 
     def infer_from_audio(
-        self, audio: np.ndarray, sample_rate: int = 16000
+        self, audio: np.ndarray, sample_rate: int = 16000,
+        fmin: float | None = None, fmax: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """1-D audio -> (f0, periodicity) on the 5 ms grid (centered frames,
         torchcrepe pad=True)."""
@@ -107,4 +123,4 @@ class CrepeInfer:
         frames = frames - frames.mean(axis=1, keepdims=True)
         frames = frames / np.maximum(frames.std(axis=1, keepdims=True), 1e-10)
         salience = np.asarray(self._apply(self.variables, jnp.asarray(frames)))
-        return weighted_argmax_f0(salience)
+        return weighted_argmax_f0(salience, fmin=fmin, fmax=fmax)

@@ -137,12 +137,34 @@ class F0Extractor:
         model_params=None,  # converted weights for rmvpe / crepe
         use_viterbi: bool = False,  # rmvpe: viterbi-smoothed bin path
     ):
-        self.f0_extractor = f0_extractor
         self.sample_rate = sample_rate
         self.hop_size = hop_size
         self.f0_min = f0_min
         self.f0_max = f0_max
         self.use_viterbi = use_viterbi
+        if f0_extractor in ("rmvpe", "crepe") and model_params is None:
+            # pretrained nets are useless at random init: auto-load the
+            # converted weights, else fall back to the built-in YIN with a
+            # warning (never silently extract pitch with a random net)
+            import os
+
+            default = {
+                "rmvpe": "pretrain/rmvpe/model.msgpack",
+                "crepe": "pretrain/crepe/full.msgpack",
+            }[f0_extractor]
+            path = os.environ.get(
+                f"DDSP_SVC_TPU_{f0_extractor.upper()}_CKPT", default
+            )
+            from ..utils.params import load_params
+
+            model_params = load_params(path)
+            if model_params is None:
+                print(
+                    f" [!] no converted {f0_extractor} weights at {path!r} — "
+                    "falling back to the built-in YIN extractor"
+                )
+                f0_extractor = "yin"
+        self.f0_extractor = f0_extractor
         if f0_extractor == "rmvpe":
             from .rmvpe import RMVPE
 
@@ -194,7 +216,9 @@ class F0Extractor:
 
             from ..ops.interp import masked_avg_pool_1d, median_pool_1d
 
-            f0_5ms, pd = self.crepe.infer_from_audio(audio, self.sample_rate)
+            f0_5ms, pd = self.crepe.infer_from_audio(
+                audio, self.sample_rate, fmin=self.f0_min, fmax=self.f0_max
+            )
             # median-pool periodicity, threshold at 0.05, masked-average
             # smoothing (ddsp/vocoder.py:92-105)
             pd = np.asarray(median_pool_1d(jnp.asarray(pd)[None, :], 4))[0]

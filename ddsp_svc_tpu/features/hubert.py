@@ -30,7 +30,15 @@ from ..ops.resample import resample
 
 
 class FeatureExtractor(nn.Module):
-    """7 strided 1-D convs, 16 kHz samples -> 50 Hz frames x 512."""
+    """7 strided 1-D convs, 16 kHz samples -> 50 Hz frames x 512.
+
+    Two fairseq extractor modes (wav2vec2.py ConvFeatureExtractionModel):
+      - default: bias-free convs, one GroupNorm(512) after conv0;
+      - layer_norm (HuBERT-Large): biased convs, LayerNorm over channels
+        after EVERY conv (TransposeLast + Fp32LayerNorm sandwich).
+    """
+
+    layer_norm_mode: bool = False
 
     @nn.compact
     def __call__(self, x):  # (B, L) -> (B, T, 512)
@@ -38,10 +46,13 @@ class FeatureExtractor(nn.Module):
         specs = [(10, 5), (3, 2), (3, 2), (3, 2), (3, 2), (2, 2), (2, 2)]
         for i, (k, s) in enumerate(specs):
             x = nn.Conv(
-                512, (k,), strides=(s,), padding="VALID", use_bias=False,
+                512, (k,), strides=(s,), padding="VALID",
+                use_bias=self.layer_norm_mode,
                 name=f"conv{i}",
             )(x)
-            if i == 0:
+            if self.layer_norm_mode:
+                x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
+            elif i == 0:
                 x = nn.GroupNorm(num_groups=512, name="norm0")(x)
             x = nn.gelu(x, approximate=False)
         return x
@@ -98,6 +109,7 @@ class HubertConfig:
     output_layer: int | None = None  # early exit (1-based count of layers run)
     proj_dim: int | None = None  # final projection (256 for hubert-soft)
     pre_norm: bool = False  # True for hubert-large (layer_norm_first)
+    extractor_layer_norm: bool = False  # HuBERT-Large conv extractor mode
     pad_center: bool = True  # hubert-soft pads (40, 40) before the convs
     input_normalize: bool = False  # HF Wav2Vec2FeatureExtractor zero-mean/unit-var
     topk_gate: int | None = None  # CNHubertSoftFish top-k gating (vocoder.py:358-362)
@@ -115,16 +127,26 @@ class HubertModel(nn.Module):
             audio = (audio - mean) / jnp.sqrt(var + 1e-7)
         if cfg.pad_center:
             audio = jnp.pad(audio, ((0, 0), (40, 40)))
-        x = FeatureExtractor(name="feature_extractor")(audio)
+        x = FeatureExtractor(
+            layer_norm_mode=cfg.extractor_layer_norm, name="feature_extractor"
+        )(audio)
         x = nn.LayerNorm(epsilon=1e-5, name="fp_norm")(x)
         x = nn.Dense(cfg.dim, name="fp_proj")(x)
         x = x + PositionalConvEmbedding(cfg.dim, name="pos_conv")(x)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        # fairseq wav2vec2 TransformerEncoder: encoder.layer_norm runs
+        # BEFORE the layers only when not layer_norm_first; with
+        # layer_norm_first (pre-norm layers) it runs AFTER the stack, and
+        # only when no target layer is requested (extract_features skips it
+        # for any explicit output_layer — the reference always passes one)
+        if not cfg.pre_norm:
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         n = cfg.output_layer or cfg.num_layers
         for i in range(n):
             x = TransformerLayer(
                 cfg.dim, cfg.heads, cfg.ffn_dim, cfg.pre_norm, name=f"layer{i}"
             )(x, deterministic=deterministic)
+        if cfg.pre_norm and cfg.output_layer is None:
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if cfg.proj_dim:
             x = nn.Dense(cfg.proj_dim, name="proj")(x)
         if cfg.topk_gate:
@@ -142,16 +164,24 @@ class HubertModel(nn.Module):
 # the reference's encoder zoo (ddsp/vocoder.py:228-464 + SURVEY.md §2.2)
 ENCODER_CONFIGS: dict[str, HubertConfig] = {
     "hubertsoft": HubertConfig(proj_dim=256),
-    "hubertbase": HubertConfig(output_layer=9, proj_dim=256),
-    "hubertbase768": HubertConfig(output_layer=9),
-    "hubertbase768l12": HubertConfig(output_layer=12),
+    # fairseq-style encoders feed the raw waveform to extract_features with
+    # no center pad (ddsp/vocoder.py:246-467) — only bshall HubertSoft.units
+    # pads (400-320)//2 (encoder/hubert/model.py:78)
+    "hubertbase": HubertConfig(output_layer=9, proj_dim=256,
+                               pad_center=False),
+    "hubertbase768": HubertConfig(output_layer=9, pad_center=False),
+    "hubertbase768l12": HubertConfig(output_layer=12, pad_center=False),
+    # large: layer_norm extractor + layer_norm_first encoder; the reference
+    # wrapper (ddsp/vocoder.py:442-464) feeds raw audio — no waveform
+    # normalization at inference
     "hubertlarge1024l24": HubertConfig(
         dim=1024, heads=16, ffn_dim=4096, num_layers=24, output_layer=24,
-        pre_norm=True,
+        pre_norm=True, extractor_layer_norm=True, pad_center=False,
     ),
-    "contentvec": HubertConfig(output_layer=9, proj_dim=256),
-    "contentvec768": HubertConfig(output_layer=9),
-    "contentvec768l12": HubertConfig(output_layer=12),
+    "contentvec": HubertConfig(output_layer=9, proj_dim=256,
+                               pad_center=False),
+    "contentvec768": HubertConfig(output_layer=9, pad_center=False),
+    "contentvec768l12": HubertConfig(output_layer=12, pad_center=False),
     # chinese-hubert-base + Linear proj + top-k gate (ddsp/vocoder.py:330-364)
     "cnhubertsoftfish": HubertConfig(
         proj_dim=256, pad_center=False, input_normalize=True, topk_gate=10
@@ -175,8 +205,15 @@ class UnitsEncoder:
         from dataclasses import replace
 
         cfg = ENCODER_CONFIGS[encoder]
-        if cfg.topk_gate and cnhubertsoft_gate:
-            cfg = replace(cfg, topk_gate=cnhubertsoft_gate)
+        if cfg.topk_gate is not None:
+            # gate <= 0 disables gating entirely (reference CNHubertSoftFish
+            # 'if self.gate_size > 0', ddsp/vocoder.py:358-362)
+            cfg = replace(
+                cfg,
+                topk_gate=(cnhubertsoft_gate
+                           if cnhubertsoft_gate and cnhubertsoft_gate > 0
+                           else None),
+            )
         self.model = HubertModel(cfg)
         self.encoder_sample_rate = encoder_sample_rate
         self.encoder_hop_size = encoder_hop_size

@@ -24,12 +24,15 @@ class VolumeExtractor:
         return np.sqrt(blocks.mean(axis=1)).astype(np.float32)
 
     def get_mask(
-        self, volume: np.ndarray, threshold: float, block_size: int, win: int = 9
+        self, volume: np.ndarray, threshold: float, win: int = 9
     ) -> np.ndarray:
-        """Volume gate mask, main.py:210-214 semantics: threshold, max-dilate
-        over `win` frames, then sample-level repeat is done by the caller."""
+        """Frame-level volume gate, main.py:210-214 semantics: threshold,
+        EDGE-pad win//2 each side (constant_values=(mask[0], mask[-1])),
+        max-dilate over `win` frames. The single implementation of this
+        rule — sample-level upsampling is the caller's (host/device)
+        choice."""
         mask = (volume > 10 ** (threshold / 20.0)).astype(np.float32)
         pad = win // 2
-        mp = np.pad(mask, (pad, pad))
+        mp = np.pad(mask, (pad, pad), constant_values=(mask[0], mask[-1]))
         windows = np.lib.stride_tricks.sliding_window_view(mp, win)
         return windows.max(axis=-1)

@@ -265,13 +265,9 @@ class SvcPipeline:
         )
         f0 = jnp.asarray(f0, jnp.float32)[None, :, None] * 2 ** (key_shift / 12.0)
 
-        volume = VolumeExtractor(hop).extract(audio)
-        frame_mask = (volume > 10 ** (threhold / 20.0)).astype("float32")
-        frame_mask = np.pad(frame_mask, (4, 4),
-                            constant_values=(frame_mask[0], frame_mask[-1]))
-        frame_mask = np.array(
-            [np.max(frame_mask[n : n + 9]) for n in range(len(frame_mask) - 8)]
-        )
+        vx = VolumeExtractor(hop)
+        volume = vx.extract(audio)
+        frame_mask = vx.get_mask(volume, threhold)
 
         def upsampled_mask(on_host: bool):
             """Sample-rate mask, built where it is consumed: batched results

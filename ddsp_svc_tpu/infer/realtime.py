@@ -78,6 +78,10 @@ class RealtimeVC:
         self.input_wav = np.zeros(
             self.extra_frame + self.block_frame, dtype=np.float32
         )
+        # the last ~20 ms of each inference is edge-contaminated (conv
+        # right-edge padding, f0 edge frames) and never reaches the output
+        # (gui.py:339, 431-432: temp_wav excludes last_delay_frame)
+        self.last_delay_frame = int(0.02 * sample_rate)
         self.sola_buffer = np.zeros(self.crossfade_frame, dtype=np.float32)
         self.fade_in = np.sin(
             np.pi * np.arange(self.crossfade_frame) / self.crossfade_frame / 2
@@ -114,7 +118,10 @@ class RealtimeVC:
             spk_id=self.spk_id,
             key_shift=self.key_shift,
             threhold=self.threhold,
-            silence_front=self.safe_prefix_pad_length,
+            # 0.03 s margin before the pad boundary so windowed f0 trackers
+            # keep real left context at the head of the output window
+            # (gui.py:95-98: silence_front = safe_prefix_pad_length - 0.03)
+            silence_front=max(self.safe_prefix_pad_length - 0.03, 0.0),
             **self.infer_kwargs,
         )
         if out_sr != self.sr:
@@ -125,8 +132,15 @@ class RealtimeVC:
 
             out = np.asarray(resample(jnp.asarray(out)[None, :], out_sr, self.sr))[0]
 
+        # take the window just BEFORE the edge-contaminated tail
+        # (gui.py:431-432: [-(block+cf+search+last_delay):-last_delay])
         need = self.block_frame + self.crossfade_frame + self.sola_search_frame
-        infer_tail = out[-need:] if len(out) >= need else np.pad(out, (need - len(out), 0))
+        ld = self.last_delay_frame
+        if len(out) >= need + ld:
+            infer_tail = out[-(need + ld) : -ld]
+        else:
+            tail = out[:-ld] if ld and len(out) > ld else out
+            infer_tail = np.pad(tail, (max(0, need - len(tail)), 0))[-need:]
 
         # SOLA offset by normalized cross-correlation (gui.py:434-440)
         cf = self.crossfade_frame

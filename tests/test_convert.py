@@ -277,3 +277,89 @@ class TestRmvpeConvert:
         template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 128)))
         problems = check_tree_shapes(converted, jax.device_get(template))
         assert not problems, problems[:20]
+
+
+class TestHubertLargeLayout:
+    def test_layer_norm_extractor_matches_torch(self):
+        """HuBERT-Large conv extractor (fairseq extractor_mode='layer_norm':
+        biased convs + per-layer channel LayerNorm) vs a torch mirror."""
+        import torch
+
+        from ddsp_svc_tpu.features.hubert import FeatureExtractor
+
+        rng = np.random.default_rng(3)
+        model = FeatureExtractor(layer_norm_mode=True)
+        audio = (0.3 * rng.standard_normal((1, 2000))).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(1), jnp.asarray(audio))
+        ours = np.asarray(model.apply(params, jnp.asarray(audio)))
+
+        x = torch.from_numpy(audio).unsqueeze(1)
+        p = jax.device_get(params)["params"]
+        specs = [(10, 5), (3, 2), (3, 2), (3, 2), (3, 2), (2, 2), (2, 2)]
+        with torch.no_grad():
+            for i, (k, s) in enumerate(specs):
+                w = p[f"conv{i}"]["kernel"]  # (k, cin, cout)
+                conv = torch.nn.Conv1d(w.shape[1], w.shape[2], k, s)
+                conv.weight.copy_(torch.from_numpy(w.transpose(2, 1, 0).copy()))
+                conv.bias.copy_(torch.from_numpy(p[f"conv{i}"]["bias"]))
+                x = conv(x)
+                ln = torch.nn.LayerNorm(512)
+                ln.weight.copy_(torch.from_numpy(p[f"norm{i}"]["scale"]))
+                ln.bias.copy_(torch.from_numpy(p[f"norm{i}"]["bias"]))
+                x = ln(x.transpose(1, 2)).transpose(1, 2)
+                x = torch.nn.functional.gelu(x)
+        theirs = x.transpose(1, 2).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4)
+
+    def test_fairseq_large_conversion(self):
+        """hubertlarge1024l24: layer_norm extractor keys + pre-norm encoder
+        (final norm skipped at an explicit output_layer) convert and run."""
+        from ddsp_svc_tpu.convert.hubert import convert_hubert_state_dict
+        from ddsp_svc_tpu.features.hubert import ENCODER_CONFIGS, HubertModel
+
+        rng = np.random.default_rng(5)
+        d, ffn, heads, layers = 1024, 4096, 16, 24
+        sd = {}
+        conv_shapes = [(512, 1, 10)] + [(512, 512, 3)] * 4 + [(512, 512, 2)] * 2
+        for i, s in enumerate(conv_shapes):
+            sd[f"feature_extractor.conv_layers.{i}.0.weight"] = rand(s, rng)
+            sd[f"feature_extractor.conv_layers.{i}.0.bias"] = rand((512,), rng)
+            sd[f"feature_extractor.conv_layers.{i}.2.1.weight"] = rand((512,), rng)
+            sd[f"feature_extractor.conv_layers.{i}.2.1.bias"] = rand((512,), rng)
+        sd["layer_norm.weight"] = rand((512,), rng)
+        sd["layer_norm.bias"] = rand((512,), rng)
+        sd["post_extract_proj.weight"] = rand((d, 512), rng)
+        sd["post_extract_proj.bias"] = rand((d,), rng)
+        sd["encoder.pos_conv.0.weight_g"] = rand((1, 1, 128), rng)
+        sd["encoder.pos_conv.0.weight_v"] = rand((d, d // 16, 128), rng)
+        sd["encoder.pos_conv.0.bias"] = rand((d,), rng)
+        sd["encoder.layer_norm.weight"] = rand((d,), rng)
+        sd["encoder.layer_norm.bias"] = rand((d,), rng)
+        for i in range(layers):
+            pre = f"encoder.layers.{i}."
+            for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                sd[pre + f"self_attn.{p}.weight"] = rand((d, d), rng)
+                sd[pre + f"self_attn.{p}.bias"] = rand((d,), rng)
+            sd[pre + "fc1.weight"] = rand((ffn, d), rng)
+            sd[pre + "fc1.bias"] = rand((ffn,), rng)
+            sd[pre + "fc2.weight"] = rand((d, ffn), rng)
+            sd[pre + "fc2.bias"] = rand((d,), rng)
+            for n in ("self_attn_layer_norm", "final_layer_norm"):
+                sd[pre + n + ".weight"] = rand((d,), rng)
+                sd[pre + n + ".bias"] = rand((d,), rng)
+
+        cfg = ENCODER_CONFIGS["hubertlarge1024l24"]
+        converted = convert_hubert_state_dict(sd, cfg)
+        model = HubertModel(cfg)
+        template = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 800)))
+        # the converter also carries encoder.layer_norm as 'norm' — unused
+        # at an explicit output_layer (flax ignores extras); drop it for
+        # the shape check
+        check = dict(converted["params"])
+        check.pop("norm", None)
+        problems = check_tree_shapes(
+            {"params": check}, jax.device_get(template)
+        )
+        assert not problems, problems[:10]
+        out = model.apply(converted, jnp.zeros((1, 800)))
+        assert out.shape[-1] == d and np.isfinite(np.asarray(out)).all()

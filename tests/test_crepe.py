@@ -68,11 +68,31 @@ def test_converter_structure():
 
 
 def test_f0_extractor_crepe_path():
+    from ddsp_svc_tpu.features.crepe import WINDOW_SIZE, Crepe
     from ddsp_svc_tpu.features.f0 import F0Extractor
 
     sr, hop = 16000, 160
-    fx = F0Extractor("crepe", sr, hop)
+    # explicit (random) weights exercise the crepe path; without weights
+    # the extractor must NOT run a random net (see fallback test below)
+    params = Crepe().init(jax.random.PRNGKey(0), jnp.zeros((1, WINDOW_SIZE)))
+    fx = F0Extractor("crepe", sr, hop, model_params=params)
+    assert fx.f0_extractor == "crepe"
     audio = 0.4 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr).astype(np.float32)
     f0 = fx.extract(audio, uv_interp=True)
     assert f0.shape == (len(audio) // hop + 1,)
     assert np.isfinite(f0).all() and (f0 >= fx.f0_min).all()
+
+
+def test_f0_extractor_no_weights_falls_back_to_yin():
+    """Pretrained-net extractors must never run at random init: without
+    converted weights the extractor degrades to the built-in YIN."""
+    from ddsp_svc_tpu.features.f0 import F0Extractor
+
+    sr, hop = 16000, 160
+    fx = F0Extractor("crepe", sr, hop)  # no weights in this image
+    assert fx.f0_extractor == "yin"
+    audio = 0.4 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr).astype(np.float32)
+    f0 = fx.extract(audio, uv_interp=True)
+    voiced = f0[5:-5]
+    cents = 1200 * np.abs(np.log2(voiced / 220.0))
+    assert np.median(cents) < 10  # actually tracks (a random net would not)

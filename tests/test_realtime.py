@@ -36,9 +36,10 @@ def test_passthrough_reconstruction():
     audio = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
     out, vc = run_engine(PassthroughPipeline(), audio, sr)
     assert out.shape == audio.shape
-    # the engine's intrinsic latency is crossfade + SOLA search (the output
-    # block is taken that far before the context end, gui.py:431-432)
-    lag = vc.crossfade_frame + vc.sola_search_frame
+    # the engine's intrinsic latency is crossfade + SOLA search +
+    # last-delay (the output block is taken that far before the context
+    # end, excluding the edge-contaminated tail, gui.py:431-432)
+    lag = vc.crossfade_frame + vc.sola_search_frame + vc.last_delay_frame
     mid = slice(int(0.5 * sr), int(1.8 * sr))
     err = np.abs(out[mid] - audio[mid.start - lag : mid.stop - lag]).max()
     assert err < 1e-3, err
