@@ -293,7 +293,6 @@ class ReflowUnit2Wav(nn.Module):
         mel_extract_fn: Callable | None = None,
         gt_spec=None,
         infer=True,
-        return_wav=False,
         infer_step=10,
         sampler="euler",
         t_start=0.0,
@@ -338,7 +337,10 @@ class ReflowUnit2Wav(nn.Module):
             return ddsp_loss, reflow_loss
         if gt_spec is not None and ddsp_mel is None:
             ddsp_mel = gt_spec
-        if infer_step > 0:
+        # t_start >= 1.0 bypasses the ODE entirely (reference
+        # reflow/vocoder.py:190-195: pure-DDSP mode returns ddsp_mel);
+        # vocoding the returned mel is the caller's step (models/vocoder.py)
+        if infer_step > 0 and t_start < 1.0:
             return reflow_model(
                 ddsp_mel, gt_spec=ddsp_mel, infer=True, infer_step=infer_step,
                 sampler=sampler, t_start=t_start, key=key, deterministic=deterministic,

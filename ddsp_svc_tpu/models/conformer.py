@@ -58,8 +58,11 @@ class ConformerConvModule(nn.Module):
 
 
 class ExactSelfAttention(nn.Module):
-    """Pre-norm transformer encoder layer (torch nn.TransformerEncoderLayer
-    equivalent with exact attention), used when conv_only=False."""
+    """torch nn.TransformerEncoderLayer equivalent (post-norm default,
+    gelu) with exact attention, used when conv_only=False. The reference
+    wraps this in `x + attn(norm(x))` (model_conformer_naive.py:90-110);
+    within the layer torch applies norm1 AFTER the attention residual and
+    norm2 AFTER the FFN residual."""
 
     dim: int
     num_heads: int
@@ -73,13 +76,15 @@ class ExactSelfAttention(nn.Module):
             dropout_rate=self.dropout,
             deterministic=deterministic,
             dtype=self.dtype,
+            name="attn",
         )(x, x)
-        x = x + h
-        y = LayerNorm()(x)
-        y = Dense(self.dim * 4, dtype=self.dtype)(y)
+        x = LayerNorm(name="norm1")(x + h)
+        y = Dense(self.dim * 4, dtype=self.dtype, name="fc1")(x)
         y = jax.nn.gelu(y, approximate=False)
-        y = Dense(self.dim, dtype=self.dtype)(y)
-        return x + y
+        if self.dropout > 0.0:
+            y = nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        y = Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+        return LayerNorm(name="norm2")(x + y)
 
 
 class CFNEncoderLayer(nn.Module):

@@ -33,6 +33,26 @@ def _kaiming_uniform_torch(fan_in: int):
     return init
 
 
+def _spectral_normalize(kernel, out_features: int, n_iter: int = 5):
+    """torch.nn.utils.spectral_norm equivalent, jit-stateless: power
+    iteration from a fixed start vector every forward. torch warm-starts a
+    persistent ``u`` with one step per forward; a 5-step cold start from a
+    fixed vector estimates the same sigma without mutable state."""
+    w = kernel.reshape(-1, out_features).T  # (out, fan_in), torch's view
+    u = jax.random.normal(jax.random.PRNGKey(0), (w.shape[0],), kernel.dtype)
+
+    def _l2(x):
+        return x / (jnp.linalg.norm(x) + 1e-12)
+
+    u = _l2(u)
+    v = _l2(w.T @ u)
+    for _ in range(n_iter):
+        v = _l2(w.T @ u)
+        u = _l2(w @ v)
+    sigma = u @ (w @ v)
+    return kernel / sigma
+
+
 class Conv1d(nn.Module):
     """torch.nn.Conv1d on (B, T, C_in) -> (B, T_out, C_out)."""
 
@@ -44,6 +64,7 @@ class Conv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     weight_norm: bool = False
+    spectral_norm: bool = False
     kernel_init: Callable | None = None
     dtype: jnp.dtype | None = None
 
@@ -62,6 +83,8 @@ class Conv1d(nn.Module):
             kernel = v * (g / (jnp.linalg.norm(v.reshape(-1, self.features), axis=0) + 1e-12))
         else:
             kernel = self.param("kernel", kinit, kshape)
+            if self.spectral_norm:
+                kernel = _spectral_normalize(kernel, self.features)
         pad = self.padding if isinstance(self.padding, tuple) else (self.padding, self.padding)
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
@@ -72,6 +95,54 @@ class Conv1d(nn.Module):
             rhs_dilation=(self.dilation,),
             feature_group_count=self.groups,
             dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", _kaiming_uniform_torch(fan_in), (self.features,))
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Conv2d(nn.Module):
+    """torch.nn.Conv2d on (B, H, W, C_in) -> (B, H', W', C_out), with
+    torch's kaiming-uniform init and optional weight/spectral norm
+    (the MPD discriminator's conv type, nsf_hifigan/models.py:276-289)."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    padding: tuple[tuple[int, int], tuple[int, int]] = ((0, 0), (0, 0))
+    use_bias: bool = True
+    weight_norm: bool = False
+    spectral_norm: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        fan_in = in_ch * kh * kw
+        kinit = _kaiming_uniform_torch(fan_in)
+        kshape = (kh, kw, in_ch, self.features)
+        if self.weight_norm:
+            v = self.param("kernel_v", kinit, kshape)
+            g = self.param(
+                "kernel_g",
+                lambda rng: jnp.linalg.norm(v.reshape(-1, self.features), axis=0),
+            )
+            kernel = v * (
+                g / (jnp.linalg.norm(v.reshape(-1, self.features), axis=0) + 1e-12)
+            )
+        else:
+            kernel = self.param("kernel", kinit, kshape)
+            if self.spectral_norm:
+                kernel = _spectral_normalize(kernel, self.features)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=self.stride,
+            padding=list(self.padding),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
             bias = self.param("bias", _kaiming_uniform_torch(fan_in), (self.features,))

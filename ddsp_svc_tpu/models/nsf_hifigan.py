@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.source import sine_gen
-from .nn import Conv1d, ConvTranspose1d, Dense, leaky_relu
+from .nn import Conv1d, Conv2d, ConvTranspose1d, Dense, leaky_relu
 
 LRELU_SLOPE = 0.1
 
@@ -196,11 +196,14 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    use_spectral_norm: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        """x: (B, L) -> (score (B, n), fmap list)."""
+        """x: (B, L) -> (score (B, n), fmap list). Weight-normed torch-init
+        Conv2d stack (nsf_hifigan/models.py:276-289 norm_f semantics)."""
+        wn, sn = not self.use_spectral_norm, self.use_spectral_norm
         fmap = []
         b, t = x.shape
         if t % self.period != 0:
@@ -210,20 +213,24 @@ class DiscriminatorP(nn.Module):
         x = x.reshape(b, t // self.period, self.period, 1)  # NHWC
         chans = [32, 128, 512, 1024]
         for i, c in enumerate(chans):
-            x = nn.Conv(
-                c, (self.kernel_size, 1), strides=(self.stride, 1),
+            x = Conv2d(
+                c, (self.kernel_size, 1), stride=(self.stride, 1),
                 padding=((get_padding(5, 1), get_padding(5, 1)), (0, 0)),
+                weight_norm=wn, spectral_norm=sn,
                 dtype=self.dtype, name=f"convs_{i}",
             )(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = nn.Conv(
+        x = Conv2d(
             1024, (self.kernel_size, 1), padding=((2, 2), (0, 0)),
+            weight_norm=wn, spectral_norm=sn,
             dtype=self.dtype, name="convs_4",
         )(x)
         x = leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-        x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), dtype=self.dtype, name="conv_post")(x)
+        x = Conv2d(1, (3, 1), padding=((1, 1), (0, 0)),
+                   weight_norm=wn, spectral_norm=sn,
+                   dtype=self.dtype, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(b, -1), fmap
 
@@ -247,11 +254,14 @@ class MultiPeriodDiscriminator(nn.Module):
 
 
 class DiscriminatorS(nn.Module):
+    use_spectral_norm: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        """x: (B, L) -> (score, fmap)."""
+        """x: (B, L) -> (score, fmap). Weight-normed convs; the MSD's first
+        scale uses spectral norm (nsf_hifigan/models.py:336-349 norm_f)."""
+        wn, sn = not self.use_spectral_norm, self.use_spectral_norm
         fmap = []
         x = x[..., None]  # (B, L, 1)
         specs = [
@@ -264,11 +274,13 @@ class DiscriminatorS(nn.Module):
             (1024, 5, 1, 1, 2),
         ]
         for i, (c, k, s, g, p) in enumerate(specs):
-            x = Conv1d(c, k, stride=s, padding=p, groups=g, dtype=self.dtype,
+            x = Conv1d(c, k, stride=s, padding=p, groups=g,
+                       weight_norm=wn, spectral_norm=sn, dtype=self.dtype,
                        name=f"convs_{i}")(x)
             x = leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = Conv1d(1, 3, padding=1, dtype=self.dtype, name="conv_post")(x)
+        x = Conv1d(1, 3, padding=1, weight_norm=wn, spectral_norm=sn,
+                   dtype=self.dtype, name="conv_post")(x)
         fmap.append(x)
         return x.reshape(x.shape[0], -1), fmap
 
@@ -288,7 +300,8 @@ class MultiScaleDiscriminator(nn.Module):
                         vp, 0.0, jax.lax.add, (1, 4), (1, 2), "VALID"
                     ) / 4.0
                 y, y_hat = pool(y), pool(y_hat)
-            d = DiscriminatorS(dtype=self.dtype, name=f"disc_{i}")
+            d = DiscriminatorS(use_spectral_norm=(i == 0),
+                               dtype=self.dtype, name=f"disc_{i}")
             r, fr = d(y)
             g, fg = d(y_hat)
             y_d_rs.append(r)

@@ -122,11 +122,16 @@ class Vocoder:
         return mel
 
     def infer(self, mel: jnp.ndarray, f0: jnp.ndarray, key=None):
-        """mel (B, T, M), f0 (B, T, 1) or (B, T) -> audio (B, T*hop)."""
+        """mel (B, T, M), f0 (B, T', 1) or (B, T') -> audio (B, T*hop).
+
+        f0 is trimmed to the mel frame count like the reference
+        (diffusion/vocoder.py:114 ``f0[:, :mel.size(1), 0]``) — callers
+        commonly pass the full-track f0 with a segment mel."""
         if self.type == "nsf-hifigan-log10":
             mel = mel / 0.434294
         if f0.ndim == 3:
             f0 = f0[..., 0]
+        f0 = f0[:, : mel.shape[1]]
         if key is None:
             key = jax.random.PRNGKey(0)
         return self._infer(self.params, mel, f0, key)
@@ -151,42 +156,61 @@ class Enhancer:
         silence_front: float = 0,
     ):
         v = self.vocoder
-        # adaptive key: shift enhancer band up to cover high f0
-        # (enhancer.py:37-47)
-        if adaptive_key == "auto":
-            adaptive_key = 12 * np.log2(float(jnp.max(f0)) / 760.0)
-            adaptive_key = max(0.0, float(np.ceil(adaptive_key)))
-        adaptive_key = float(adaptive_key)
-        factor = 2 ** (adaptive_key / 12.0)
-        enh_sr = int(np.round(v.vocoder_sample_rate / factor))
-        enh_block = int(np.round(v.vocoder_hop_size / factor))
-
         # leading-silence skip (enhancer.py:31-35)
         start_frame = int(silence_front * sample_rate / hop_size)
         real_silence_front = start_frame * hop_size / sample_rate
         audio = audio[:, int(np.round(real_silence_front * sample_rate)) :]
         f0 = f0[:, start_frame:, :]
 
-        if sample_rate != enh_sr:
-            audio_res = resample(audio, sample_rate, enh_sr)
+        # adaptive key (enhancer.py:37-47): the ddsp output is UPSAMPLED to
+        # adaptive_sr = enh_sr * 2^(key/12); played back at the vocoder's
+        # nominal rate that stream is slowed, so its apparent f0 is scaled
+        # DOWN by real_factor — bringing high pitches into the pretrained
+        # vocoder's range. The output resample restores duration and pitch.
+        if adaptive_key == "auto":
+            adaptive_key = 12 * np.log2(float(jnp.max(f0)) / 760.0)
+            adaptive_key = max(0.0, float(np.ceil(adaptive_key)))
+        adaptive_key = float(adaptive_key)
+        adaptive_factor = 2 ** (-adaptive_key / 12.0)
+        adaptive_sr = 100 * int(
+            np.round(v.vocoder_sample_rate / adaptive_factor / 100)
+        )
+        real_factor = v.vocoder_sample_rate / adaptive_sr
+
+        if sample_rate != adaptive_sr:
+            audio_res = resample(audio, sample_rate, adaptive_sr)
         else:
             audio_res = audio
+        n_frames = int(audio_res.shape[-1] // v.vocoder_hop_size + 1)
         mel = v.extract(audio_res)
 
-        # f0 onto the enhancer hop grid (enhancer.py:60-69)
-        n_frames = mel.shape[1]
-        f0_np = np.asarray(f0)[:, :, 0]
-        src_t = hop_size / sample_rate * np.arange(f0_np.shape[1])
-        tgt_t = enh_block / v.vocoder_sample_rate / factor * np.arange(n_frames)
-        f0_grid = np.stack(
-            [np.interp(tgt_t, src_t, row) for row in f0_np], axis=0
-        ) * factor
+        # f0 onto the enhancer hop grid (enhancer.py:60-69): scale by
+        # real_factor, stretch source times by 1/real_factor, edge fill
+        if (hop_size == v.vocoder_hop_size
+                and sample_rate == v.vocoder_sample_rate
+                and sample_rate == adaptive_sr):
+            f0_grid = np.asarray(f0)[:, :, 0]
+        else:
+            f0_np = np.asarray(f0)[:, :, 0] * real_factor
+            src_t = (hop_size / sample_rate) * np.arange(
+                f0_np.shape[1]
+            ) / real_factor
+            tgt_t = (v.vocoder_hop_size / v.vocoder_sample_rate) * np.arange(
+                n_frames
+            )
+            f0_grid = np.stack(
+                [np.interp(tgt_t, src_t, row, left=row[0], right=row[-1])
+                 for row in f0_np],
+                axis=0,
+            )
         enhanced = v.infer(mel, jnp.asarray(f0_grid, jnp.float32))
 
-        # back to caller rate + re-pad the silent prefix (enhancer.py:74-83)
-        enh_out_sr = int(np.round(v.vocoder_sample_rate / factor))
-        if enh_out_sr != sample_rate:
-            enhanced = resample(enhanced, enh_out_sr, sample_rate)
-        pad = int(np.round(real_silence_front * sample_rate))
-        enhanced = jnp.pad(enhanced, ((0, 0), (pad, 0)))
-        return enhanced, sample_rate
+        # restore duration/pitch + re-pad the silent prefix at the OUTPUT
+        # rate (enhancer.py:74-83; the reference returns enhancer_sample_rate)
+        out_sr = v.vocoder_sample_rate
+        if adaptive_sr != out_sr:
+            enhanced = resample(enhanced, adaptive_sr, out_sr)
+        if start_frame > 0:
+            pad = int(np.round(out_sr * real_silence_front))
+            enhanced = jnp.pad(enhanced, ((0, 0), (pad, 0)))
+        return enhanced, out_sr

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .source import _dequantize_carry, frame_phase_increments_q
+from .source import carry_from_increments_q, frame_phase_increments_q
 
 ROWS = 8  # frames per kernel instance (f32 sublane tile)
 
@@ -62,11 +62,7 @@ def combtooth_pallas(
     ds0 = jnp.pad(s0[:, 1:, :] - s0[:, :-1, :], ((0, 0), (0, 1), (0, 0)))
 
     q = frame_phase_increments_q(f0_frames, sampling_rate, block_size)
-    acc = jnp.cumsum(q, axis=1)
-    carry_q = jnp.pad(acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
-    if carry_offset_q is not None:
-        carry_q = carry_q + carry_offset_q.astype(jnp.int32)
-    carry = _dequantize_carry(carry_q)
+    carry = carry_from_increments_q(q, carry_offset_q)
 
     n_rows = b * t
     pad_rows = (-n_rows) % ROWS

@@ -54,13 +54,18 @@ def frame_phase_increments_q(
     return jnp.round(rad2 * (1 << PHASE_Q_BITS)).astype(jnp.int32)
 
 
-def carry_from_increments_q(q: jnp.ndarray) -> jnp.ndarray:
+def carry_from_increments_q(q: jnp.ndarray, carry_offset_q=None) -> jnp.ndarray:
     """Exclusive prefix of quantized increments -> float carry per frame.
 
     q: (B, T, 1) int32 -> (B, T, 1) float carry in cycles (mod 1).
-    """
+    ``carry_offset_q``: optional (B, 1, 1) int32 carry of everything before
+    this block (the streaming engines' cross-device prefix) — added in the
+    exact integer domain before dequantization. THE single implementation
+    of the carry idiom all sources share (hard streaming invariant)."""
     acc = jnp.cumsum(q, axis=1)  # int32, exact mod 2^32
     carry_q = jnp.pad(acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    if carry_offset_q is not None:
+        carry_q = carry_q + carry_offset_q.astype(jnp.int32)
     return _dequantize_carry(carry_q, q.dtype)
 
 
@@ -98,11 +103,7 @@ def fast_source_gen(
     # cross-frame carry: exact int-quantized accumulation (see
     # frame_phase_increments_q) — bit-identical under any blocking
     q = frame_phase_increments_q(f0_frames, sampling_rate, block_size)
-    acc = jnp.cumsum(q, axis=1)
-    carry_q = jnp.pad(acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
-    if carry_offset_q is not None:
-        carry_q = carry_q + carry_offset_q.astype(jnp.int32)
-    rad = rad + _dequantize_carry(carry_q)
+    rad = rad + carry_from_increments_q(q, carry_offset_q)
     rad = rad - jnp.round(rad)
     combtooth = jnp.sinc(rad / (s0_eff + 1e-5))
     combtooth = combtooth.reshape(f0_frames.shape[0], -1)
@@ -151,11 +152,7 @@ def cumsum_phase_source(
     inc = (f0 / sampling_rate).reshape(b, t, block_size)
     intra = jnp.cumsum(inc, axis=-1)  # phase within frame, from frame start
     q = cumsum_increments_q(f0, sampling_rate, block_size)
-    acc = jnp.cumsum(q, axis=1)
-    carry_q = jnp.pad(acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
-    if carry_offset_q is not None:
-        carry_q = carry_q + carry_offset_q.astype(jnp.int32)
-    x = intra + _dequantize_carry(carry_q)
+    x = intra + carry_from_increments_q(q, carry_offset_q)
     if initial_phase is not None:
         x = x + initial_phase.reshape(b, 1, 1) / (2.0 * np.pi)
     x = x - jnp.round(x)
@@ -205,11 +202,7 @@ def sine_gen(
     rad = f0 / sampling_rate * pos  # (B, T, upp)
     # cross-frame carry: exact int32 accumulation (blocking-invariant)
     q = sine_increments_q(f0[..., 0], upp, sampling_rate)
-    acc = jnp.cumsum(q, axis=1)
-    carry_q = jnp.pad(acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
-    if carry_offset_q is not None:
-        carry_q = carry_q + carry_offset_q.astype(jnp.int32)
-    rad = rad + _dequantize_carry(carry_q)
+    rad = rad + carry_from_increments_q(q, carry_offset_q)
     rad = rad.reshape(b, t * upp, 1)
     rad = rad * jnp.arange(1, dim + 1, dtype=f0.dtype).reshape(1, 1, dim)
     if rand_ini is None or noise is None:

@@ -84,3 +84,36 @@ class TestEnhancer:
         out, _ = enh.enhance(audio, sr, f0, hop, silence_front=0.1)
         pad = int(np.round(int(0.1 * sr / hop) * hop))
         assert np.allclose(np.asarray(out)[:, : pad - hop], 0.0)
+
+
+class TestAdaptiveKeyDirection:
+    def test_adaptive_key_scales_f0_down_and_upsamples(self, monkeypatch):
+        """Regression (enhancer.py:37-47 semantics): adaptive_key=12 must
+        UPSAMPLE the ddsp audio to ~2x the vocoder rate and feed the
+        vocoder an apparent f0 scaled DOWN by ~2 (bringing high pitch into
+        its range) — an earlier port inverted both directions."""
+        monkeypatch.setattr(V, "DEFAULT_NSF_CONFIG", tiny_cfg())
+        enh = V.Enhancer("nsf-hifigan")
+        v = enh.vocoder
+        sr, hop, t = 16000, 64, 64
+        audio = 0.1 * jnp.ones((1, t * hop), jnp.float32)
+        f0 = 1520.0 * jnp.ones((1, t, 1), jnp.float32)
+
+        captured = {}
+        orig_infer = v.infer
+
+        def spy_infer(mel, f0_grid, key=None):
+            captured["mel_frames"] = mel.shape[1]
+            captured["f0_max"] = float(jnp.max(f0_grid))
+            return orig_infer(mel, f0_grid, key=key)
+
+        monkeypatch.setattr(v, "infer", spy_infer)
+        out, out_sr = enh.enhance(audio, sr, f0, hop, adaptive_key=12)
+        assert out_sr == v.vocoder_sample_rate
+        # apparent f0 halved (real_factor ~ 0.5, rounding to 100 Hz rates)
+        assert 700.0 < captured["f0_max"] < 820.0
+        # audio upsampled ~2x -> ~2x the mel frames of the unshifted pass
+        base_frames = v.extract(audio).shape[1]
+        assert captured["mel_frames"] > 1.8 * base_frames
+        # duration restored by the output resample (within one hop)
+        assert abs(out.shape[-1] - audio.shape[-1]) <= v.vocoder_hop_size * 2
