@@ -37,7 +37,7 @@ def parse_multipart(body: bytes, content_type: str) -> dict:
 
 
 def make_handler(pipeline, default_kwargs):
-    from ..features.audio import to_mono
+    from ..features.audio import load_wav
     from scipy.io import wavfile
 
     class Handler(BaseHTTPRequestHandler):
@@ -110,12 +110,9 @@ def make_handler(pipeline, default_kwargs):
                     kstep = 300
                 extra["k_step"] = kstep
 
-            in_sr, data = wavfile.read(io.BytesIO(wav_bytes))
-            if data.dtype == np.int16:
-                audio = data.astype(np.float32) / 32768.0
-            else:
-                audio = data.astype(np.float32)
-            audio = to_mono(audio)
+            # load_wav handles every PCM dtype (int16/int32/uint8/float)
+            # and mono-mixing; wavfile.read accepts file objects
+            audio, in_sr = load_wav(io.BytesIO(wav_bytes))
 
             out, sr = pipeline.infer(
                 audio, in_sr, spk_id=spk_id, key_shift=pitch,

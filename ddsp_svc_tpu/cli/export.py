@@ -36,20 +36,39 @@ def main(argv=None):
     t = int(cmd.seconds * args.data.sampling_rate) // args.data.block_size
     n_unit = args.data.encoder_out_channels
 
-    def fwd(params, units, f0, volume, spk_id, key):
-        kwargs = dict(spk_id=spk_id, infer=True, rngs={"noise": key})
-        if family == "ddsp":
-            signal, _, _ = model.apply({"params": params}, units, f0, volume, **kwargs)
+    pure_diffusion = args.model.type == "Diffusion"  # Unit2Mel
+    if family == "ddsp":
+        def fwd(params, units, f0, volume, spk_id, key):
+            signal, _, _ = model.apply(
+                {"params": params}, units, f0, volume,
+                spk_id=spk_id, infer=True, rngs={"noise": key},
+            )
             return signal
-        n_mels = getattr(model, "out_dims", 128)
-        mel = model.apply(
-            {"params": params}, units, f0, volume, key=key,
-            gt_spec=jnp.zeros((units.shape[0], t, n_mels), jnp.float32),
-            **kwargs,
-        )
-        return mel
+    elif pure_diffusion:
+        # Unit2Mel conditions its shallow start on an INPUT mel — export it
+        # as a real argument (diffusion/onnx_export.py exports the same
+        # gt_spec input)
+        def fwd(params, units, f0, volume, spk_id, key, gt_spec):
+            return model.apply(
+                {"params": params}, units, f0, volume, key=key,
+                gt_spec=gt_spec, spk_id=spk_id, infer=True,
+                rngs={"noise": key},
+            )
+    else:
+        # cascades extract their own ddsp mel — the extractor must be part
+        # of the exported graph or the denoiser samples around silence
+        from .common import build_mel_extractor
 
-    specs = (
+        mel_x = build_mel_extractor(args)
+
+        def fwd(params, units, f0, volume, spk_id, key):
+            return model.apply(
+                {"params": params}, units, f0, volume, key=key,
+                mel_extract_fn=mel_x.extract, spk_id=spk_id, infer=True,
+                rngs={"noise": key},
+            )
+
+    specs = [
         jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables["params"]
         ),
@@ -58,7 +77,10 @@ def main(argv=None):
         jax.ShapeDtypeStruct((1, t, 1), jnp.float32),
         jax.ShapeDtypeStruct((1, 1), jnp.int32),
         jax.ShapeDtypeStruct((2,), jnp.uint32),
-    )
+    ]
+    if pure_diffusion:
+        n_mels = getattr(model, "out_dims", 128)
+        specs.append(jax.ShapeDtypeStruct((1, t, n_mels), jnp.float32))
     exported = jexport.export(jax.jit(fwd))(*specs)
     data = exported.serialize()
     with open(cmd.output, "wb") as f:

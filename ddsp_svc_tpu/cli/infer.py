@@ -197,6 +197,12 @@ def main(argv=None):
                     volume[:, start_frame:e1], ((0, 0), (0, syn), (0, 0)),
                     mode="edge",
                 )
+                if spk_mix_dict is not None:
+                    raise NotImplementedError(
+                        "-mix is not supported with --stream: the streamed "
+                        "engines take a single spk_id (drop --stream or "
+                        "use -id)"
+                    )
                 mesh = Mesh(np.array(jax.devices()[:n_dev]), ("time",))
                 seg_output = streamed_forward(
                     model, variables, seg_units_p, seg_f0_p, seg_volume_p,
@@ -214,7 +220,11 @@ def main(argv=None):
                 kwargs = dict(
                     infer_speedup=cmd.speedup,
                     sampler=cmd.method or args.infer.method or "dpm-solver",
-                    k_step=cmd.k_step or args.model.k_step_max or 1000,
+                    # k_step_max clamps -kstep (main_diff.py:307-315)
+                    k_step=min(
+                        int(cmd.k_step or args.model.k_step_max or 1000),
+                        int(args.model.k_step_max or 1000),
+                    ),
                 )
             else:
                 t_start = float(args.model.t_start or 0.0)

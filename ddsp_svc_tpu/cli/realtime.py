@@ -76,26 +76,16 @@ def main(argv=None):
         if in_sr != sr:
             audio = np.asarray(resample(jnp.asarray(audio)[None, :], in_sr, sr))[0]
         audio = audio.astype(np.float32)
-        # per-block latency, the reference GUI's live infer_time readout
-        # (gui.py:457-460)
-        n_blocks = int(np.ceil(len(audio) / vc.block_frame))
-        padded = np.pad(audio, (0, n_blocks * vc.block_frame - len(audio)))
-        out, times = [], []
-        for i in range(n_blocks):
-            start = time.perf_counter()
-            out.append(
-                vc.process_block(
-                    padded[i * vc.block_frame : (i + 1) * vc.block_frame]
-                )
-            )
-            times.append(time.perf_counter() - start)
-        out = np.concatenate(out)[: len(audio)]
+        from ..infer.realtime import drive_blocks
+
+        out, stats = drive_blocks(vc, audio)
         save_wav(cmd.output, out, sr)
-        steady = times[2:] or times  # skip compile blocks
+        steady = stats["times_s"][2:] or stats["times_s"]
         print(
-            f"Saved: {cmd.output} ({len(out) / sr:.2f}s, {n_blocks} blocks; "
-            f"block {cmd.block_time * 1e3:.0f} ms, infer mean "
-            f"{np.mean(steady) * 1e3:.1f} ms, max {np.max(steady) * 1e3:.1f} ms)"
+            f"Saved: {cmd.output} ({len(out) / sr:.2f}s, "
+            f"{stats['blocks']} blocks; block {cmd.block_time * 1e3:.0f} ms, "
+            f"infer mean {stats['block_ms']:.1f} ms, "
+            f"max {np.max(steady) * 1e3:.1f} ms)"
         )
 
 

@@ -94,6 +94,14 @@ def main(argv=None):
                 jax.device_get(state_d.params), payload["params"]["discriminator"]
             )
         )
+        # optimizer moments matter for the adversarial equilibrium: resume
+        # them too (fresh Adam states after a restart spike D/G losses)
+        opt = payload.get("opt_state")
+        if opt is not None:
+            state_g = state_g.replace(opt_state=ckpt.restore_opt_state(
+                jax.device_get(state_g.opt_state), opt["generator"]))
+            state_d = state_d.replace(opt_state=ckpt.restore_opt_state(
+                jax.device_get(state_d.opt_state), opt["discriminator"]))
         saver.global_step = step
         print(f" [*] resumed from {latest} (step {step})")
 
@@ -152,6 +160,10 @@ def main(argv=None):
                 {
                     "generator": jax.device_get(state_g.params),
                     "discriminator": jax.device_get(state_d.params),
+                },
+                opt_state={
+                    "generator": jax.device_get(state_g.opt_state),
+                    "discriminator": jax.device_get(state_d.opt_state),
                 },
             )
             saver.log_info(f" [*] vocoder ckpt saved at {saver.global_step}")

@@ -288,28 +288,12 @@ class GuiApp:
                     resample(jnp.asarray(audio)[None, :], sr, vc.sr)
                 )[0]
             vc.warmup()
-            n_blocks = int(np.ceil(len(audio) / vc.block_frame))
-            padded = np.pad(
-                audio, (0, n_blocks * vc.block_frame - len(audio))
-            ).astype(np.float32)
-            out, lat = [], []
-            for i in range(n_blocks):
-                t0 = time.perf_counter()
-                out.append(
-                    vc.process_block(
-                        padded[i * vc.block_frame : (i + 1) * vc.block_frame]
-                    )
-                )
-                lat.append(time.perf_counter() - t0)
-            block_ms = 1000.0 * float(np.mean(lat)) if lat else 0.0
-            stats = {
-                "block_ms": round(block_ms, 2),
-                "rtf": round(1000.0 * vc.block_frame / vc.sr / block_ms, 2)
-                if block_ms else None,
-                "blocks": n_blocks,
-            }
+            from ..infer.realtime import drive_blocks
+
+            out, stats = drive_blocks(vc, audio)
+            stats = {k: v for k, v in stats.items() if k != "times_s"}
             self.stats = stats
-            return np.concatenate(out)[: len(audio)], stats
+            return out, stats
 
     # ---- live audio (sounddevice gated, cli/realtime.py live mode) -----
     def stream_start(self):
@@ -341,7 +325,7 @@ class GuiApp:
 def make_handler(app: GuiApp):
     from scipy.io import wavfile
 
-    from ..features.audio import to_mono
+    from ..features.audio import load_wav
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -388,6 +372,7 @@ def make_handler(app: GuiApp):
             return self.rfile.read(length)
 
         def do_POST(self):
+            self._headers_sent = False
             try:
                 if self.path == "/api/config":
                     update = json.loads(self._read_body())
@@ -409,10 +394,8 @@ def make_handler(app: GuiApp):
                     if app.pipeline is None:
                         self._json({"error": "no model loaded"}, 409)
                         return
-                    sr, data = wavfile.read(io.BytesIO(self._read_body()))
-                    if data.dtype.kind == "i":
-                        data = data / np.iinfo(data.dtype).max
-                    audio = to_mono(np.asarray(data, np.float32))
+                    # load_wav handles every PCM dtype + mono-mixing
+                    audio, sr = load_wav(io.BytesIO(self._read_body()))
                     out, stats = app.convert(audio, sr)
                     buf = io.BytesIO()
                     wavfile.write(
@@ -420,6 +403,7 @@ def make_handler(app: GuiApp):
                         (np.clip(out, -1, 1) * 32767).astype(np.int16),
                     )
                     body = buf.getvalue()
+                    self._headers_sent = True
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
                     self.send_header("Content-Length", str(len(body)))
@@ -462,6 +446,11 @@ def make_handler(app: GuiApp):
                 else:
                     self.send_error(404)
             except Exception as e:  # surface errors to the page
+                if getattr(self, "_headers_sent", False):
+                    # a response is already on the wire (e.g. the client
+                    # aborted mid-download): never emit a second status line
+                    self.close_connection = True
+                    return
                 self._json({"error": str(e)}, 500)
 
     return Handler

@@ -206,7 +206,15 @@ class SvcPipeline:
             kwargs = dict(
                 infer_speedup=model_kwargs.get("speedup", 10),
                 sampler=model_kwargs.get("method", "dpm-solver"),
-                k_step=model_kwargs.get("k_step", args.model.k_step_max or 300),
+                # main_diff.py:307-315: k_step defaults to (and is clamped
+                # by) k_step_max; a full-diffusion model (no k_step_max)
+                # runs the whole 1000-step chain — keep this identical to
+                # cli/infer.py so both drivers produce the same output
+                k_step=min(
+                    int(model_kwargs.get("k_step")
+                        or args.model.k_step_max or 1000),
+                    int(args.model.k_step_max or 1000),
+                ),
             )
         else:
             kwargs = dict(

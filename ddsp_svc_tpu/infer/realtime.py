@@ -177,12 +177,42 @@ class RealtimeVC:
     def process_stream(self, audio: np.ndarray) -> np.ndarray:
         """Feed a whole recording through the block engine (offline test /
         file mode). Pads to a block multiple; returns the spliced output."""
-        n_blocks = int(np.ceil(len(audio) / self.block_frame))
-        padded = np.pad(audio, (0, n_blocks * self.block_frame - len(audio)))
-        out = [
-            self.process_block(
-                padded[i * self.block_frame : (i + 1) * self.block_frame]
+        out, _ = drive_blocks(self, audio)
+        return out
+
+
+def drive_blocks(
+    vc: "RealtimeVC", audio: np.ndarray
+) -> tuple[np.ndarray, dict]:
+    """File-mode driver shared by cli/realtime.py and the web GUI: pad to a
+    block multiple, run every block with per-block wall timing (the
+    reference GUI's live infer_time readout, gui.py:457-460).
+
+    Returns (spliced output trimmed to len(audio), stats dict with
+    block_ms/rtf measured over steady-state blocks — the first two blocks
+    pay compiles and are excluded when there are more)."""
+    import time
+
+    n_blocks = int(np.ceil(len(audio) / vc.block_frame))
+    padded = np.pad(
+        audio, (0, n_blocks * vc.block_frame - len(audio))
+    ).astype(np.float32)
+    out, times = [], []
+    for i in range(n_blocks):
+        t0 = time.perf_counter()
+        out.append(
+            vc.process_block(
+                padded[i * vc.block_frame : (i + 1) * vc.block_frame]
             )
-            for i in range(n_blocks)
-        ]
-        return np.concatenate(out)[: len(audio)]
+        )
+        times.append(time.perf_counter() - t0)
+    steady = times[2:] or times
+    block_ms = 1000.0 * float(np.mean(steady)) if steady else 0.0
+    stats = {
+        "block_ms": round(block_ms, 2),
+        "rtf": round(1000.0 * vc.block_frame / vc.sr / block_ms, 2)
+        if block_ms else None,
+        "blocks": n_blocks,
+        "times_s": times,
+    }
+    return np.concatenate(out)[: len(audio)], stats

@@ -64,7 +64,9 @@ def traverse_dir(
     cnt = 0
     for root, _, files in os.walk(root_dir):
         for file in files:
-            if any(file.endswith(ext) for ext in extensions):
+            # the reference matches '.{ext}' (logger/utils.py:21) — a bare
+            # endswith(ext) would also collect e.g. 'notes_wav'
+            if any(file.endswith(f".{ext.lstrip('.')}") for ext in extensions):
                 mix_path = os.path.join(root, file)
                 pure_path = mix_path[len(root_dir) + 1 :] if is_pure else mix_path
                 if amount is not None and cnt == amount:
