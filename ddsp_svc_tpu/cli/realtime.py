@@ -27,6 +27,11 @@ def main(argv=None):
     p.add_argument("--crossfade_time", type=float, default=0.04)
     p.add_argument("--extra_time", type=float, default=2.0)
     p.add_argument("--phase_vocoder", action="store_true")
+    p.add_argument("--diff_silence", action="store_true",
+                   help="diffusion/reflow: run the cascade only on the "
+                        "fresh (non-silence-front) frames — the reference "
+                        "GUI's 'diff silence' checkbox (gui_diff.py:282); "
+                        "faster blocks, slight boundary quality cost")
     cmd = p.parse_args(argv)
 
     from .common import enable_compile_cache
@@ -48,6 +53,7 @@ def main(argv=None):
         spk_id=cmd.spk_id,
         key_shift=cmd.key,
         threhold=cmd.threhold,
+        use_silence=cmd.diff_silence,
     )
 
     if cmd.live:

@@ -54,6 +54,7 @@ DEFAULTS = {
     "f0_extractor": "yin",
     "use_enhancer": False,
     "use_phase_vocoder": False,
+    "diff_silence": False,
     "locale": "en_US",
 }
 
@@ -115,6 +116,9 @@ def _page() -> str:
  <label><input id="use_phase_vocoder" type="checkbox"
   onchange="setCfg('use_phase_vocoder', this.checked)">
   <span data-i18n="use_phase_vocoder"></span></label>
+ <label><input id="diff_silence" type="checkbox"
+  onchange="setCfg('diff_silence', this.checked)">
+  <span data-i18n="diff_silence"></span></label>
 </fieldset>
 <fieldset><legend data-i18n="file_section"></legend>
  <input id="wav" type="file" accept=".wav">
@@ -272,6 +276,7 @@ class GuiApp:
             spk_id=int(c["spk_id"]),
             key_shift=float(c["pitch"]),
             threhold=float(c["threshold"]),
+            use_silence=bool(c["diff_silence"]),
         )
 
     def convert(self, audio: np.ndarray, sr: int) -> tuple[np.ndarray, dict]:

@@ -262,9 +262,19 @@ class SvcPipeline:
         silence_front: float = 0.0,
         enhancer_adaptive_key: float = 0.0,
         spk_mix_dict=None,
+        use_silence: bool = False,
         **model_kwargs,
     ) -> tuple[np.ndarray, int]:
-        """1-D float audio -> (converted audio, out_sample_rate)."""
+        """1-D float audio -> (converted audio, out_sample_rate).
+
+        ``silence_front`` (non-ddsp families): the reference never vocodes
+        the stale prefix — DiffGtMel crops the output mel to
+        [start_frame:] before NSF-HiFiGAN and re-pads the audio with
+        silence (diffusion/infer_gt_mel.py:53-59). With
+        ``use_silence=True`` (the GUI's 'diff silence' checkbox,
+        gui_diff.py:282) the WHOLE cascade runs on the cropped frames
+        (infer_gt_mel.py:62-79) — the realtime latency lever for
+        diffusion/reflow models, at some quality cost at the boundary."""
         args = self.args
         hop = int(args.data.block_size * sample_rate / args.data.sampling_rate)
 
@@ -303,6 +313,25 @@ class SvcPipeline:
         t = units.shape[1]
         f0 = f0[:, :t]
         volume_j = volume_j[:, :t]
+
+        # silent-prefix frame count (reference DiffGtMel.infer start_frame,
+        # on the vocoder grid — equal to the synth grid here)
+        start_frame = 0
+        if self.family != "ddsp" and silence_front > 0:
+            v = self.vocoder
+            start_frame = min(
+                int(silence_front * v.vocoder_sample_rate
+                    / v.vocoder_hop_size),
+                t - 1,
+            )
+        if use_silence and start_frame > 0:
+            # crop the whole cascade input (infer_gt_mel.py:66-71); the
+            # output is re-padded with silence below. In realtime the
+            # prefix length is constant, so this is ONE static shape.
+            units = units[:, start_frame:]
+            f0 = f0[:, start_frame:]
+            volume_j = volume_j[:, start_frame:]
+            t = t - start_frame
 
         with self._key_lock:
             self._key, sub = jax.random.split(self._key)
@@ -352,6 +381,13 @@ class SvcPipeline:
                     np.asarray(volume_j)[0], spk_id, sub, sig=sig,
                 )[None, :]
                 out_sr = self.vocoder.vocoder_sample_rate
+                if use_silence and start_frame > 0:
+                    # inputs were cropped pre-batcher: re-pad with silence
+                    out = np.pad(
+                        out,
+                        ((0, 0),
+                         (start_frame * self.vocoder.vocoder_hop_size, 0)),
+                    )
                 mask = upsampled_mask(on_host=True)
                 out = out * mask[:, : out.shape[-1]]
                 return out[0], out_sr
@@ -383,8 +419,18 @@ class SvcPipeline:
                     units, f0, volume_j, key=sub, rngs={"noise": sub},
                     **kwargs,
                 )
+            if not use_silence and start_frame > 0:
+                # never vocode the stale prefix (infer_gt_mel.py:53-59):
+                # crop the mel before NSF-HiFiGAN, re-pad with silence
+                mel = mel[:, start_frame:]
+                f0 = f0[:, start_frame:]
             out = self.vocoder.infer(mel, f0, key=sub)
             out_sr = self.vocoder.vocoder_sample_rate
+            if start_frame > 0:
+                out = jnp.pad(
+                    out,
+                    ((0, 0), (start_frame * self.vocoder.vocoder_hop_size, 0)),
+                )
 
         if isinstance(out, np.ndarray):  # host-resident batched result
             out = out * upsampled_mask(on_host=True)[:, : out.shape[-1]]

@@ -617,3 +617,52 @@ def test_mesh_plus_pipelined_serving_matches_single_device(synth):
                                        atol=2e-5, err_msg=str(i))
     finally:
         eng_mp.close()
+
+
+def test_pipeline_silence_front_skips_vocoding(tmp_path):
+    """Reference DiffGtMel semantics: with silence_front the stale prefix
+    is never vocoded — output prefix is exact silence (then masked), and
+    use_silence=True crops the whole cascade (infer_gt_mel.py:53-79)."""
+    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+    from ddsp_svc_tpu.models.cascade import Unit2Mel
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    voc_path = _tiny_vocoder_ckpt(tmp_path)
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": N_UNIT},
+        "model": {"type": "Diffusion", "n_spk": 2, "k_step_max": 20},
+        "vocoder": {"type": "nsf-hifigan", "ckpt": voc_path},
+        "enhancer": None,
+    })
+    model = Unit2Mel(N_UNIT, 2, False, 16, n_layers=2, n_chans=16,
+                     n_hidden=16, k_step_max=20)
+    t = 16
+    variables = {"params": model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, t, N_UNIT)), 220.0 * jnp.ones((1, t, 1)),
+        jnp.ones((1, t, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        gt_spec=jnp.zeros((1, t, 16)), infer=False,
+    )["params"]}
+    pipe = SvcPipeline.from_parts(
+        model, variables, args, StubUnitsEncoder(N_UNIT, channel_ramp=True)
+    )
+
+    frames = 32
+    n = np.arange(frames * HOP)
+    audio = (0.3 * np.sin(2 * np.pi * 220.0 * n / SR)).astype(np.float32)
+    silence_front = 8 * HOP / SR  # 8 frames of stale prefix
+    settings = dict(k_step=10, method="ddim", speedup=2)
+
+    out, sr = pipe.infer(audio, SR, spk_id=2, threhold=-90.0,
+                         silence_front=silence_front, **settings)
+    assert sr == SR and out.shape == audio.shape
+    assert np.abs(out[: 8 * HOP]).max() == 0.0  # prefix never vocoded
+    assert np.abs(out[8 * HOP :]).max() > 0.0
+
+    out2, _ = pipe.infer(audio, SR, spk_id=2, threhold=-90.0,
+                         silence_front=silence_front, use_silence=True,
+                         **settings)
+    assert out2.shape == audio.shape
+    assert np.abs(out2[: 8 * HOP]).max() == 0.0
+    assert np.abs(out2[8 * HOP :]).max() > 0.0
