@@ -288,6 +288,76 @@ def bench_realtime_latency(n_blocks=20):
     }
 
 
+def bench_realtime_diffusion(n_blocks=12, diff_silence=False):
+    """Realtime block latency for the DiffusionFast cascade + NSF-HiFiGAN
+    vocoder at reference sizes — the A/B for the 'diff silence' lever
+    (gui_diff.py:282): use_silence=True runs the cascade/vocoder only on
+    the fresh (non-silence-front) frames."""
+    from ddsp_svc_tpu.features.hubert import UnitsEncoder
+    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+    from ddsp_svc_tpu.infer.realtime import RealtimeVC
+    from ddsp_svc_tpu.models.cascade import Unit2WavFast
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    args = DotDict({
+        "data": {
+            "sampling_rate": SR, "block_size": HOP, "encoder_out_channels":
+            N_UNIT, "encoder": "contentvec768l12",
+            "encoder_sample_rate": 16000, "encoder_hop_size": 320,
+        },
+        "model": {"type": "DiffusionFast", "win_length": WIN, "n_spk": 1,
+                  "n_layers": 6, "n_chans": 512, "k_step_max": 100,
+                  "out_dims": M},
+        "vocoder": {"type": "nsf-hifigan", "ckpt": None},
+        "enhancer": None,
+    })
+    model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
+                         n_chans=512, k_step_max=100)
+    with _cpu():
+        tu = jnp.zeros((1, 16, N_UNIT))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            tu, 220.0 * jnp.ones((1, 16, 1)), jnp.ones((1, 16, 1)),
+            spk_id=jnp.ones((1, 1), jnp.int32), gt_spec=jnp.zeros((1, 16, M)),
+            infer=True, k_step=100, infer_speedup=10, sampler="dpm-solver",
+            key=jax.random.PRNGKey(3),
+        )
+        enc = UnitsEncoder("contentvec768l12")
+    variables = _put(dict(variables))
+    enc.variables = _put(dict(enc.variables))
+    pipeline = SvcPipeline.from_parts(model, variables, args, enc)
+    pipeline.vocoder.params = _put(pipeline.vocoder.params)
+    vc = RealtimeVC(pipeline, sample_rate=SR, block_time=0.3,
+                    crossfade_time=0.04, extra_time=2.0,
+                    use_silence=diff_silence,
+                    k_step=100, speedup=10, method="dpm-solver")
+    rng = np.random.default_rng(0)
+    t_ax = np.arange(vc.block_frame) / SR
+    blocks = [
+        (0.3 * np.sin(2 * np.pi * (180.0 + 10 * i) * t_ax)
+         + 0.02 * rng.standard_normal(vc.block_frame)).astype(np.float32)
+        for i in range(n_blocks)
+    ]
+    for _ in range(3):
+        vc.warmup()
+    lat = []
+    for b in blocks:
+        t0 = time.perf_counter()
+        vc.process_block(b)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = 1000.0 * float(np.mean(lat))
+    name = ("realtime_diffusion_silence" if diff_silence
+            else "realtime_diffusion")
+    return {
+        "metric": f"{name}_block_latency_ms",
+        "value": round(lat_ms, 2),
+        "unit": "ms_per_300ms_block",
+        "p95_ms": round(1000.0 * float(np.percentile(lat, 95)), 2),
+        "diff_silence": diff_silence,
+        "vs_baseline": round(300.0 / lat_ms, 3),
+    }
+
+
 def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
                   transfer_int16=False, pipeline_depth=1):
     """Serving throughput through the dynamic batcher (infer/batcher.py):
@@ -583,6 +653,13 @@ CONFIGS = {
 DICT_CONFIGS = {
     "realtime": (lambda: bench_realtime_latency(),
                  "realtime_block_latency_ms", "ms_per_300ms_block"),
+    "realtime_diffusion": (lambda: bench_realtime_diffusion(),
+                           "realtime_diffusion_block_latency_ms",
+                           "ms_per_300ms_block"),
+    "realtime_diffusion_silence": (
+        lambda: bench_realtime_diffusion(diff_silence=True),
+        "realtime_diffusion_silence_block_latency_ms",
+        "ms_per_300ms_block"),
     "serving": (lambda: bench_serving(),
                 "serving_throughput_rtf_44k1",
                 "aggregate_x_realtime_per_chip"),
