@@ -155,7 +155,7 @@ def bench_sins(batch=16, seconds=10.0):
     return call, batch * t * HOP / SR
 
 
-def bench_nsf(batch=4, seconds=10.0, dtype=None, subpixel=False):
+def bench_nsf(batch=4, seconds=10.0, dtype=None, subpixel=False, fused=False):
     # batch 16 x 10 s upsample buffers (512x to audio rate across wide
     # channel stages) crash the remote compile helper; 4 x 10 s keeps the
     # activations in budget and the chip fully fed
@@ -163,7 +163,7 @@ def bench_nsf(batch=4, seconds=10.0, dtype=None, subpixel=False):
 
     t = int(seconds * SR) // HOP
     gen = Generator(sampling_rate=SR, num_mels=M, dtype=dtype,
-                    subpixel_upsample=subpixel)
+                    subpixel_upsample=subpixel, use_pallas_resblock=fused)
     rng = np.random.default_rng(0)
     with _cpu():
         params = gen.init(
@@ -641,6 +641,13 @@ CONFIGS = {
     "nsf_subpixel": lambda: bench_nsf(subpixel=True),
     "nsf_subpixel_bf16": lambda: bench_nsf(dtype=jnp.bfloat16, subpixel=True),
     "nsf_bf16_b8": lambda: bench_nsf(batch=8, dtype=jnp.bfloat16),
+    # fused Pallas resblock stages (ops/pallas_resblock): the memory-roofline
+    # attack — one VMEM-resident kernel per stage instead of ~40 HBM passes
+    "nsf_fused": lambda: bench_nsf(fused=True),
+    "nsf_fused_bf16": lambda: bench_nsf(dtype=jnp.bfloat16, fused=True),
+    "nsf_fused_bf16_b8": lambda: bench_nsf(batch=8, dtype=jnp.bfloat16,
+                                           fused=True),
+    "nsf_fused_b8": lambda: bench_nsf(batch=8, fused=True),
     # B=16 exceeds the remote compile helper's budget (PERF.md); B=12 is
     # the untried middle — NSF throughput scales with batch
     "nsf_bf16_b12": lambda: bench_nsf(batch=12, dtype=jnp.bfloat16),

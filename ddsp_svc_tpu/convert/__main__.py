@@ -35,6 +35,10 @@ def main(argv=None):
         from .crepe import convert_crepe
 
         convert_crepe(rest[0], rest[1] if len(rest) > 1 else None)
+    elif kind == "fcpe":
+        from .fcpe import convert_fcpe
+
+        convert_fcpe(rest[0], rest[1] if len(rest) > 1 else None)
     elif kind == "model":
         import os
 

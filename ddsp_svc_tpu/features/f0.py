@@ -12,8 +12,11 @@ pip libraries, so the framework provides:
   - 'praat' (+ 'parselmouth' fallback) — native Boersma autocorrelation
              tracker (features/praat.py), the algorithm the parselmouth
              wheel wraps.
-  - 'dio' / 'harvest' fallback — native DIO + StoneMask (features/dio.py)
-             when pyworld is absent.
+  - 'dio'  — native DIO + StoneMask (features/dio.py) when pyworld is absent.
+  - 'harvest' — native Harvest port (features/harvest.py, Morise 2017
+             candidate-bank structure) when pyworld is absent.
+  - 'fcpe' — JAX CFNaiveMelPE port (features/fcpe.py); needs converted
+             pretrained weights (convert/fcpe.py).
   - 'parselmouth' / 'dio' / 'harvest' / 'crepe' / 'fcpe' — the wheel paths
              with the reference's exact parameters, used when installed.
 
@@ -142,7 +145,19 @@ class F0Extractor:
         self.f0_min = f0_min
         self.f0_max = f0_max
         self.use_viterbi = use_viterbi
-        if f0_extractor in ("rmvpe", "crepe") and model_params is None:
+        if f0_extractor == "fcpe" and model_params is None:
+            # prefer the torchfcpe wheel when installed (reference parity);
+            # otherwise use the native JAX port with converted weights
+            try:
+                import torchfcpe  # noqa: F401
+            except ImportError:
+                pass
+            else:
+                self._fcpe_wheel = True
+        if (
+            f0_extractor in ("rmvpe", "crepe")
+            or (f0_extractor == "fcpe" and not getattr(self, "_fcpe_wheel", False))
+        ) and model_params is None:
             # pretrained nets are useless at random init: auto-load the
             # converted weights, else fall back to the built-in YIN with a
             # warning (never silently extract pitch with a random net)
@@ -151,6 +166,7 @@ class F0Extractor:
             default = {
                 "rmvpe": "pretrain/rmvpe/model.msgpack",
                 "crepe": "pretrain/crepe/full.msgpack",
+                "fcpe": "pretrain/fcpe/fcpe.msgpack",
             }[f0_extractor]
             path = os.environ.get(
                 f"DDSP_SVC_TPU_{f0_extractor.upper()}_CKPT", default
@@ -173,6 +189,10 @@ class F0Extractor:
             from .crepe import CrepeInfer
 
             self.crepe = CrepeInfer(model_params)
+        if f0_extractor == "fcpe" and model_params is not None:
+            from .fcpe import FCPEInfer
+
+            self.fcpe = FCPEInfer(model_params)
 
     def _pyworld_f0(self, pw, audio, kind, n_frames, start_frame):
         """pyworld wheel path (ddsp/vocoder.py:77-97 parity)."""
@@ -285,12 +305,14 @@ class F0Extractor:
             try:
                 import pyworld as pw
             except ImportError:
-                # native DIO + StoneMask (features/dio.py) stands in for
-                # both pyworld trackers (harvest ~ dio with finer candidate
-                # search; the refined-candidate contract is the same)
-                from .dio import dio_stonemask_f0
+                # native trackers: DIO + StoneMask (features/dio.py) and a
+                # real Harvest port (features/harvest.py) — no aliasing
+                if kind == "dio":
+                    from .dio import dio_stonemask_f0 as native_f0
+                else:
+                    from .harvest import harvest_stonemask_f0 as native_f0
 
-                f0 = dio_stonemask_f0(
+                f0 = native_f0(
                     audio, self.sample_rate, self.hop_size,
                     self.f0_min, self.f0_max,
                 )[: n_frames - start_frame]
@@ -300,20 +322,27 @@ class F0Extractor:
             else:
                 f0 = self._pyworld_f0(pw, audio, kind, n_frames, start_frame)
         elif kind == "fcpe":
-            # optional wheel path (ddsp/vocoder.py:121-133 parity)
-            import torch
-            from torchfcpe import spawn_bundled_infer_model
-
-            fcpe = spawn_bundled_infer_model(device="cpu")
-            f0_10ms = (
-                fcpe(
-                    torch.from_numpy(audio).unsqueeze(0), sr=self.sample_rate,
-                    decoder_mode="local_argmax", threshold=0.006,
+            if getattr(self, "fcpe", None) is not None:
+                # native JAX port (features/fcpe.py), converted weights
+                f0_10ms = self.fcpe.infer_from_audio(
+                    audio, self.sample_rate, threshold=0.006
                 )
-                .squeeze()
-                .cpu()
-                .numpy()
-            )
+            else:
+                # wheel path (ddsp/vocoder.py:121-133 parity)
+                import torch
+                from torchfcpe import spawn_bundled_infer_model
+
+                fcpe = spawn_bundled_infer_model(device="cpu")
+                f0_10ms = (
+                    fcpe(
+                        torch.from_numpy(audio).unsqueeze(0),
+                        sr=self.sample_rate,
+                        decoder_mode="local_argmax", threshold=0.006,
+                    )
+                    .squeeze()
+                    .cpu()
+                    .numpy()
+                )
             uv = f0_10ms == 0
             f0 = _regrid_10ms(
                 f0_10ms, uv, self.hop_size, self.sample_rate, n_frames - start_frame

@@ -69,7 +69,7 @@ class Conv1d(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold_only: bool = False):
         in_ch = x.shape[-1]
         fan_in = (in_ch // self.groups) * self.kernel_size
         kinit = self.kernel_init or _kaiming_uniform_torch(fan_in)
@@ -85,6 +85,15 @@ class Conv1d(nn.Module):
             kernel = self.param("kernel", kinit, kshape)
             if self.spectral_norm:
                 kernel = _spectral_normalize(kernel, self.features)
+        if fold_only:
+            # weight accessor for fused kernels (ops/pallas_resblock):
+            # declares the exact same params, returns the folded weights
+            bias = (
+                self.param("bias", _kaiming_uniform_torch(fan_in), (self.features,))
+                if self.use_bias
+                else jnp.zeros((self.features,), kernel.dtype)
+            )
+            return kernel, bias
         pad = self.padding if isinstance(self.padding, tuple) else (self.padding, self.padding)
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(

@@ -39,21 +39,30 @@ class ResBlock1(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold_only: bool = False):
+        folded = []
         for i, d in enumerate(self.dilation):
-            xt = leaky_relu(x, LRELU_SLOPE)
-            xt = Conv1d(
+            c1 = Conv1d(
                 self.channels, self.kernel_size, padding=get_padding(self.kernel_size, d),
                 dilation=d, weight_norm=self.weight_norm, dtype=self.dtype,
                 name=f"convs1_{i}",
-            )(xt)
-            xt = leaky_relu(xt, LRELU_SLOPE)
-            xt = Conv1d(
+            )
+            c2 = Conv1d(
                 self.channels, self.kernel_size, padding=get_padding(self.kernel_size, 1),
                 weight_norm=self.weight_norm, dtype=self.dtype, name=f"convs2_{i}",
-            )(xt)
+            )
+            if fold_only:
+                # declare the identical params, return folded (kernel, bias)
+                # pairs in chain order for ops/pallas_resblock
+                folded.append(c1(x, fold_only=True))
+                folded.append(c2(x, fold_only=True))
+                continue
+            xt = leaky_relu(x, LRELU_SLOPE)
+            xt = c1(xt)
+            xt = leaky_relu(xt, LRELU_SLOPE)
+            xt = c2(xt)
             x = xt + x
-        return x
+        return folded if fold_only else x
 
 
 class ResBlock2(nn.Module):
@@ -126,6 +135,14 @@ class Generator(nn.Module):
     # off; kept for layout experiments (equivalence proven on hardware,
     # TPU_CHECKS.json nsf_subpixel).
     subpixel_upsample: bool = False
+    # fused Pallas resblock stages (ops/pallas_resblock): all 18 same-convs
+    # + leaky_relus + residual adds of a stage run in one VMEM-resident
+    # kernel (2 reads + 1 write of HBM instead of ~40 passes). Applies to
+    # stages with channels <= 128 (94 % of the resblock traffic); the
+    # C=256 first stage and the transposed convs stay on XLA. Inference
+    # only (no custom VJP) — training keeps this off.
+    use_pallas_resblock: bool = False
+    pallas_interpret: bool = False  # CPU-test hook
 
     @property
     def upp(self) -> int:
@@ -170,15 +187,38 @@ class Generator(nn.Module):
                     har_source
                 )
             x = x + x_source
-            xs = 0.0
-            for j, (rk, rd) in enumerate(
-                zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
-            ):
-                xs = xs + res_cls(
+            blocks = [
+                res_cls(
                     c_cur, rk, tuple(rd), weight_norm=self.weight_norm,
                     dtype=self.dtype, name=f"resblocks_{i * num_kernels + j}",
-                )(x)
-            x = xs / num_kernels
+                )
+                for j, (rk, rd) in enumerate(
+                    zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
+                )
+            ]
+            use_fused = (
+                self.use_pallas_resblock
+                and self.resblock == "1"
+                and c_cur <= 128
+                and 128 % c_cur == 0
+                # param shapes/names are identical either way; skip the
+                # kernel while initializing (init often runs on CPU)
+                and not self.is_initializing()
+            )
+            if use_fused:
+                from ..ops.pallas_resblock import fused_resblock_group
+
+                folded = [blk(x, fold_only=True) for blk in blocks]
+                x = fused_resblock_group(
+                    x, folded, self.resblock_kernel_sizes,
+                    self.resblock_dilation_sizes,
+                    interpret=self.pallas_interpret,
+                )
+            else:
+                xs = 0.0
+                for blk in blocks:
+                    xs = xs + blk(x)
+                x = xs / num_kernels
         x = leaky_relu(x)  # default slope 0.01 (nsf_hifigan/models.py:260)
         x = Conv1d(
             1, 7, padding=3, weight_norm=self.weight_norm, dtype=self.dtype,

@@ -25,7 +25,10 @@ def _hz_to_mel_slaney(f):
     min_log_hz = 1000.0
     min_log_mel = min_log_hz / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, f / f_sp)
+    with np.errstate(divide="ignore"):  # f=0 (fmin=0) takes the linear branch
+        return np.where(
+            f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, f / f_sp
+        )
 
 
 def _mel_to_hz_slaney(m):

@@ -1,0 +1,117 @@
+"""Fused Pallas resblock group vs the stock flax ResBlock1 path.
+
+The kernel (ops/pallas_resblock.py) must reproduce the reference resblock
+stage semantics (nsf_hifigan/models.py:37-68, :245-259) exactly — including
+the per-conv zero padding at utterance edges — for every lane-packing p
+(C=128 -> p=1 through C=16 -> p=8) and for the per-RB split path.
+Interpret mode on CPU; the same kernel compiles for TPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddsp_svc_tpu.models.nsf_hifigan import Generator, ResBlock1
+from ddsp_svc_tpu.ops import pallas_resblock
+from ddsp_svc_tpu.ops.pallas_resblock import fused_resblock_group
+
+KS = (3, 7, 11)
+DS = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+
+
+def _assert_close(got, ref, tol=2e-5):
+    """Max error relative to the reference peak (the repo's stream-test
+    criterion): f32 accumulation order differs between the fused kernel
+    (f32 accum, banded sums) and XLA's conv lowering."""
+    got, ref = np.asarray(got), np.asarray(ref)
+    peak = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= tol * peak, (
+        np.abs(got - ref).max(), peak)
+
+
+def _stage_reference(x, weights_list):
+    """Stock flax path: mean of ResBlock1 chains, via the module."""
+    xs = 0.0
+    for rbw, k, dils in zip(weights_list, KS, DS):
+        params = {}
+        for i in range(len(dils)):
+            (k1, b1), (k2, b2) = rbw[2 * i], rbw[2 * i + 1]
+            params[f"convs1_{i}"] = {"kernel": k1, "bias": b1}
+            params[f"convs2_{i}"] = {"kernel": k2, "bias": b2}
+        rb = ResBlock1(x.shape[-1], k, tuple(dils), weight_norm=False)
+        xs = xs + rb.apply({"params": params}, x)
+    return xs / len(weights_list)
+
+
+def _rand_weights(rng, c):
+    out = []
+    for k, dils in zip(KS, DS):
+        rbw = []
+        for _ in dils:
+            for _ in range(2):
+                rbw.append((
+                    jnp.asarray(rng.standard_normal((k, c, c)), jnp.float32) * 0.2,
+                    jnp.asarray(rng.standard_normal((c,)), jnp.float32) * 0.1,
+                ))
+        out.append(rbw)
+    return out
+
+
+@pytest.mark.parametrize("c,l", [(128, 1024), (64, 1024), (32, 2048), (16, 4096)])
+def test_fused_matches_flax(c, l):
+    rng = np.random.default_rng(c)
+    x = jnp.asarray(rng.standard_normal((2, l, c)), jnp.float32)
+    weights = _rand_weights(rng, c)
+    ref = _stage_reference(x, weights)
+    got = fused_resblock_group(x, weights, KS, DS, interpret=True)
+    _assert_close(got, ref)
+
+
+def test_fused_split_path(monkeypatch):
+    """Force the per-resblock split (the f32 large-C VMEM fallback)."""
+    monkeypatch.setattr(pallas_resblock, "_VMEM_WEIGHT_BUDGET", 1)
+    rng = np.random.default_rng(7)
+    c, l = 64, 1024
+    x = jnp.asarray(rng.standard_normal((1, l, c)), jnp.float32)
+    weights = _rand_weights(rng, c)
+    ref = _stage_reference(x, weights)
+    got = fused_resblock_group(x, weights, KS, DS, interpret=True)
+    _assert_close(got, ref)
+
+
+def test_fused_multiblock_edges():
+    """Utterance shorter than a block multiple: edge masking must equal the
+    reference's per-conv zero padding, and the block-boundary halo must be
+    seamless."""
+    rng = np.random.default_rng(3)
+    c, l = 32, 4096 + 4 * 32  # not a multiple of the 512-row block (x p=4)
+    x = jnp.asarray(rng.standard_normal((1, l, c)), jnp.float32)
+    weights = _rand_weights(rng, c)
+    ref = _stage_reference(x, weights)
+    got = fused_resblock_group(x, weights, KS, DS, interpret=True)
+    _assert_close(got, ref)
+
+
+def test_generator_flag_matches_default():
+    """Generator(use_pallas_resblock=True) == Generator(default) on the same
+    params (interpret mode; identical param tree)."""
+    sr, t, m = 44100, 8, 128
+    base = Generator(sampling_rate=sr, num_mels=m)
+    fused = Generator(sampling_rate=sr, num_mels=m,
+                      use_pallas_resblock=True, pallas_interpret=True)
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal((1, t, m)),
+                      jnp.float32)
+    f0 = 220.0 * jnp.ones((1, t), jnp.float32)
+    variables = base.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        mel, f0, key=jax.random.PRNGKey(0),
+    )
+    fused_vars = fused.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        mel, f0, key=jax.random.PRNGKey(0),
+    )
+    assert jax.tree.structure(variables) == jax.tree.structure(fused_vars)
+    a = base.apply(variables, mel, f0, key=jax.random.PRNGKey(5))
+    b = fused.apply(variables, mel, f0, key=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
