@@ -278,12 +278,13 @@ def bench_realtime_latency(n_blocks=20):
         vc.process_block(b)
         lat.append(time.perf_counter() - t0)
     lat_ms = 1000.0 * float(np.mean(lat))
-    p95_ms = 1000.0 * float(np.percentile(lat, 95))
     return {
         "metric": "realtime_block_latency_ms",
         "value": round(lat_ms, 2),
         "unit": "ms_per_300ms_block",
-        "p95_ms": round(p95_ms, 2),
+        "p50_ms": round(1000.0 * float(np.percentile(lat, 50)), 2),
+        "p95_ms": round(1000.0 * float(np.percentile(lat, 95)), 2),
+        "p99_ms": round(1000.0 * float(np.percentile(lat, 99)), 2),
         "vs_baseline": round(300.0 / lat_ms, 3),  # x under the block budget
     }
 
@@ -352,14 +353,16 @@ def bench_realtime_diffusion(n_blocks=12, diff_silence=False):
         "metric": f"{name}_block_latency_ms",
         "value": round(lat_ms, 2),
         "unit": "ms_per_300ms_block",
+        "p50_ms": round(1000.0 * float(np.percentile(lat, 50)), 2),
         "p95_ms": round(1000.0 * float(np.percentile(lat, 95)), 2),
+        "p99_ms": round(1000.0 * float(np.percentile(lat, 99)), 2),
         "diff_silence": diff_silence,
         "vs_baseline": round(300.0 / lat_ms, 3),
     }
 
 
 def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
-                  transfer_int16=False, pipeline_depth=1):
+                  transfer_int16=False, transfer=None, pipeline_depth=1):
     """Serving throughput through the dynamic batcher (infer/batcher.py):
     aggregate RTF with max_batch=8 concurrent requests vs a max_batch=1
     engine — the quantified batching lever from PERF.md implication 1.
@@ -392,7 +395,7 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
     def run_engine(mb, concurrency):
         eng = BatchedSynth(model, params, buckets=(bucket,), max_batch=mb,
                            max_wait_ms=20.0, transfer_int16=transfer_int16,
-                           pipeline_depth=pipeline_depth)
+                           transfer=transfer, pipeline_depth=pipeline_depth)
         try:
             # warm (compile) with retries: the tunnel fails in waves
             last = None
@@ -443,6 +446,8 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
     name = "serving"
     if transfer_int16:
         name += "_i16"
+    if transfer == "mulaw":
+        name += "_mulaw"
     if pipeline_depth > 1:
         name += "_pipelined"
     return {
@@ -683,12 +688,120 @@ DICT_CONFIGS = {
                               n_requests=32),
         "serving_i16_pipelined_throughput_rtf_44k1",
         "aggregate_x_realtime_per_chip"),
+    # d2h codec lever past i16: 8-bit mu-law companded transfer (quarter of
+    # f32 bytes; quality gated by TPU_CHECKS.json batcher_mulaw)
+    "serving_mulaw": (lambda: bench_serving(transfer="mulaw"),
+                      "serving_mulaw_throughput_rtf_44k1",
+                      "aggregate_x_realtime_per_chip"),
+    "serving_mulaw_pipelined": (
+        lambda: bench_serving(transfer="mulaw", pipeline_depth=3,
+                              n_requests=32),
+        "serving_mulaw_pipelined_throughput_rtf_44k1",
+        "aggregate_x_realtime_per_chip"),
     "train": (lambda: bench_train(), "train_rtf_44k1",
               "audio_seconds_trained_per_wall_second_per_chip"),
     "train_vocoder": (lambda: bench_train_vocoder(),
                       "train_vocoder_rtf_44k1",
                       "audio_seconds_trained_per_wall_second_per_chip"),
 }
+
+
+def run_scaling(dp_list=(1, 2, 4, 8), per_dev_batch=8, seconds=2.0,
+                timing_steps=5):
+    """``bench_suite --scaling``: data-parallel training throughput at
+    dp=1/2/4/8 on whatever mesh exists — audio-s/s per chip, scaling
+    efficiency vs dp=1, and predicted-vs-compiled gradient-collective bytes
+    (SCALING.md's accounting, checked against the HLO the partitioner
+    actually emitted). One command, results in SCALING.json: on this image
+    it runs the 8-device virtual CPU mesh (collective pattern + efficiency
+    of the compiled program; wall numbers are host-bound), and the SAME
+    command run on a pod slice measures the real ≥85 % BASELINE claim.
+    Weak scaling: per-device batch fixed, global batch = dp x per_dev_batch
+    (the production regime; grad all-reduce is the only cross-chip step)."""
+    import re
+
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+    from ddsp_svc_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from ddsp_svc_tpu.train.state import create_train_state
+    from ddsp_svc_tpu.train.steps import make_ddsp_train_step
+
+    devices = jax.devices()
+    platform = devices[0].platform
+    dp_list = [d for d in dp_list if d <= len(devices)]
+    t = int(seconds * SR) // HOP
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+        jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+    )
+    param_bytes = sum(
+        a.size * a.dtype.itemsize for a in jax.tree.leaves(variables["params"])
+    )
+    rng = np.random.default_rng(0)
+    step_fn = make_ddsp_train_step(donate=False)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALING.json")
+    try:
+        with open(out_path) as f:
+            results = json.load(f)
+    except Exception:
+        results = {}
+    base_per_chip = None
+    for dp in dp_list:
+        mesh = make_mesh(dp, dp=dp, sp=1)
+        b = per_dev_batch * dp
+        units, f0, volume, spk = make_inputs(b, t)
+        audio = (0.1 * rng.standard_normal((b, t * HOP))).astype(np.float32)
+        batch = shard_batch(mesh, {
+            "units": units, "f0": f0, "volume": volume, "spk_id": spk + 1,
+            "audio": audio,
+        })
+        state = jax.tree.map(
+            lambda a: jax.device_put(a, replicate(mesh))
+            if hasattr(a, "dtype") else a,
+            create_train_state(model, variables["params"]),
+        )
+        # compiled gradient-collective bytes straight from the HLO the
+        # partitioner emitted (all-reduce operand shapes)
+        compiled = step_fn.lower(state, batch, jax.random.PRNGKey(2)).compile()
+        hlo = compiled.as_text()
+        ar_bytes = 0
+        for m in re.finditer(
+            r"(?:f32|bf16|f16)\[([\d,]*)\][^\n]*all-reduce", hlo
+        ):
+            dims = [int(x) for x in m.group(1).split(",") if x]
+            ar_bytes += int(np.prod(dims)) * 4 if dims else 4
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(2))
+        _sync(metrics["loss"])
+        times = []
+        for i in range(timing_steps):
+            t0 = time.perf_counter()
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(3 + i))
+            _sync(metrics["loss"])
+            times.append(time.perf_counter() - t0)
+        step_s = float(np.median(times))
+        audio_s_per_step = b * t * HOP / SR
+        per_chip = audio_s_per_step / step_s / dp
+        if base_per_chip is None:
+            base_per_chip = per_chip
+        line = {
+            "dp": dp,
+            "platform": platform,
+            "global_batch": b,
+            "audio_s_per_s_per_chip": round(per_chip, 2),
+            "scaling_efficiency": round(per_chip / base_per_chip, 4),
+            "step_ms": round(1000 * step_s, 2),
+            "allreduce_mb_compiled": round(ar_bytes / 1e6, 3),
+            "allreduce_mb_predicted": round(
+                param_bytes / 1e6 if dp > 1 else 0.0, 3
+            ),
+            "measured_at_unix": time.time(),
+        }
+        results[f"dp{dp}_{platform}"] = line
+        _save_results(out_path, results)
+        print(json.dumps(line), flush=True)
 
 
 def run_cost_analysis(names=None):
@@ -779,6 +892,28 @@ def main(names=None):
             names.remove("--cpu")
             jax.config.update("jax_platforms", "cpu")
         run_cost_analysis(names or None)
+        return
+    if names and "--scaling" in names:
+        names = [n for n in names if n != "--scaling"]
+        if "--cpu" in names:
+            names.remove("--cpu")
+            jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < 8 and jax.devices()[0].platform != "cpu":
+            # one real chip here: relaunch on the 8-device virtual CPU mesh
+            # (the same command on a pod slice uses the real chips)
+            import subprocess
+
+            env = dict(os.environ)
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                                + " --xla_force_host_platform_device_count=8")
+            print("# <8 devices: relaunching --scaling on the virtual "
+                  "8-device CPU mesh", flush=True)
+            raise SystemExit(subprocess.call(
+                [sys.executable, os.path.abspath(__file__), "--scaling",
+                 "--cpu"], env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ))
+        run_scaling()
         return
     if names and "--isolate" in names:
         names = [n for n in names if n != "--isolate"]

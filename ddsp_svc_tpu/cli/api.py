@@ -157,6 +157,10 @@ def main(argv=None):
                    help="transfer batched audio device->host as int16 "
                         "(halves d2h bytes; <=1-LSB rounding, free at the "
                         "int16 wav output)")
+    p.add_argument("--batch_mulaw", action="store_true",
+                   help="transfer batched audio device->host as 8-bit "
+                        "mu-law (quarters d2h bytes vs f32; ~38 dB SNR — "
+                        "the lever past --batch_i16 when the wire binds)")
     p.add_argument("--batch_max_signatures", type=int, default=4,
                    help="max distinct per-request sampler settings admitted "
                         "to batched graphs (each costs one compile per "
@@ -194,6 +198,7 @@ def main(argv=None):
                                  max_wait_ms=cmd.batch_wait_ms, mesh=mesh,
                                  max_signatures=cmd.batch_max_signatures,
                                  transfer_int16=cmd.batch_i16,
+                                 transfer="mulaw" if cmd.batch_mulaw else None,
                                  pipeline_depth=cmd.batch_pipeline)
         if cmd.warmup:
             print("warming batch buckets ...", flush=True)

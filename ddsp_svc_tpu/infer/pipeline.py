@@ -83,6 +83,7 @@ class SvcPipeline:
     def enable_batching(self, buckets=(128, 256, 512, 1024), max_batch: int = 8,
                         max_wait_ms: float = 5.0, mesh=None,
                         max_signatures: int = 4, transfer_int16: bool = False,
+                        transfer: str | None = None,
                         pipeline_depth: int = 1, **model_kwargs):
         """Route synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
@@ -110,7 +111,8 @@ class SvcPipeline:
             self.batcher = BatchedSynth(
                 self.model, self.variables["params"], buckets=buckets,
                 max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
-                transfer_int16=transfer_int16, pipeline_depth=pipeline_depth,
+                transfer_int16=transfer_int16, transfer=transfer,
+                pipeline_depth=pipeline_depth,
             )
             return self.batcher
 
@@ -158,7 +160,7 @@ class SvcPipeline:
             buckets=buckets, max_batch=max_batch, max_wait_ms=max_wait_ms,
             mesh=mesh, forward_builder=builder,
             out_hop=vocoder.vocoder_hop_size, transfer_int16=transfer_int16,
-            pipeline_depth=pipeline_depth,
+            transfer=transfer, pipeline_depth=pipeline_depth,
         )
         return self.batcher
 
@@ -243,6 +245,27 @@ class SvcPipeline:
 
             fn = jax.jit(fwd)
             self._jit_fwd["ddsp"] = fn
+        return fn
+
+    def _ddsp_forward_masked(self):
+        """Direct-path flagship forward with the volume mask fused in: one
+        device dispatch per call instead of forward + eager upsample +
+        multiply — per-dispatch tunnel jitter is the realtime block-latency
+        tail (PERF.md)."""
+        fn = self._jit_fwd.get("ddsp_masked")
+        if fn is None:
+            block = self.args.data.block_size
+
+            def fwd(params, units, f0, volume, spk, key, frame_mask):
+                out, _, _ = self.model.apply(
+                    {"params": params}, units, f0, volume, spk_id=spk,
+                    infer=True, rngs={"noise": key},
+                )
+                mask = upsample(frame_mask[None, :, None], block)[..., 0]
+                return out * mask[:, : out.shape[-1]]
+
+            fn = jax.jit(fwd)
+            self._jit_fwd["ddsp_masked"] = fn
         return fn
 
     def _f0_extractor(self, sample_rate: int, hop: int) -> F0Extractor:
@@ -338,15 +361,17 @@ class SvcPipeline:
         batcher = self.batcher  # read once: enable_batching/close may race
         spk = jnp.array([[spk_id]], jnp.int32)
         common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
+        mask_done = False
         if self.family == "ddsp":
             if spk_mix_dict is None:
                 if batcher is not None and t > batcher.buckets[-1]:
                     # longer than the largest bucket: run direct rather
                     # than fail the request (jit's own shape cache applies)
-                    out = self._ddsp_forward()(
+                    out = self._ddsp_forward_masked()(
                         self.variables["params"], units, f0, volume_j, spk,
-                        sub,
+                        sub, jnp.asarray(frame_mask, jnp.float32),
                     )
+                    mask_done = True
                 elif batcher is not None:
                     # host staging: the batcher pads/stacks on the host
                     # (axon d2h needs the barrier first); its result stays
@@ -358,9 +383,11 @@ class SvcPipeline:
                         np.asarray(volume_j)[0], spk_id, sub,
                     )[None, :]
                 else:
-                    out = self._ddsp_forward()(
-                        self.variables["params"], units, f0, volume_j, spk, sub
+                    out = self._ddsp_forward_masked()(
+                        self.variables["params"], units, f0, volume_j, spk,
+                        sub, jnp.asarray(frame_mask, jnp.float32),
                     )
+                    mask_done = True
             else:  # rare path: mixture dict is per-call, keep it eager
                 out, _, _ = self.model.apply(
                     {"params": self.variables["params"]},
@@ -392,52 +419,92 @@ class SvcPipeline:
                 out = out * mask[:, : out.shape[-1]]
                 return out[0], out_sr
             if spk_mix_dict is None:
+                # ONE jitted graph for the whole block: cascade -> prefix
+                # crop -> NSF-HiFiGAN -> silence re-pad -> volume mask.
+                # The realtime loop is tunnel-RTT-bound (PERF.md): every
+                # separate device call (and every eager pad/upsample/mul)
+                # is a round trip whose jitter lands straight in the block
+                # p95, so the direct path dispatches exactly one call here.
                 static_key = tuple(
                     (k, v) for k, v in sorted(kwargs.items())
                     if k not in ("spk_id", "spk_mix_dict", "mel_extract_fn")
-                )
+                ) + ("__full__", start_frame, bool(use_silence))
                 fn = self._jit_fwd.get(static_key)
                 if fn is None:
                     jit_kwargs = dict(kwargs)
                     jit_kwargs.pop("spk_id", None)
                     jit_kwargs["spk_mix_dict"] = None
+                    vocoder = self.vocoder
+                    block = args.data.block_size
 
-                    def fwd(params, units, f0, volume, spk, key,
-                            _kw=jit_kwargs):
-                        return self.model.apply(
+                    def fwd(params, voc_params, units, f0, volume, spk, key,
+                            frame_mask, _kw=jit_kwargs, _sf=start_frame,
+                            _sil=bool(use_silence)):
+                        mel = self.model.apply(
                             {"params": params}, units, f0, volume,
                             key=key, rngs={"noise": key}, spk_id=spk, **_kw,
                         )
+                        f0v = f0
+                        if not _sil and _sf > 0:
+                            # never vocode the stale prefix
+                            # (infer_gt_mel.py:53-59): crop the mel before
+                            # NSF-HiFiGAN, re-pad the audio with silence
+                            mel = mel[:, _sf:]
+                            f0v = f0[:, _sf:]
+                        if vocoder.type == "nsf-hifigan-log10":
+                            mel = mel / 0.434294
+                        audio = vocoder.model.apply(
+                            {"params": voc_params}, mel,
+                            f0v[:, : mel.shape[1], 0], key=key,
+                        )
+                        if _sf > 0:
+                            audio = jnp.pad(
+                                audio,
+                                ((0, 0), (_sf * vocoder.vocoder_hop_size, 0)),
+                            )
+                        mask = upsample(
+                            frame_mask[None, :, None], block
+                        )[..., 0]
+                        return audio * mask[:, : audio.shape[-1]]
 
                     fn = jax.jit(fwd)
                     self._jit_fwd[static_key] = fn
-                mel = fn(self.variables["params"], units, f0, volume_j, spk,
-                         sub)
+                out = fn(
+                    self.variables["params"], self.vocoder.params, units,
+                    f0, volume_j, spk, sub,
+                    jnp.asarray(frame_mask, jnp.float32),
+                )
+                out_sr = self.vocoder.vocoder_sample_rate
+                if self.enhancer is None:
+                    jax.effects_barrier()
+                    return np.asarray(out)[0], out_sr
+                mask_done = True
             else:
                 mel = self.model.apply(
                     {"params": self.variables["params"]},
                     units, f0, volume_j, key=sub, rngs={"noise": sub},
                     **kwargs,
                 )
-            if not use_silence and start_frame > 0:
-                # never vocode the stale prefix (infer_gt_mel.py:53-59):
-                # crop the mel before NSF-HiFiGAN, re-pad with silence
-                mel = mel[:, start_frame:]
-                f0 = f0[:, start_frame:]
-            out = self.vocoder.infer(mel, f0, key=sub)
-            out_sr = self.vocoder.vocoder_sample_rate
-            if start_frame > 0:
-                out = jnp.pad(
-                    out,
-                    ((0, 0), (start_frame * self.vocoder.vocoder_hop_size, 0)),
-                )
+                if not use_silence and start_frame > 0:
+                    # never vocode the stale prefix (infer_gt_mel.py:53-59):
+                    # crop the mel before NSF-HiFiGAN, re-pad with silence
+                    mel = mel[:, start_frame:]
+                    f0 = f0[:, start_frame:]
+                out = self.vocoder.infer(mel, f0, key=sub)
+                out_sr = self.vocoder.vocoder_sample_rate
+                if start_frame > 0:
+                    out = jnp.pad(
+                        out,
+                        ((0, 0),
+                         (start_frame * self.vocoder.vocoder_hop_size, 0)),
+                    )
 
         if isinstance(out, np.ndarray):  # host-resident batched result
             out = out * upsampled_mask(on_host=True)[:, : out.shape[-1]]
             if self.enhancer is None:
                 return out[0], out_sr
             out = jnp.asarray(out)  # only the enhancer needs the device
-        else:
+        elif not mask_done:
             mask = upsampled_mask(on_host=False)
             out = out * mask[:, : out.shape[-1]]
         if self.enhancer is not None:

@@ -93,17 +93,35 @@ class RealtimeVC:
         )
         self._first = True
 
-    def warmup(self) -> None:
+    def warmup(self, extra_variants: list[dict] | None = None) -> None:
         """Compile the fixed-context block path before going live: run one
         silent block through the full pipeline so the first real callback
         hits cached executables (the context length is constant, so every
-        subsequent block reuses the same compiled graphs)."""
+        subsequent block reuses the same compiled graphs).
+
+        For diffusion/reflow engines, BOTH 'diff silence' variants
+        (gui_diff.py:282) are precompiled — toggling the checkbox mid-stream
+        must never pay a compile inside a 0.3 s budget — plus any
+        ``extra_variants`` (kwargs overrides, e.g. alternate sampler
+        settings the GUI sliders can reach), so every reachable signature is
+        a cache hit and the block-latency tail stays jitter-only."""
         state = (self.input_wav.copy(), self.sola_buffer.copy(), self._first)
+        variants: list[dict] = [{}]
+        if getattr(self.pipeline, "family", "ddsp") != "ddsp":
+            cur = bool(self.infer_kwargs.get("use_silence", False))
+            variants.append({"use_silence": not cur})
+        variants.extend(extra_variants or [])
+        saved_kwargs = dict(self.infer_kwargs)
         try:
-            self.process_block(
-                np.zeros(self.block_frame, dtype=np.float32)
-            )
+            for var in variants:
+                self.infer_kwargs = {**saved_kwargs, **var}
+                self.input_wav = state[0].copy()
+                self.sola_buffer = state[1].copy()
+                self.process_block(
+                    np.zeros(self.block_frame, dtype=np.float32)
+                )
         finally:
+            self.infer_kwargs = saved_kwargs
             self.input_wav, self.sola_buffer, self._first = state
 
     def process_block(self, block: np.ndarray) -> np.ndarray:

@@ -177,6 +177,36 @@ def test_transfer_int16_matches_f32(synth):
         eng16.close()
 
 
+def test_transfer_mulaw_matches_f32(synth):
+    """8-bit μ-law device->host transfer (the lever past i16) reproduces the
+    f32 path within one companding step at each sample's level, and ~38 dB
+    SNR overall."""
+    eng, model, params = synth
+    engm = BatchedSynth(model, params, buckets=(32,), max_batch=2,
+                        max_wait_ms=5.0, transfer="mulaw")
+    try:
+        rng = np.random.default_rng(22)
+        u, f, v = _req(rng, 24)
+        key = jax.random.PRNGKey(14)
+        ref = np.clip(eng.infer(u, f, v, spk_id=2, key=key), -1.0, 1.0)
+        got = engm.infer(u, f, v, spk_id=2, key=key)
+        assert got.shape == ref.shape
+        step = np.log(256.0) / 255.0 * (1.0 / 255.0 + np.abs(ref))
+        assert (np.abs(got - ref) <= step * 1.01).mean() >= 0.999
+        snr = 10 * np.log10(
+            (ref ** 2).sum() / max(((got - ref) ** 2).sum(), 1e-20)
+        )
+        assert snr > 30.0, snr
+    finally:
+        engm.close()
+
+
+def test_transfer_rejects_unknown_codec(synth):
+    _, model, params = synth
+    with pytest.raises(ValueError):
+        BatchedSynth(model, params, buckets=(32,), transfer="opus")
+
+
 def test_error_delivery(synth):
     eng, _, _ = synth
     rng = np.random.default_rng(3)

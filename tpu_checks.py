@@ -367,6 +367,56 @@ def check_batcher_i16():
     return {"ok": bool(err <= 1.01 / 32767.0), "max_abs_err": err}
 
 
+def check_batcher_mulaw():
+    """8-bit μ-law d2h transfer vs f32 through the batcher ON HARDWARE: the
+    --batch_mulaw lever's quality cost, reported as SNR of the decoded
+    output vs the f32 transfer. μ-law with μ=255 holds ~38 dB SNR on
+    speech-scale material (companding noise tracks signal level) — audible
+    transparency for VC serving is debatable above ~35 dB; this is an
+    opt-in throughput lever, gated here at >= 30 dB plus a hard bound of
+    one μ-law step on the max abs error."""
+    from ddsp_svc_tpu.infer.batcher import BatchedSynth
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+    sr, hop, win, n_unit = 44100, 512, 2048, 768
+    t = 64
+    model = CombSubSuperFast(sr, hop, win, n_unit=n_unit, n_spk=1)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        )["params"]
+    dev = jax.devices()[0]
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+    rng = np.random.default_rng(13)
+    units = rng.standard_normal((t, n_unit)).astype(np.float32)
+    f0 = (220.0 * np.exp(0.1 * rng.standard_normal((t, 1)))).astype(np.float32)
+    vol = 0.5 * np.ones((t, 1), np.float32)
+    key = jax.random.PRNGKey(7)
+    eng = BatchedSynth(model, params, buckets=(t,), max_batch=1,
+                       max_wait_ms=1.0)
+    engm = BatchedSynth(model, params, buckets=(t,), max_batch=1,
+                        max_wait_ms=1.0, transfer="mulaw")
+    try:
+        ref = eng.infer(units, f0, vol, spk_id=1, key=key)
+        got = engm.infer(units, f0, vol, spk_id=1, key=key)
+    finally:
+        eng.close()
+        engm.close()
+    ref = np.clip(ref, -1.0, 1.0)
+    noise = got - ref
+    snr_db = float(
+        10.0 * np.log10((ref ** 2).sum() / max((noise ** 2).sum(), 1e-20))
+    )
+    # one μ-law step at |x|: Δx ≈ ln(256)/255 · (1/255 + |x|)
+    step = np.log(256.0) / 255.0 * (1.0 / 255.0 + np.abs(ref))
+    within = float((np.abs(noise) <= step * 1.01).mean())
+    return {"ok": bool(snr_db >= 30.0 and within >= 0.999),
+            "snr_db": snr_db, "frac_within_one_step": within}
+
+
 def check_batcher_pipelined():
     """Overlapped-fetch pipelining (pipeline_depth=3) ON HARDWARE: four
     concurrent requests through the pipelined engine must be bit-identical
@@ -433,6 +483,7 @@ CHECKS = {
     "nsf_subpixel": check_nsf_subpixel,
     "nsf_fused_resblock": check_nsf_fused_resblock,
     "batcher_i16": check_batcher_i16,
+    "batcher_mulaw": check_batcher_mulaw,
     "batcher_pipelined": check_batcher_pipelined,
 }
 
