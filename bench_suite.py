@@ -187,7 +187,11 @@ def bench_nsf(batch=4, seconds=10.0, dtype=None, subpixel=False, fused=False):
     return call, batch * t * HOP / SR
 
 
-def _bench_cascade(family, batch=8, seconds=10.0):
+def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False):
+    """include_vocoder=True measures the FULL main_diff.py chain RTF
+    (cascade -> refined mel -> NSF-HiFiGAN audio) — the number a user of
+    the reference's offline inference actually experiences; the vocoder
+    rides the fused Pallas resblock path on TPU (Vocoder auto flag)."""
     from ddsp_svc_tpu.models.cascade import ReflowUnit2Wav, Unit2WavFast
     from ddsp_svc_tpu.ops.mel import LogMelSpectrogram
 
@@ -213,19 +217,33 @@ def _bench_cascade(family, batch=8, seconds=10.0):
     units, f0, volume, spk = _put(make_inputs(batch, t))
     variables = _put(variables)
 
+    voc = None
+    if include_vocoder:
+        from ddsp_svc_tpu.models.vocoder import Vocoder
+
+        with _cpu():  # random-init on host; auto flag reads the backend
+            voc = Vocoder("nsf-hifigan")  # fused resblocks auto on TPU
+        voc.params = _put(voc.params)
+
     @jax.jit
-    def run(params, key, units, f0, volume, spk):
+    def run(params, voc_params, key, units, f0, volume, spk):
         out = model.apply(
             {"params": params}, units, f0, volume, spk_id=spk,
             mel_extract_fn=mel_x.extract, infer=True, key=key,
             rngs={"noise": key}, **kwargs,
         )
+        if voc is not None:
+            out = voc.model.apply(
+                {"params": voc_params}, out, f0[..., 0], key=key
+            )
         return jnp.sum(jnp.abs(out))
 
-    call = lambda i: run(variables["params"],
+    voc_params = voc.params if voc is not None else {}
+    call = lambda i: run(variables["params"], voc_params,
                          jax.random.fold_in(jax.random.PRNGKey(4), i),
                          units, f0, volume, spk)  # noqa: E731
-    call.lowerable = (run, (variables["params"], jax.random.PRNGKey(4),
+    call.lowerable = (run, (variables["params"], voc_params,
+                            jax.random.PRNGKey(4),
                             units, f0, volume, spk))
     return call, batch * t * HOP / SR
 
@@ -362,7 +380,8 @@ def bench_realtime_diffusion(n_blocks=12, diff_silence=False):
 
 
 def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
-                  transfer_int16=False, transfer=None, pipeline_depth=1):
+                  transfer_int16=False, transfer=None, transfer_in="f32",
+                  pipeline_depth=1):
     """Serving throughput through the dynamic batcher (infer/batcher.py):
     aggregate RTF with max_batch=8 concurrent requests vs a max_batch=1
     engine — the quantified batching lever from PERF.md implication 1.
@@ -395,7 +414,8 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
     def run_engine(mb, concurrency):
         eng = BatchedSynth(model, params, buckets=(bucket,), max_batch=mb,
                            max_wait_ms=20.0, transfer_int16=transfer_int16,
-                           transfer=transfer, pipeline_depth=pipeline_depth)
+                           transfer=transfer, transfer_in=transfer_in,
+                           pipeline_depth=pipeline_depth)
         try:
             # warm (compile) with retries: the tunnel fails in waves
             last = None
@@ -448,6 +468,8 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
         name += "_i16"
     if transfer == "mulaw":
         name += "_mulaw"
+    if transfer_in == "f16":
+        name += "_f16in"
     if pipeline_depth > 1:
         name += "_pipelined"
     return {
@@ -658,6 +680,11 @@ CONFIGS = {
     "nsf_bf16_b12": lambda: bench_nsf(batch=12, dtype=jnp.bfloat16),
     "cascade": lambda: _bench_cascade("diffusion"),
     "reflow": lambda: _bench_cascade("reflow"),
+    # full offline chain (main_diff.py / main_reflow.py): cascade -> mel ->
+    # NSF-HiFiGAN audio, vocoder on the fused Pallas resblock path
+    "diffusion_e2e": lambda: _bench_cascade("diffusion",
+                                            include_vocoder=True),
+    "reflow_e2e": lambda: _bench_cascade("reflow", include_vocoder=True),
 }
 
 
@@ -697,6 +724,13 @@ DICT_CONFIGS = {
         lambda: bench_serving(transfer="mulaw", pipeline_depth=3,
                               n_requests=32),
         "serving_mulaw_pipelined_throughput_rtf_44k1",
+        "aggregate_x_realtime_per_chip"),
+    # upload-side lever: with mu-law outputs the units upload is the bigger
+    # wire cost (768 f32/frame in vs 1 byte/sample out) — f16 halves it
+    "serving_mulaw_f16in_pipelined": (
+        lambda: bench_serving(transfer="mulaw", transfer_in="f16",
+                              pipeline_depth=3, n_requests=32),
+        "serving_mulaw_f16in_pipelined_throughput_rtf_44k1",
         "aggregate_x_realtime_per_chip"),
     "train": (lambda: bench_train(), "train_rtf_44k1",
               "audio_seconds_trained_per_wall_second_per_chip"),

@@ -224,6 +224,39 @@ class UnitsEncoder:
         self.variables = params
         self._apply = jax.jit(lambda v, a: self.model.apply(v, a))
 
+    def make_encode_fn(self, sample_rate: int, hop_size: int, audio_len: int):
+        """Pure jittable twin of ``encode`` for a fixed audio length:
+        ``fn(variables, audio (B, audio_len)) -> units (B, n_frames, C)``.
+
+        Lets callers fuse the encoder into a larger jitted graph — the
+        realtime block path dispatches encoder + synth + vocoder as ONE
+        device call per block (each separate dispatch's tunnel RTT lands in
+        the block-latency tail, PERF.md)."""
+        n_frames = audio_len // hop_size + 1
+        ratio = (hop_size / sample_rate) / (
+            self.encoder_hop_size / self.encoder_sample_rate
+        )
+        model = self.model
+        enc_sr = self.encoder_sample_rate
+
+        def fn(variables, audio):
+            if sample_rate == enc_sr:
+                audio_res = audio
+            else:
+                audio_res = resample(audio, sample_rate, enc_sr)
+            if audio_res.shape[-1] < 400:
+                audio_res = jnp.pad(
+                    audio_res, ((0, 0), (0, 400 - audio_res.shape[-1]))
+                )
+            units = model.apply(variables, audio_res)
+            index = np.clip(
+                np.round(ratio * np.arange(n_frames)).astype(np.int64),
+                0, units.shape[1] - 1,
+            )
+            return jnp.take(units, jnp.asarray(index), axis=1)
+
+        return fn
+
     def encode(
         self, audio: jnp.ndarray, sample_rate: int, hop_size: int
     ) -> jnp.ndarray:

@@ -66,6 +66,7 @@ class BatchedSynth:
         out_hop: int | None = None,
         transfer_int16: bool = False,
         transfer: str | None = None,
+        transfer_in: str = "f32",
         pipeline_depth: int = 1,
     ):
         """``mesh``: optional 1-axis `jax.sharding.Mesh` — the request batch
@@ -89,6 +90,13 @@ class BatchedSynth:
         ~15 MB/s; a max_batch=8 × 30 s f32 batch is ~42 MB), and the HTTP
         surface emits int16 wav anyway, so the ≤1-LSB (−96 dBFS) rounding
         is free at the output.
+
+        ``transfer_in``: host→device codec for the bulky ``units`` feature
+        rows — 'f32' (default) or 'f16' (halves the upload; ~1e-3 relative
+        rounding on encoder features, far below their own encoder noise).
+        With μ-law output transfer the UPLOAD becomes the bigger wire cost
+        (units are 768 f32/frame vs 1 byte/sample out), so this is the
+        matching lever for constrained links.
 
         ``transfer``: explicit transfer codec, superseding the bool —
         'f32' (identity), 'i16' (= transfer_int16), or 'mulaw': 8-bit
@@ -119,6 +127,9 @@ class BatchedSynth:
             raise ValueError(f"unknown transfer codec {transfer!r}")
         self.transfer = transfer
         self.transfer_int16 = transfer == "i16"  # legacy attr (tests)
+        if transfer_in not in ("f32", "f16"):
+            raise ValueError(f"unknown transfer_in codec {transfer_in!r}")
+        self.transfer_in = transfer_in
         self.mesh = mesh
         if mesh is not None:
             (axis,) = mesh.axis_names
@@ -298,6 +309,13 @@ class BatchedSynth:
                     )
                     return audio
 
+            if self.transfer_in == "f16":
+                inner_in = fwd
+
+                def fwd(params, units, f0, volume, spk, keys, _in=inner_in):
+                    return _in(params, units.astype(jnp.float32), f0, volume,
+                               spk, keys)
+
             if self.transfer == "i16":
                 inner = fwd
 
@@ -385,7 +403,8 @@ class BatchedSynth:
         bucket = batch[0].bucket
         n = self.max_batch
         c = batch[0].units.shape[1]
-        units = np.zeros((n, bucket, c), np.float32)
+        in_dtype = np.float16 if self.transfer_in == "f16" else np.float32
+        units = np.zeros((n, bucket, c), in_dtype)
         f0 = np.full((n, bucket, 1), 220.0, np.float32)
         volume = np.zeros((n, bucket, 1), np.float32)
         spk = np.ones((n, 1), np.int32)

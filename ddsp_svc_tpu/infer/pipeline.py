@@ -83,7 +83,7 @@ class SvcPipeline:
     def enable_batching(self, buckets=(128, 256, 512, 1024), max_batch: int = 8,
                         max_wait_ms: float = 5.0, mesh=None,
                         max_signatures: int = 4, transfer_int16: bool = False,
-                        transfer: str | None = None,
+                        transfer: str | None = None, transfer_in: str = "f32",
                         pipeline_depth: int = 1, **model_kwargs):
         """Route synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
@@ -112,7 +112,7 @@ class SvcPipeline:
                 self.model, self.variables["params"], buckets=buckets,
                 max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
                 transfer_int16=transfer_int16, transfer=transfer,
-                pipeline_depth=pipeline_depth,
+                transfer_in=transfer_in, pipeline_depth=pipeline_depth,
             )
             return self.batcher
 
@@ -160,7 +160,8 @@ class SvcPipeline:
             buckets=buckets, max_batch=max_batch, max_wait_ms=max_wait_ms,
             mesh=mesh, forward_builder=builder,
             out_hop=vocoder.vocoder_hop_size, transfer_int16=transfer_int16,
-            transfer=transfer, pipeline_depth=pipeline_depth,
+            transfer=transfer, transfer_in=transfer_in,
+            pipeline_depth=pipeline_depth,
         )
         return self.batcher
 
@@ -268,6 +269,34 @@ class SvcPipeline:
             self._jit_fwd["ddsp_masked"] = fn
         return fn
 
+    def _ddsp_forward_enc_masked(self, sample_rate: int, hop: int,
+                                 audio_len: int):
+        """Single-dispatch flagship path with the units encoder fused in:
+        encoder + synth + volume mask as ONE jitted graph (see
+        make_encode_fn; the per-dispatch tunnel RTT is the realtime
+        block-latency tail)."""
+        key = ("ddsp_enc_masked", sample_rate, hop, audio_len)
+        fn = self._jit_fwd.get(key)
+        if fn is None:
+            block = self.args.data.block_size
+            encode = self.units_encoder.make_encode_fn(
+                sample_rate, hop, audio_len
+            )
+
+            def fwd(params, enc_vars, audio, f0, volume, spk, key_,
+                    frame_mask):
+                units = encode(enc_vars, audio)
+                out, _, _ = self.model.apply(
+                    {"params": params}, units, f0, volume, spk_id=spk,
+                    infer=True, rngs={"noise": key_},
+                )
+                mask = upsample(frame_mask[None, :, None], block)[..., 0]
+                return out * mask[:, : out.shape[-1]]
+
+            fn = jax.jit(fwd)
+            self._jit_fwd[key] = fn
+        return fn
+
     def _f0_extractor(self, sample_rate: int, hop: int) -> F0Extractor:
         if sample_rate not in self._f0_extractors:
             self._f0_extractors[sample_rate] = F0Extractor(
@@ -330,10 +359,23 @@ class SvcPipeline:
 
         volume_j = jnp.asarray(volume, jnp.float32)[None, :, None]
 
-        units = self.units_encoder.encode(
-            jnp.asarray(audio, jnp.float32)[None, :], sample_rate, hop
+        audio_j = jnp.asarray(audio, jnp.float32)[None, :]
+        batcher = self.batcher  # read once: enable_batching/close may race
+        # direct paths fuse the units encoder INTO the synthesis graph:
+        # one device dispatch per call instead of encode + synth (each
+        # dispatch's tunnel RTT is realtime block-latency tail, PERF.md);
+        # batched paths stage units on the host for the batcher instead
+        fuse_encoder = (
+            batcher is None
+            and spk_mix_dict is None
+            and hasattr(self.units_encoder, "make_encode_fn")
         )
-        t = units.shape[1]
+        if fuse_encoder:
+            units = None
+            t = audio_j.shape[-1] // hop + 1  # encode()'s frame contract
+        else:
+            units = self.units_encoder.encode(audio_j, sample_rate, hop)
+            t = units.shape[1]
         f0 = f0[:, :t]
         volume_j = volume_j[:, :t]
 
@@ -351,14 +393,14 @@ class SvcPipeline:
             # crop the whole cascade input (infer_gt_mel.py:66-71); the
             # output is re-padded with silence below. In realtime the
             # prefix length is constant, so this is ONE static shape.
-            units = units[:, start_frame:]
+            if units is not None:
+                units = units[:, start_frame:]
             f0 = f0[:, start_frame:]
             volume_j = volume_j[:, start_frame:]
             t = t - start_frame
 
         with self._key_lock:
             self._key, sub = jax.random.split(self._key)
-        batcher = self.batcher  # read once: enable_batching/close may race
         spk = jnp.array([[spk_id]], jnp.int32)
         common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
         mask_done = False
@@ -382,6 +424,15 @@ class SvcPipeline:
                         np.asarray(units)[0], np.asarray(f0)[0],
                         np.asarray(volume_j)[0], spk_id, sub,
                     )[None, :]
+                elif fuse_encoder:
+                    out = self._ddsp_forward_enc_masked(
+                        sample_rate, hop, audio_j.shape[-1]
+                    )(
+                        self.variables["params"],
+                        self.units_encoder.variables, audio_j, f0, volume_j,
+                        spk, sub, jnp.asarray(frame_mask, jnp.float32),
+                    )
+                    mask_done = True
                 else:
                     out = self._ddsp_forward_masked()(
                         self.variables["params"], units, f0, volume_j, spk,
@@ -429,6 +480,9 @@ class SvcPipeline:
                     (k, v) for k, v in sorted(kwargs.items())
                     if k not in ("spk_id", "spk_mix_dict", "mel_extract_fn")
                 ) + ("__full__", start_frame, bool(use_silence))
+                if fuse_encoder:
+                    static_key += ("__enc__", sample_rate, hop,
+                                   audio_j.shape[-1])
                 fn = self._jit_fwd.get(static_key)
                 if fn is None:
                     jit_kwargs = dict(kwargs)
@@ -436,10 +490,22 @@ class SvcPipeline:
                     jit_kwargs["spk_mix_dict"] = None
                     vocoder = self.vocoder
                     block = args.data.block_size
+                    encode = (
+                        self.units_encoder.make_encode_fn(
+                            sample_rate, hop, audio_j.shape[-1]
+                        )
+                        if fuse_encoder else None
+                    )
 
-                    def fwd(params, voc_params, units, f0, volume, spk, key,
-                            frame_mask, _kw=jit_kwargs, _sf=start_frame,
-                            _sil=bool(use_silence)):
+                    def fwd(params, voc_params, enc_vars, units, f0, volume,
+                            spk, key, frame_mask, _kw=jit_kwargs,
+                            _sf=start_frame, _sil=bool(use_silence)):
+                        if encode is not None:
+                            units = encode(enc_vars, units)  # units == audio
+                            units = units[:, : f0.shape[1] + (_sf if _sil
+                                                              else 0)]
+                            if _sil and _sf > 0:
+                                units = units[:, _sf:]
                         mel = self.model.apply(
                             {"params": params}, units, f0, volume,
                             key=key, rngs={"noise": key}, spk_id=spk, **_kw,
@@ -470,7 +536,9 @@ class SvcPipeline:
                     fn = jax.jit(fwd)
                     self._jit_fwd[static_key] = fn
                 out = fn(
-                    self.variables["params"], self.vocoder.params, units,
+                    self.variables["params"], self.vocoder.params,
+                    getattr(self.units_encoder, "variables", None),
+                    audio_j if fuse_encoder else units,
                     f0, volume_j, spk, sub,
                     jnp.asarray(frame_mask, jnp.float32),
                 )

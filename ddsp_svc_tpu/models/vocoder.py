@@ -63,14 +63,29 @@ class Vocoder:
     """type: 'nsf-hifigan' | 'nsf-hifigan-log10' (diffusion/vocoder.py:80-96)."""
 
     def __init__(self, vocoder_type: str = "nsf-hifigan", ckpt: str | None = None,
-                 dtype=None):
+                 dtype=None, use_pallas_resblock: bool | str = "auto"):
         """``dtype=jnp.bfloat16`` runs the generator with bf16 activations
         (params stay f32): measured +27% RTF at 49.9 dB SNR vs f32 on
-        TPU v5e (PERF.md / TPU_CHECKS.json nsf_bf16_quality)."""
+        TPU v5e (PERF.md / TPU_CHECKS.json nsf_bf16_quality).
+
+        ``use_pallas_resblock='auto'`` enables the fused Pallas resblock
+        stages (ops/pallas_resblock: 2.5x generator RTF, PERF.md round 3)
+        whenever the default backend is a TPU; inference params are
+        identical either way and equivalence is hardware-checked
+        (TPU_CHECKS.json nsf_fused_resblock). CPU backends keep the stock
+        XLA path (Pallas compiles for TPU only). Set
+        DDSP_SVC_TPU_NO_FUSED_VOCODER=1 to force it off."""
         if vocoder_type not in ("nsf-hifigan", "nsf-hifigan-log10"):
             raise ValueError(f" [x] Unknown vocoder: {vocoder_type}")
         self.type = vocoder_type
         self._dtype = dtype
+        if use_pallas_resblock == "auto":
+            import os
+
+            use_pallas_resblock = (
+                jax.default_backend() == "tpu"
+                and not os.environ.get("DDSP_SVC_TPU_NO_FUSED_VOCODER")
+            )
         params, cfg = load_vocoder_params(ckpt)
         self.config = cfg
         self.vocoder_sample_rate = cfg["sampling_rate"]
@@ -97,6 +112,7 @@ class Vocoder:
                 tuple(d) for d in cfg["resblock_dilation_sizes"]
             ),
             dtype=self._dtype,
+            use_pallas_resblock=bool(use_pallas_resblock),
         )
         if params is None:
             mel0 = jnp.zeros((1, 8, self.dimension), jnp.float32)

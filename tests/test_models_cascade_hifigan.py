@@ -196,3 +196,18 @@ def test_vocoder_gan_step_data_parallel():
                            jax.random.PRNGKey(2))
     assert np.isfinite(float(md["disc_loss"]))
     assert np.isfinite(float(mg["gen_loss"]))
+
+
+def test_vocoder_fused_auto_resolves_by_backend(monkeypatch):
+    """Vocoder(use_pallas_resblock='auto') keeps the stock XLA path on CPU
+    (Pallas compiles for TPU only) and an identical param tree either way."""
+    import jax
+
+    from ddsp_svc_tpu.models.vocoder import Vocoder
+
+    v_auto = Vocoder("nsf-hifigan")
+    assert jax.default_backend() == "cpu"
+    assert v_auto.model.use_pallas_resblock is False
+    v_on = Vocoder("nsf-hifigan", use_pallas_resblock=True)
+    assert v_on.model.use_pallas_resblock is True
+    assert jax.tree.structure(v_auto.params) == jax.tree.structure(v_on.params)

@@ -417,6 +417,48 @@ def check_batcher_mulaw():
             "snr_db": snr_db, "frac_within_one_step": within}
 
 
+def check_batcher_f16in():
+    """f16 unit-feature upload vs f32 through the batcher ON HARDWARE: the
+    --batch_f16_in lever's quality cost, reported as SNR vs the f32-upload
+    output. Unit features carry encoder noise far above f16 rounding; gate
+    at >= 40 dB on the synthesized audio."""
+    from ddsp_svc_tpu.infer.batcher import BatchedSynth
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+    sr, hop, win, n_unit = 44100, 512, 2048, 768
+    t = 64
+    model = CombSubSuperFast(sr, hop, win, n_unit=n_unit, n_spk=1)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        )["params"]
+    dev = jax.devices()[0]
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+    rng = np.random.default_rng(17)
+    units = rng.standard_normal((t, n_unit)).astype(np.float32)
+    f0 = (220.0 * np.exp(0.1 * rng.standard_normal((t, 1)))).astype(np.float32)
+    vol = 0.5 * np.ones((t, 1), np.float32)
+    key = jax.random.PRNGKey(7)
+    eng = BatchedSynth(model, params, buckets=(t,), max_batch=1,
+                       max_wait_ms=1.0)
+    engf = BatchedSynth(model, params, buckets=(t,), max_batch=1,
+                        max_wait_ms=1.0, transfer_in="f16")
+    try:
+        ref = eng.infer(units, f0, vol, spk_id=1, key=key)
+        got = engf.infer(units, f0, vol, spk_id=1, key=key)
+    finally:
+        eng.close()
+        engf.close()
+    noise = got - ref
+    snr_db = float(
+        10.0 * np.log10((ref ** 2).sum() / max((noise ** 2).sum(), 1e-20))
+    )
+    return {"ok": bool(snr_db >= 40.0), "snr_db": snr_db}
+
+
 def check_batcher_pipelined():
     """Overlapped-fetch pipelining (pipeline_depth=3) ON HARDWARE: four
     concurrent requests through the pipelined engine must be bit-identical
@@ -484,6 +526,7 @@ CHECKS = {
     "nsf_fused_resblock": check_nsf_fused_resblock,
     "batcher_i16": check_batcher_i16,
     "batcher_mulaw": check_batcher_mulaw,
+    "batcher_f16in": check_batcher_f16in,
     "batcher_pipelined": check_batcher_pipelined,
 }
 
