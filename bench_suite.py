@@ -556,7 +556,10 @@ def bench_train(batch=24, seconds=2.0):
         n_iter *= 2
 
 
-def bench_train_vocoder(batch=16, frames=16):
+def bench_train_vocoder(batch=16, frames=16, fused=False):
+    # fused=True measured 22.98x vs 24.6x stock (a wash: GAN crops are
+    # 8192 samples — the backward dominates and kernel block overhead eats
+    # the forward win at these sizes); kept as the A/B config
     """NSF-HiFiGAN GAN training throughput (gen+MPD+MSD fwd/bwd, HiFiGAN
     8192-sample crops): audio-seconds trained per wall-second. The reference
     cannot train its vocoder at all — this measures the beyond-reference
@@ -580,6 +583,7 @@ def bench_train_vocoder(batch=16, frames=16):
         resblock_dilation_sizes=tuple(
             tuple(d) for d in cfg["resblock_dilation_sizes"]
         ),
+        use_pallas_resblock=fused,
     )
     mel_mod = LogMelSpectrogram(
         sr=cfg["sampling_rate"], n_mels=cfg["num_mels"], n_fft=cfg["n_fft"],
@@ -646,7 +650,7 @@ def bench_train_vocoder(batch=16, frames=16):
         if elapsed >= MIN_WINDOW_S or n_iter >= 512:
             rtf = n_iter * audio_s_per_step / elapsed
             return {
-                "metric": "train_vocoder_rtf_44k1",
+                "metric": ("train_vocoder_fused_rtf_44k1" if fused else "train_vocoder_rtf_44k1"),
                 "value": round(rtf, 2),
                 "unit": "audio_seconds_trained_per_wall_second_per_chip",
                 "steps_per_s": round(n_iter / elapsed, 3),
@@ -737,6 +741,10 @@ DICT_CONFIGS = {
     "train_vocoder": (lambda: bench_train_vocoder(),
                       "train_vocoder_rtf_44k1",
                       "audio_seconds_trained_per_wall_second_per_chip"),
+    # fused Pallas resblock forward under the GAN trainer (custom VJP)
+    "train_vocoder_fused": (lambda: bench_train_vocoder(fused=True),
+                            "train_vocoder_fused_rtf_44k1",
+                            "audio_seconds_trained_per_wall_second_per_chip"),
 }
 
 

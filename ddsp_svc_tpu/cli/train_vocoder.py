@@ -29,6 +29,11 @@ from ..utils.config import load_config
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("--fused_resblocks", action="store_true",
+                        help="run the generator's resblock stages on the "
+                             "fused Pallas kernel (custom VJP); measured a "
+                             "wash at the default 8192-sample crops — try "
+                             "for longer-crop recipes")
     cmd = parser.parse_args(argv)
 
     from .common import enable_compile_cache
@@ -52,6 +57,12 @@ def main(argv=None):
         resblock_dilation_sizes=tuple(
             tuple(d) for d in cfg["resblock_dilation_sizes"]
         ),
+        # the fused Pallas resblock stages carry a custom VJP, so training
+        # CAN ride them (--fused_resblocks); measured a wash at HiFiGAN's
+        # 8192-sample training crops (22.98x vs 24.6x stock — the backward
+        # dominates and the kernel's block overhead eats the forward win at
+        # these sizes; bench_suite train_vocoder_fused), so default off
+        use_pallas_resblock=bool(getattr(cmd, "fused_resblocks", False)),
     )
     mel_x = LogMelSpectrogram(
         sr=cfg["sampling_rate"], n_mels=cfg["num_mels"], n_fft=cfg["n_fft"],

@@ -34,7 +34,11 @@ utterance*. The VALID-chain emulates this exactly by masking rows outside
 the utterance to zero before every conv (after the leaky_relu), so edge
 outputs match the reference formulation — not just in the interior.
 
-Inference-only: no custom VJP (training uses the stock flax path).
+Training: ``fused_resblock_group`` carries a custom VJP, so the kernel is
+usable under ``jax.grad`` (the vocoder GAN trainer) — the forward runs the
+Pallas kernel; the backward differentiates an equivalent pure-jnp chain
+(identical math; XLA convs). Gradients w.r.t. the weight-norm parameters
+flow through the fold outside this op, which takes folded kernels.
 """
 from __future__ import annotations
 
@@ -259,12 +263,80 @@ def _run_group(
     return out[:, :ls]
 
 
+def _stock_group(x, rb_weights, kernel_sizes, dilations):
+    """Pure-jnp reference of the fused op (the ResBlock1 chain math) — the
+    differentiation target for the custom VJP."""
+    total = None
+    for (k, dils), rbw in zip(zip(kernel_sizes, dilations), rb_weights):
+        z = x
+        ci = 0
+        for d in dils:
+            t = z
+            for dd in (d, 1):
+                w, b = rbw[ci]
+                ci += 1
+                pad = (k - 1) * dd // 2
+                t = _leaky(t)
+                t = jax.lax.conv_general_dilated(
+                    t, w, window_strides=(1,), padding=[(pad, pad)],
+                    rhs_dilation=(dd,),
+                    dimension_numbers=("NHC", "HIO", "NHC"),
+                ) + b
+            z = t + z
+        total = z if total is None else total + z
+    return total / float(len(rb_weights))
+
+
 def fused_resblock_group(
     x: jnp.ndarray,
     rb_weights,
     kernel_sizes,
     dilations,
     *,
+    block_rows: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable entry point: Pallas forward + jnp-chain backward."""
+    ks = tuple(kernel_sizes)
+    ds = tuple(tuple(d) for d in dilations)
+    flat = tuple(tuple((w, b) for w, b in rbw) for rbw in rb_weights)
+    return _fused_group_vjp(
+        x, flat, ks, ds, block_rows, bool(interpret)
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fused_group_vjp(x, rb_weights, kernel_sizes, dilations, block_rows,
+                     interpret):
+    return _fused_group_impl(x, rb_weights, kernel_sizes, dilations,
+                             block_rows, interpret)
+
+
+def _fused_group_fwd(x, rb_weights, kernel_sizes, dilations, block_rows,
+                     interpret):
+    out = _fused_group_impl(x, rb_weights, kernel_sizes, dilations,
+                            block_rows, interpret)
+    return out, (x, rb_weights)
+
+
+def _fused_group_bwd(kernel_sizes, dilations, block_rows, interpret,
+                     residuals, g):
+    x, rb_weights = residuals
+    _, vjp = jax.vjp(
+        lambda xx, ww: _stock_group(xx, ww, kernel_sizes, dilations),
+        x, rb_weights,
+    )
+    return vjp(g.astype(x.dtype))
+
+
+_fused_group_vjp.defvjp(_fused_group_fwd, _fused_group_bwd)
+
+
+def _fused_group_impl(
+    x: jnp.ndarray,
+    rb_weights,
+    kernel_sizes,
+    dilations,
     block_rows: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:

@@ -115,3 +115,58 @@ def test_generator_flag_matches_default():
     b = fused.apply(variables, mel, f0, key=jax.random.PRNGKey(5))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gradients_match_stock():
+    """jax.grad through the fused op (custom VJP: jnp-chain backward) ==
+    grad through the flax ResBlock path, for both x and every weight."""
+    rng = np.random.default_rng(11)
+    c, l = 32, 1024
+    x = jnp.asarray(rng.standard_normal((1, l, c)), jnp.float32) * 0.3
+    weights = _rand_weights(rng, c)
+    g_out = jnp.asarray(rng.standard_normal((1, l, c)), jnp.float32)
+
+    def loss_fused(x, ws):
+        y = fused_resblock_group(x, ws, KS, DS, interpret=True)
+        return jnp.sum(y * g_out)
+
+    def loss_stock(x, ws):
+        return jnp.sum(_stage_reference(x, ws) * g_out)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, weights)
+    gx_s, gw_s = jax.grad(loss_stock, argnums=(0, 1))(x, weights)
+    _assert_close(gx_f, gx_s, tol=5e-5)
+    for rb_f, rb_s in zip(gw_f, gw_s):
+        for (kw_f, kb_f), (kw_s, kb_s) in zip(rb_f, rb_s):
+            _assert_close(kw_f, kw_s, tol=5e-5)
+            _assert_close(kb_f, kb_s, tol=5e-5)
+
+
+def test_generator_fused_trains():
+    """Generator(use_pallas_resblock=True) is differentiable end-to-end
+    (weight-norm fold -> fused op custom VJP) and its grads match the
+    stock path."""
+    sr, t, m = 44100, 4, 16
+    base = Generator(sampling_rate=sr, num_mels=m,
+                     upsample_initial_channel=32)
+    fused = Generator(sampling_rate=sr, num_mels=m,
+                      upsample_initial_channel=32,
+                      use_pallas_resblock=True, pallas_interpret=True)
+    mel = jnp.asarray(np.random.default_rng(1).standard_normal((1, t, m)),
+                      jnp.float32)
+    f0 = 220.0 * jnp.ones((1, t), jnp.float32)
+    variables = base.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        mel, f0, key=jax.random.PRNGKey(0),
+    )
+
+    def loss(params, gen):
+        y = gen.apply({"params": params}, mel, f0, key=jax.random.PRNGKey(5))
+        return jnp.mean(y ** 2)
+
+    g_base = jax.grad(loss)(variables["params"], base)
+    g_fused = jax.grad(loss)(variables["params"], fused)
+    flat_b, _ = jax.tree_util.tree_flatten(g_base)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, b in zip(flat_b, flat_f):
+        _assert_close(b, a, tol=1e-4)
