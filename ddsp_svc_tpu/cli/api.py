@@ -128,8 +128,10 @@ def make_handler(pipeline, default_kwargs):
                 # Emits at the model rate through the realtime block engine
                 # (SOLA splicing, infer/realtime.py); whole-utterance mode
                 # stays the default contract.
+                # (fSafePrefixPadLength doesn't apply here: the block
+                # engine manages its own context prefix via extra_time)
                 return self._stream_convert(audio, in_sr, model_sr, spk_id,
-                                            pitch, pad, extra)
+                                            pitch, extra)
 
             out, sr = pipeline.infer(
                 audio, in_sr, spk_id=spk_id, key_shift=pitch,
@@ -154,8 +156,7 @@ def make_handler(pipeline, default_kwargs):
             self.end_headers()
             self.wfile.write(payload)
 
-        def _stream_convert(self, audio, in_sr, sr, spk_id, pitch, pad,
-                            extra):
+        def _stream_convert(self, audio, in_sr, sr, spk_id, pitch, extra):
             import struct
 
             from ..infer.realtime import RealtimeVC

@@ -76,7 +76,11 @@ class CFNaiveMelPE(nn.Module):
 def local_argmax_f0(probs: np.ndarray, threshold: float = 0.006) -> np.ndarray:
     """torchfcpe latent2cents_local_decoder: probability-weighted cents over
     the +/-4 bins around the argmax; frames whose peak probability is at or
-    below the threshold are unvoiced (f0 = 0)."""
+    below the threshold are unvoiced (f0 = 0). Out-of-range window indices
+    are CLAMPED to the edge bin (torchfcpe duplicates edge bins via
+    torch.clamp before gather — unlike RMVPE's zero-padded window), so
+    decoded cents at the extreme ends of the 32.7-1975.5 Hz range lean
+    into the edge bin by design."""
     table = cent_table()
     idx = probs.argmax(axis=-1)  # (T,)
     local = np.clip(idx[:, None] + np.arange(-4, 5)[None, :], 0, N_BINS - 1)
@@ -112,7 +116,12 @@ class FCPEInfer:
         n_frames = audio.shape[1] // HOP + 1
         mel = jnp.swapaxes(self.mel(audio), 1, 2)  # (1, T, 128)
         if mel.shape[1] < n_frames:
-            mel = jnp.pad(mel, ((0, 0), (0, n_frames - mel.shape[1]), (0, 0)))
+            # edge-replicate the last frame (torchfcpe's wav2mel pad; a
+            # zero pad would be log-mel amplitude 1.0 — a loud bogus frame)
+            mel = jnp.pad(
+                mel, ((0, 0), (0, n_frames - mel.shape[1]), (0, 0)),
+                mode="edge",
+            )
         mel = mel[:, :n_frames]
         probs = np.asarray(self._apply(mel)[0])
         return local_argmax_f0(probs, threshold=threshold)

@@ -233,21 +233,6 @@ class SvcPipeline:
             )
         return kwargs
 
-    def _ddsp_forward(self):
-        """Jitted flagship forward (shape-polymorphic via jit's own cache)."""
-        fn = self._jit_fwd.get("ddsp")
-        if fn is None:
-            def fwd(params, units, f0, volume, spk, key):
-                out, _, _ = self.model.apply(
-                    {"params": params}, units, f0, volume, spk_id=spk,
-                    infer=True, rngs={"noise": key},
-                )
-                return out
-
-            fn = jax.jit(fwd)
-            self._jit_fwd["ddsp"] = fn
-        return fn
-
     def _ddsp_forward_masked(self):
         """Direct-path flagship forward with the volume mask fused in: one
         device dispatch per call instead of forward + eager upsample +
@@ -537,7 +522,10 @@ class SvcPipeline:
                     self._jit_fwd[static_key] = fn
                 out = fn(
                     self.variables["params"], self.vocoder.params,
-                    getattr(self.units_encoder, "variables", None),
+                    # the encoder pytree rides only when it's in the graph:
+                    # flattening hundreds of dead leaves costs dispatch time
+                    # on exactly the latency path this fusion optimizes
+                    self.units_encoder.variables if fuse_encoder else None,
                     audio_j if fuse_encoder else units,
                     f0, volume_j, spk, sub,
                     jnp.asarray(frame_mask, jnp.float32),

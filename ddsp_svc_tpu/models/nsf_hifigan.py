@@ -139,8 +139,10 @@ class Generator(nn.Module):
     # + leaky_relus + residual adds of a stage run in one VMEM-resident
     # kernel (2 reads + 1 write of HBM instead of ~40 passes). Applies to
     # stages with channels <= 128 (94 % of the resblock traffic); the
-    # C=256 first stage and the transposed convs stay on XLA. Inference
-    # only (no custom VJP) — training keeps this off.
+    # C=256 first stage and the transposed convs stay on XLA. Carries a
+    # custom VJP (backward = equivalent jnp conv chain), so it works under
+    # jax.grad — a measured win at inference sizes (PERF.md), a wash at
+    # GAN-training crop sizes (train_vocoder_fused), hence opt-in.
     use_pallas_resblock: bool = False
     pallas_interpret: bool = False  # CPU-test hook
 

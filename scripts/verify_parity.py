@@ -69,8 +69,15 @@ def import_reference():
         sys.path.insert(0, REF)
     for name in ("gin", "pyworld", "parselmouth", "torchcrepe", "resampy",
                  "soundfile", "tqdm"):
-        _stub(name)
-    sys.modules["tqdm"].tqdm = lambda x, *a, **k: x
+        try:  # stub only what the image truly lacks (a fake tqdm would
+            __import__(name)  # break transformers' `from tqdm.auto import`)
+        except ImportError:
+            _stub(name)
+    if "tqdm" in sys.modules and not hasattr(sys.modules["tqdm"], "tqdm"):
+        sys.modules["tqdm"].tqdm = lambda x, *a, **k: x
+        auto = _stub("tqdm.auto")
+        auto.tqdm = sys.modules["tqdm"].tqdm
+        sys.modules["tqdm"].auto = auto
     _stub("local_attention").LocalAttention = object
     _stub("fairseq").checkpoint_utils = types.SimpleNamespace()
     ta = _stub("torchaudio", pkg=True)
@@ -374,7 +381,7 @@ def real_weights(cmd) -> int:
         sr, hop, args_cfg.model.win_length,
         args_cfg.data.encoder_out_channels, args_cfg.model.n_spk,
         out_dims=args_cfg.model.out_dims, n_layers=args_cfg.model.n_layers,
-        n_chans=args_cfg.model.n_chans, k_step_max=args_cfg.model.k_step_max,
+        n_chans=args_cfg.model.n_chans,
     ).eval()
     tcasc.load_state_dict(sd)
 
@@ -386,10 +393,11 @@ def real_weights(cmd) -> int:
     f0 = F0Extractor(cmd.pitch, sr, hop).extract(audio, uv_interp=True)
     volume = VolumeExtractor(hop).extract(audio)
     t = len(f0)
-    from ddsp_svc_tpu.features.hubert import UnitsEncoder
+    from ddsp_svc_tpu.cli.common import build_units_encoder
 
-    enc = UnitsEncoder(args_cfg.data.encoder,
-                       ckpt=getattr(cmd, "encoder_ckpt", None))
+    if cmd.encoder_ckpt:
+        args_cfg.data.encoder_ckpt = cmd.encoder_ckpt
+    enc = build_units_encoder(args_cfg)
     units = np.asarray(enc.encode(jnp.asarray(audio)[None], sr, hop))
     t = min(t, units.shape[1])
     units, f0, volume = (units[:, :t], f0[None, :t, None],
