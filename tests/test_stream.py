@@ -135,3 +135,26 @@ class TestStreamedForward:
         denom = np.abs(outs[0]).max()
         err = np.abs(outs[0] - outs[1]).max() / denom
         assert err < 1e-6, f"relative error {err}"
+
+
+def test_jitted_driver_cache_is_bounded(monkeypatch):
+    """stream_core._cached_jit is a bounded LRU (VERDICT r2 weak #6): a
+    process sweeping many (model, shape) keys must not grow executables
+    without limit, and reuse must refresh recency."""
+    from ddsp_svc_tpu.parallel import stream_core
+
+    monkeypatch.setattr(stream_core, "_JITTED_MAX", 4)
+    monkeypatch.setattr(stream_core, "_JITTED", type(stream_core._JITTED)())
+
+    def make(i):
+        return lambda: (lambda x: x + i)
+
+    for i in range(6):
+        stream_core._cached_jit(("k", i), make(i))
+    assert len(stream_core._JITTED) == 4
+    assert ("k", 0) not in stream_core._JITTED  # oldest evicted
+    # touch ("k", 2), then insert: ("k", 3) becomes the eviction victim
+    stream_core._cached_jit(("k", 2), make(2))
+    stream_core._cached_jit(("k", 9), make(9))
+    assert ("k", 2) in stream_core._JITTED
+    assert ("k", 3) not in stream_core._JITTED
