@@ -303,3 +303,57 @@ def test_stream_mode_rate_mismatch_falls_back(server):
         payload = r.read()
     out_sr, data = wavfile.read(io.BytesIO(payload))
     assert out_sr == SR * 2
+
+
+def test_stream_mode_diffusion_family(tmp_path):
+    """stream=1 through a diffusion pipeline: per-request sampler fields ride
+    the block engine's infer kwargs; chunked wav comes back at model rate."""
+    from http.server import ThreadingHTTPServer
+
+    from test_batcher import _tiny_vocoder_ckpt
+    from ddsp_svc_tpu.models.cascade import Unit2Mel
+
+    voc_path = _tiny_vocoder_ckpt(tmp_path)
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": N_UNIT},
+        "model": {"type": "Diffusion", "n_spk": 2, "k_step_max": 20},
+        "vocoder": {"type": "nsf-hifigan", "ckpt": voc_path},
+        "enhancer": None,
+    })
+    model = Unit2Mel(N_UNIT, 2, False, 16, n_layers=2, n_chans=16,
+                     n_hidden=16, k_step_max=20)
+    t = 16
+    variables = {"params": model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, t, N_UNIT)), 220.0 * jnp.ones((1, t, 1)),
+        jnp.ones((1, t, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        gt_spec=jnp.zeros((1, t, 16)), infer=False,
+    )["params"]}
+    pipeline = SvcPipeline.from_parts(
+        model, variables, args, StubUnitsEncoder(N_UNIT, channel_ramp=True))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pipeline, {}))
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        body, ctype = _encode_multipart({
+            "sample": _wav_bytes(seconds=0.5), "fPitchChange": 0.0,
+            "sSpeakId": 1, "sampleRate": SR, "stream": 1,
+            "sample_method": "dpm-solver", "sample_interval": 2,
+            "skip_steps": 990,
+        })
+        req = urllib.request.Request(
+            base + "/voiceChangeModel", data=body, method="POST",
+            headers={"Content-Type": ctype},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            assert r.status == 200
+            assert r.headers.get("Transfer-Encoding") == "chunked"
+            payload = r.read()
+        out_sr, data = wavfile.read(io.BytesIO(payload))
+        assert out_sr == SR
+        assert len(data) == SR // 2
+        assert np.isfinite(data.astype(np.float64)).all()
+    finally:
+        srv.shutdown()
