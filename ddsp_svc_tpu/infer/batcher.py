@@ -67,6 +67,7 @@ class BatchedSynth:
         transfer_int16: bool = False,
         transfer: str | None = None,
         transfer_in: str = "f32",
+        device_stage: bool = True,
         pipeline_depth: int = 1,
     ):
         """``mesh``: optional 1-axis `jax.sharding.Mesh` — the request batch
@@ -130,6 +131,11 @@ class BatchedSynth:
         if transfer_in not in ("f32", "f16"):
             raise ValueError(f"unknown transfer_in codec {transfer_in!r}")
         self.transfer_in = transfer_in
+        # device_stage: pad/stack device-resident inputs with jnp ops
+        # instead of barrier+fetch+numpy staging. The right default on a
+        # local runtime; on the tunneled backend each eager pad/stack is
+        # its own RTT, so A/B per deployment (bench_serving_diffusion)
+        self.device_stage = device_stage
         self.mesh = mesh
         if mesh is not None:
             (axis,) = mesh.axis_names
@@ -175,12 +181,28 @@ class BatchedSynth:
         ``sig``: hashable static sampler signature (ignored for ddsp
         synths); requests batch only with same-(bucket, sig) peers.
         ``record_stats=False`` (warmup) keeps multi-minute first-compile
-        latencies out of the /stats percentiles."""
+        latencies out of the /stats percentiles.
+
+        Inputs may be jax DEVICE arrays: the batch is then padded/stacked
+        on device (async) instead of the numpy path — callers whose
+        features were just computed on device (the pipeline's units
+        encoder) skip a per-request effects_barrier + d2h fetch + re-upload
+        (a full pipeline flush each; the dominant serial cost of the
+        full-stack serving path, bench_serving_diffusion)."""
         t = units.shape[0]
         bucket = self._bucket_for(t)
+        on_device = isinstance(units, jnp.ndarray) and not isinstance(
+            units, np.ndarray
+        )
+        if on_device and not self.device_stage:
+            jax.effects_barrier()  # axon: a fetch needs the barrier first
+            on_device = False
+        if not on_device:
+            units = np.asarray(units, np.float32)
+            f0 = np.asarray(f0, np.float32)
+            volume = np.asarray(volume, np.float32)
         req = _Request(
-            np.asarray(units, np.float32), np.asarray(f0, np.float32),
-            np.asarray(volume, np.float32), int(spk_id), key, t, bucket, sig,
+            units, f0, volume, int(spk_id), key, t, bucket, sig,
         )
         if self._stop:
             raise RuntimeError("BatchedSynth closed")
@@ -403,6 +425,10 @@ class BatchedSynth:
         bucket = batch[0].bucket
         n = self.max_batch
         c = batch[0].units.shape[1]
+        if isinstance(batch[0].units, jnp.ndarray) and not isinstance(
+            batch[0].units, np.ndarray
+        ):
+            return self._run_device(batch, bucket, n, c)
         in_dtype = np.float16 if self.transfer_in == "f16" else np.float32
         units = np.zeros((n, bucket, c), in_dtype)
         f0 = np.full((n, bucket, 1), 220.0, np.float32)
@@ -424,6 +450,42 @@ class BatchedSynth:
         if self._deliver_q is not None:
             # async dispatch done; the delivery thread barriers + fetches
             # while this worker collects and dispatches the next batch
+            self._deliver_q.put((out, batch))
+        else:
+            self._finish(out, batch)
+
+    def _run_device(self, batch: list[_Request], bucket: int, n: int, c: int):
+        """Device-resident staging: pad + stack requests with async jnp ops
+        (no host barrier/fetch/re-upload). transfer_in codecs don't apply —
+        the inputs never cross the wire; outputs still ride self.transfer."""
+        def pad_rows(get, fill, width):
+            rows = [
+                jnp.pad(
+                    get(r).astype(jnp.float32),
+                    ((0, bucket - r.n_frames), (0, 0)),
+                    constant_values=fill,
+                )
+                for r in batch
+            ]
+            while len(rows) < n:
+                rows.append(jnp.full((bucket, width), fill, jnp.float32))
+            return jnp.stack(rows)
+
+        units = pad_rows(lambda r: r.units, 0.0, c)
+        f0 = pad_rows(lambda r: r.f0, 220.0, 1)
+        volume = pad_rows(lambda r: r.volume, 0.0, 1)
+        spk = np.ones((n, 1), np.int32)
+        keys = []
+        for i, r in enumerate(batch):
+            spk[i, 0] = r.spk_id
+            keys.append(r.key)
+        while len(keys) < n:
+            keys.append(jax.random.PRNGKey(0))
+        out = self._fn(bucket, batch[0].sig)(
+            self.params, units, f0, volume, jnp.asarray(spk),
+            jnp.stack(keys),
+        )
+        if self._deliver_q is not None:
             self._deliver_q.put((out, batch))
         else:
             self._finish(out, batch)

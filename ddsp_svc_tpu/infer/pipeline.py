@@ -84,6 +84,7 @@ class SvcPipeline:
                         max_wait_ms: float = 5.0, mesh=None,
                         max_signatures: int = 4, transfer_int16: bool = False,
                         transfer: str | None = None, transfer_in: str = "f32",
+                        device_stage: bool = True,
                         pipeline_depth: int = 1, **model_kwargs):
         """Route synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
@@ -112,7 +113,8 @@ class SvcPipeline:
                 self.model, self.variables["params"], buckets=buckets,
                 max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
                 transfer_int16=transfer_int16, transfer=transfer,
-                transfer_in=transfer_in, pipeline_depth=pipeline_depth,
+                transfer_in=transfer_in, device_stage=device_stage,
+                pipeline_depth=pipeline_depth,
             )
             return self.batcher
 
@@ -161,7 +163,7 @@ class SvcPipeline:
             mesh=mesh, forward_builder=builder,
             out_hop=vocoder.vocoder_hop_size, transfer_int16=transfer_int16,
             transfer=transfer, transfer_in=transfer_in,
-            pipeline_depth=pipeline_depth,
+            device_stage=device_stage, pipeline_depth=pipeline_depth,
         )
         return self.batcher
 
@@ -400,14 +402,12 @@ class SvcPipeline:
                     )
                     mask_done = True
                 elif batcher is not None:
-                    # host staging: the batcher pads/stacks on the host
-                    # (axon d2h needs the barrier first); its result stays
-                    # host-resident — the tail only re-uploads if an
-                    # enhancer pass needs the device
-                    jax.effects_barrier()
+                    # device-resident submit: the encoder output never
+                    # round-trips to the host (batcher pads/stacks with
+                    # async jnp ops; a per-request barrier+fetch+re-upload
+                    # was the dominant serial cost of full-stack serving)
                     out = batcher.infer(
-                        np.asarray(units)[0], np.asarray(f0)[0],
-                        np.asarray(volume_j)[0], spk_id, sub,
+                        units[0], f0[0], volume_j[0], spk_id, sub,
                     )[None, :]
                 elif fuse_encoder:
                     out = self._ddsp_forward_enc_masked(
@@ -438,10 +438,9 @@ class SvcPipeline:
             if (batcher is not None and spk_mix_dict is None
                     and t <= batcher.buckets[-1]
                     and self._admit_sig(sig)):
-                jax.effects_barrier()  # host staging (axon d2h)
+                # device-resident submit (no per-request barrier/fetch)
                 out = batcher.infer(
-                    np.asarray(units)[0], np.asarray(f0)[0],
-                    np.asarray(volume_j)[0], spk_id, sub, sig=sig,
+                    units[0], f0[0], volume_j[0], spk_id, sub, sig=sig,
                 )[None, :]
                 out_sr = self.vocoder.vocoder_sample_rate
                 if use_silence and start_frame > 0:
