@@ -238,6 +238,14 @@ class BatchedSynth:
             vol = np.zeros((t, 1), np.float32)
             self.infer(units, f0, vol, spk_id=1, key=jax.random.PRNGKey(0),
                        sig=sig, record_stats=False)
+            if self.device_stage:
+                # live pipeline requests submit DEVICE arrays (f32), a
+                # distinct jit trace from the numpy/f16 staging — warm it
+                # too, or the first real request pays the compile
+                self.infer(jnp.asarray(units), jnp.asarray(f0),
+                           jnp.asarray(vol), spk_id=1,
+                           key=jax.random.PRNGKey(0), sig=sig,
+                           record_stats=False)
 
     def stats(self) -> dict:
         """Serving counters for monitoring endpoints: request/error/batch
