@@ -484,7 +484,7 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
     }
 
 
-def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=4,
+def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
                             transfer=None, transfer_in="f32",
                             device_stage=True, pipeline_depth=1):
     """Full-stack serving for the heavy family: concurrent audio requests
