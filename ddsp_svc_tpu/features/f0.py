@@ -84,10 +84,16 @@ def yin_f0(
         n_new = len(audio) // factor
         spec = np.fft.rfft(np.asarray(audio, np.float64))
         k = min(len(spec), n_new // 2 + 1)
+        # exact effective rate: n_new samples span the same duration (the
+        # floored n_new skews sr/factor by up to factor/len — a systematic
+        # pitch bias if left as the integer ratio)
+        sample_rate = sample_rate * n_new / len(audio)
         audio = np.fft.irfft(spec[:k], n_new) * (n_new / len(audio))
-        sample_rate //= factor
         hop_size //= factor
-    audio = np.asarray(audio, dtype=np.float32)
+    # f32 in fast (decimated) mode; decimate=False keeps the original f64
+    # numerics (cmndf is a difference of large cumsums — callers opting out
+    # of the fast path get the cancellation-safe dtype back)
+    audio = np.asarray(audio, dtype=np.float32 if decimate else np.float64)
     tau_max = int(sample_rate / f0_min) + 1
     tau_min = max(int(sample_rate / f0_max), 2)
     win = tau_max  # integration window

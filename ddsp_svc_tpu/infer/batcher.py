@@ -38,13 +38,17 @@ class _Request:
     n_frames: int
     bucket: int
     sig: tuple = ()  # static sampler signature; only same-sig requests batch
+    on_device: bool = False  # staged with jnp ops vs numpy (don't mix)
     done: threading.Event = field(default_factory=threading.Event)
     result: np.ndarray | None = None
     error: Exception | None = None
 
     @property
     def group(self) -> tuple:
-        return (self.bucket, self.sig)
+        # staging kind is part of the key: a numpy-staged batch must never
+        # absorb a device-array peer (its buffer write would be an
+        # unbarriered d2h fetch), and vice versa
+        return (self.bucket, self.sig, self.on_device)
 
 
 class BatchedSynth:
@@ -191,18 +195,27 @@ class BatchedSynth:
         full-stack serving path, bench_serving_diffusion)."""
         t = units.shape[0]
         bucket = self._bucket_for(t)
-        on_device = isinstance(units, jnp.ndarray) and not isinstance(
-            units, np.ndarray
+
+        def is_dev(a):
+            return isinstance(a, jnp.ndarray) and not isinstance(a, np.ndarray)
+
+        # device staging needs ALL three feature arrays device-resident, the
+        # flag on, and no mesh (the sharded path is validated with host
+        # staging; eagerly-staged single-device arrays would fight the
+        # pjit's in_shardings)
+        on_device = (
+            self.device_stage and self.mesh is None
+            and is_dev(units) and is_dev(f0) and is_dev(volume)
         )
-        if on_device and not self.device_stage:
-            jax.effects_barrier()  # axon: a fetch needs the barrier first
-            on_device = False
         if not on_device:
+            if any(is_dev(a) for a in (units, f0, volume)):
+                jax.effects_barrier()  # axon: a fetch needs a barrier first
             units = np.asarray(units, np.float32)
             f0 = np.asarray(f0, np.float32)
             volume = np.asarray(volume, np.float32)
         req = _Request(
             units, f0, volume, int(spk_id), key, t, bucket, sig,
+            on_device=on_device,
         )
         if self._stop:
             raise RuntimeError("BatchedSynth closed")
@@ -429,38 +442,45 @@ class BatchedSynth:
                     r.error = e
                     r.done.set()
 
-    def _run(self, batch: list[_Request]):
-        bucket = batch[0].bucket
-        n = self.max_batch
-        c = batch[0].units.shape[1]
-        if isinstance(batch[0].units, jnp.ndarray) and not isinstance(
-            batch[0].units, np.ndarray
-        ):
-            return self._run_device(batch, bucket, n, c)
-        in_dtype = np.float16 if self.transfer_in == "f16" else np.float32
-        units = np.zeros((n, bucket, c), in_dtype)
-        f0 = np.full((n, bucket, 1), 220.0, np.float32)
-        volume = np.zeros((n, bucket, 1), np.float32)
+    def _spk_keys(self, batch: list[_Request], n: int):
+        """Shared dummy-row scaffolding of both staging paths."""
         spk = np.ones((n, 1), np.int32)
         keys = []
         for i, r in enumerate(batch):
-            units[i, : r.n_frames] = r.units
-            f0[i, : r.n_frames] = r.f0
-            volume[i, : r.n_frames] = r.volume
             spk[i, 0] = r.spk_id
             keys.append(r.key)
         while len(keys) < n:  # dummy rows
             keys.append(jax.random.PRNGKey(0))
-        out = self._fn(bucket, batch[0].sig)(
-            self.params, jnp.asarray(units), jnp.asarray(f0),
-            jnp.asarray(volume), jnp.asarray(spk), jnp.stack(keys),
-        )
+        return jnp.asarray(spk), jnp.stack(keys)
+
+    def _dispatch(self, out, batch: list[_Request]):
         if self._deliver_q is not None:
             # async dispatch done; the delivery thread barriers + fetches
             # while this worker collects and dispatches the next batch
             self._deliver_q.put((out, batch))
         else:
             self._finish(out, batch)
+
+    def _run(self, batch: list[_Request]):
+        bucket = batch[0].bucket
+        n = self.max_batch
+        c = batch[0].units.shape[1]
+        if batch[0].on_device:
+            return self._run_device(batch, bucket, n, c)
+        in_dtype = np.float16 if self.transfer_in == "f16" else np.float32
+        units = np.zeros((n, bucket, c), in_dtype)
+        f0 = np.full((n, bucket, 1), 220.0, np.float32)
+        volume = np.zeros((n, bucket, 1), np.float32)
+        for i, r in enumerate(batch):
+            units[i, : r.n_frames] = r.units
+            f0[i, : r.n_frames] = r.f0
+            volume[i, : r.n_frames] = r.volume
+        spk, keys = self._spk_keys(batch, n)
+        out = self._fn(bucket, batch[0].sig)(
+            self.params, jnp.asarray(units), jnp.asarray(f0),
+            jnp.asarray(volume), spk, keys,
+        )
+        self._dispatch(out, batch)
 
     def _run_device(self, batch: list[_Request], bucket: int, n: int, c: int):
         """Device-resident staging: pad + stack requests with async jnp ops
@@ -482,21 +502,11 @@ class BatchedSynth:
         units = pad_rows(lambda r: r.units, 0.0, c)
         f0 = pad_rows(lambda r: r.f0, 220.0, 1)
         volume = pad_rows(lambda r: r.volume, 0.0, 1)
-        spk = np.ones((n, 1), np.int32)
-        keys = []
-        for i, r in enumerate(batch):
-            spk[i, 0] = r.spk_id
-            keys.append(r.key)
-        while len(keys) < n:
-            keys.append(jax.random.PRNGKey(0))
+        spk, keys = self._spk_keys(batch, n)
         out = self._fn(bucket, batch[0].sig)(
-            self.params, units, f0, volume, jnp.asarray(spk),
-            jnp.stack(keys),
+            self.params, units, f0, volume, spk, keys,
         )
-        if self._deliver_q is not None:
-            self._deliver_q.put((out, batch))
-        else:
-            self._finish(out, batch)
+        self._dispatch(out, batch)
 
     def _finish(self, out, batch: list[_Request]):
         jax.effects_barrier()
