@@ -329,6 +329,46 @@ def check_nsf_fused_resblock():
     }
 
 
+def check_streamed_vocoder_fused():
+    """Fused Pallas resblocks INSIDE the shard_map'd streamed vocoder driver
+    ON HARDWARE (1-device mesh on the real chip): streamed output must match
+    the whole-utterance fused forward — the streaming-consistency invariant
+    (CLAUDE.md) must survive the kernel swap. CPU-mesh tests can't cover
+    this combination (Pallas compiles for TPU only)."""
+    import numpy as np
+
+    from jax.sharding import Mesh
+
+    from ddsp_svc_tpu.models.nsf_hifigan import Generator
+    from ddsp_svc_tpu.parallel.stream_vocoder import (
+        nsf_hifigan_padded_forward,
+        streamed_nsf_hifigan,
+    )
+
+    sr, m, t = 44100, 128, 64
+    gen = Generator(sampling_rate=sr, num_mels=m, use_pallas_resblock=True)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = gen.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, m)), 220.0 * jnp.ones((1, 16)),
+            key=jax.random.PRNGKey(0),
+        )["params"]
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(21)
+    mel = jax.device_put(
+        (rng.standard_normal((1, t, m)) * 2.0 - 6.0).astype(np.float32), dev
+    )
+    f0 = jax.device_put(220.0 * np.ones((1, t), np.float32), dev)
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+    key = jax.random.PRNGKey(5)
+    mesh = Mesh(np.array([dev]), ("time",))
+    streamed = _fetch(streamed_nsf_hifigan(gen, params, mel, f0, key, mesh))
+    whole = _fetch(nsf_hifigan_padded_forward(gen, params, mel, f0, key))
+    rel = float(np.abs(streamed - whole).max() / max(np.abs(whole).max(), 1e-9))
+    return {"ok": bool(rel < 1e-5), "max_rel_err": rel}
+
+
 def check_batcher_i16():
     """int16 d2h transfer vs f32 through the batcher ON HARDWARE: one
     16-bit LSB agreement (the --batch_i16 serving lever)."""
@@ -524,6 +564,7 @@ CHECKS = {
     "batcher_serving": check_batcher_serving,
     "nsf_subpixel": check_nsf_subpixel,
     "nsf_fused_resblock": check_nsf_fused_resblock,
+    "streamed_vocoder_fused": check_streamed_vocoder_fused,
     "batcher_i16": check_batcher_i16,
     "batcher_mulaw": check_batcher_mulaw,
     "batcher_f16in": check_batcher_f16in,
