@@ -7,8 +7,8 @@ import sys
 import pytest
 
 CLIS = [
-    "api", "batch_infer", "draw", "export", "gui", "infer", "preprocess",
-    "realtime", "train", "train_vocoder",
+    "api", "batch_infer", "draw", "export", "export_onnx", "gui", "infer",
+    "preprocess", "realtime", "train", "train_vocoder",
 ]
 
 
