@@ -55,9 +55,12 @@ def make_handler(pipeline, default_kwargs):
                 body = {"status": "ok"}
             elif self.path == "/stats":
                 batcher = pipeline.batcher
+                enc_batcher = pipeline.enc_batcher
                 body = {
                     "batching": batcher.stats() if batcher is not None
                     else None,
+                    "encoder_batching": enc_batcher.stats()
+                    if enc_batcher is not None else None,
                 }
             else:
                 self.send_error(404)
@@ -244,6 +247,11 @@ def main(argv=None):
                    help="batches in flight (K>=2 overlaps device compute "
                         "with the device->host fetch of the previous batch "
                         "— the serving bottleneck on d2h-bound links)")
+    p.add_argument("--batch_encoder", action="store_true",
+                   help="also batch the units encoder across requests (one "
+                        "masked HuBERT dispatch per batch instead of one "
+                        "per request — exact: masked statistics + attention "
+                        "key mask reproduce each solo encode)")
     p.add_argument("--batch_devices", type=int, default=1, metavar="D",
                    help="shard each batch over the first D local devices "
                         "(data-parallel serving; requires --batch %% D == 0)")
@@ -276,7 +284,8 @@ def main(argv=None):
                                  transfer="mulaw" if cmd.batch_mulaw else None,
                                  transfer_in="f16" if cmd.batch_f16_in
                                  else "f32",
-                                 pipeline_depth=cmd.batch_pipeline)
+                                 pipeline_depth=cmd.batch_pipeline,
+                                 batch_encoder=cmd.batch_encoder)
         if cmd.warmup:
             print("warming batch buckets ...", flush=True)
             pipeline.warmup_batching()

@@ -29,6 +29,45 @@ import numpy as np
 from ..ops.resample import resample
 
 
+CONV_SPECS = [(10, 5), (3, 2), (3, 2), (3, 2), (3, 2), (2, 2), (2, 2)]
+
+
+def conv_out_frames(n_samples, upto: int = len(CONV_SPECS)):
+    """Valid-conv frame count through the extractor stack (np or jnp ints)."""
+    t = n_samples
+    for k, s in CONV_SPECS[:upto]:
+        t = (t - k) // s + 1
+    return t
+
+
+class _ChannelNorm(nn.Module):
+    """Per-channel normalization over time == torch GroupNorm(C, C) on NCW
+    (each group is one channel x ALL time steps — the statistics are
+    time-GLOBAL, encoder/hubert/model.py:98).  ``valid_t`` restricts the
+    statistics to each row's real frames so a zero-padded batch row
+    reproduces the solo (unpadded) forward exactly.  Param tree matches
+    flax nn.GroupNorm ({'scale','bias'}), so checkpoints are unchanged."""
+
+    epsilon: float = 1e-5  # torch nn.GroupNorm default
+
+    @nn.compact
+    def __call__(self, x, valid_t=None):  # (B, T, C)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        if valid_t is None:
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.var(x, axis=1, keepdims=True)
+        else:
+            m = (jnp.arange(x.shape[1]) < valid_t[:, None])[..., None]
+            cnt = jnp.maximum(valid_t, 1).astype(x.dtype)[:, None, None]
+            mean = jnp.sum(jnp.where(m, x, 0.0), axis=1, keepdims=True) / cnt
+            var = (
+                jnp.sum(jnp.where(m, (x - mean) ** 2, 0.0), axis=1, keepdims=True)
+                / cnt
+            )
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+
+
 class FeatureExtractor(nn.Module):
     """7 strided 1-D convs, 16 kHz samples -> 50 Hz frames x 512.
 
@@ -36,15 +75,19 @@ class FeatureExtractor(nn.Module):
       - default: bias-free convs, one GroupNorm(512) after conv0;
       - layer_norm (HuBERT-Large): biased convs, LayerNorm over channels
         after EVERY conv (TransposeLast + Fp32LayerNorm sandwich).
+
+    ``valid_in`` (B,) — each row's real input length.  Convs are VALID (a
+    frame never reads past its receptive field), so frames < the per-row
+    valid count are already identical to a solo run on the unpadded row;
+    only the time-global conv0 GroupNorm needs masked statistics.
     """
 
     layer_norm_mode: bool = False
 
     @nn.compact
-    def __call__(self, x):  # (B, L) -> (B, T, 512)
+    def __call__(self, x, valid_in=None):  # (B, L) -> (B, T, 512)
         x = x[..., None]  # NWC
-        specs = [(10, 5), (3, 2), (3, 2), (3, 2), (3, 2), (2, 2), (2, 2)]
-        for i, (k, s) in enumerate(specs):
+        for i, (k, s) in enumerate(CONV_SPECS):
             x = nn.Conv(
                 512, (k,), strides=(s,), padding="VALID",
                 use_bias=self.layer_norm_mode,
@@ -53,7 +96,10 @@ class FeatureExtractor(nn.Module):
             if self.layer_norm_mode:
                 x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
             elif i == 0:
-                x = nn.GroupNorm(num_groups=512, name="norm0")(x)
+                valid_t0 = (
+                    None if valid_in is None else conv_out_frames(valid_in, 1)
+                )
+                x = _ChannelNorm(name="norm0")(x, valid_t0)
             x = nn.gelu(x, approximate=False)
         return x
 
@@ -78,11 +124,15 @@ class TransformerLayer(nn.Module):
     pre_norm: bool = False
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, key_mask=None):
+        """``key_mask`` (B, T) bool: keys a query may attend to.  Masked-out
+        keys get exp(big_negative - max) == 0.0 exactly in f32, so a padded
+        batch row's valid queries equal the solo (unpadded) forward."""
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim, out_features=self.dim,
             name="attn",
         )
+        mask = None if key_mask is None else key_mask[:, None, None, :]
         ln1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         ln2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
 
@@ -92,10 +142,10 @@ class TransformerLayer(nn.Module):
             return nn.Dense(self.dim, name="fc2")(h)
 
         if self.pre_norm:
-            x = x + attn(ln1(x))
+            x = x + attn(ln1(x), mask=mask)
             x = x + ffn(ln2(x))
         else:
-            x = ln1(x + attn(x))
+            x = ln1(x + attn(x, mask=mask))
             x = ln2(x + ffn(x))
         return x
 
@@ -119,19 +169,48 @@ class HubertModel(nn.Module):
     config: HubertConfig = HubertConfig()
 
     @nn.compact
-    def __call__(self, audio, deterministic=True):  # (B, L) 16 kHz
+    def __call__(self, audio, deterministic=True, valid_samples=None):
+        """audio (B, L) 16 kHz.  ``valid_samples`` (B,) int: each row's real
+        (pre-padding) sample count — rows may then be zero-padded to a
+        common L, and every output frame < the row's valid frame count is
+        numerically identical to a solo forward of the unpadded row (the
+        exactness contract batched serving relies on;
+        tests/test_hubert_batched.py).  Three non-frame-local stages need
+        masking: the input normalization, the time-global conv0 GroupNorm,
+        the positional conv (solo sees zeros past the end — re-zeroed here),
+        and self-attention (key mask)."""
         cfg = self.config
         if cfg.input_normalize:
-            mean = jnp.mean(audio, axis=-1, keepdims=True)
-            var = jnp.var(audio, axis=-1, keepdims=True)
+            if valid_samples is None:
+                mean = jnp.mean(audio, axis=-1, keepdims=True)
+                var = jnp.var(audio, axis=-1, keepdims=True)
+            else:
+                m = jnp.arange(audio.shape[-1]) < valid_samples[:, None]
+                cnt = jnp.maximum(valid_samples, 1).astype(audio.dtype)[:, None]
+                mean = jnp.sum(jnp.where(m, audio, 0.0), -1, keepdims=True) / cnt
+                var = (
+                    jnp.sum(jnp.where(m, (audio - mean) ** 2, 0.0), -1,
+                            keepdims=True) / cnt
+                )
             audio = (audio - mean) / jnp.sqrt(var + 1e-7)
+        valid_in = valid_samples
         if cfg.pad_center:
             audio = jnp.pad(audio, ((0, 0), (40, 40)))
+            valid_in = None if valid_in is None else valid_in + 80
         x = FeatureExtractor(
             layer_norm_mode=cfg.extractor_layer_norm, name="feature_extractor"
-        )(audio)
+        )(audio, valid_in=valid_in)
+        frame_mask = None
+        if valid_in is not None:
+            valid_frames = conv_out_frames(valid_in)
+            frame_mask = jnp.arange(x.shape[1]) < valid_frames[:, None]
         x = nn.LayerNorm(epsilon=1e-5, name="fp_norm")(x)
         x = nn.Dense(cfg.dim, name="fp_proj")(x)
+        if frame_mask is not None:
+            # solo's pos_conv sees zero padding past its last frame; the
+            # padded batch must too (pad rows are conv outputs of zeros,
+            # which are NOT zero after the biased convs + norms)
+            x = jnp.where(frame_mask[..., None], x, 0.0)
         x = x + PositionalConvEmbedding(cfg.dim, name="pos_conv")(x)
         # fairseq wav2vec2 TransformerEncoder: encoder.layer_norm runs
         # BEFORE the layers only when not layer_norm_first; with
@@ -144,7 +223,7 @@ class HubertModel(nn.Module):
         for i in range(n):
             x = TransformerLayer(
                 cfg.dim, cfg.heads, cfg.ffn_dim, cfg.pre_norm, name=f"layer{i}"
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, key_mask=frame_mask)
         if cfg.pre_norm and cfg.output_layer is None:
             x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if cfg.proj_dim:
@@ -254,6 +333,65 @@ class UnitsEncoder:
                 0, units.shape[1] - 1,
             )
             return jnp.take(units, jnp.asarray(index), axis=1)
+
+        return fn
+
+    def valid_frames(self, n_samples: int, sample_rate: int) -> int:
+        """Encoder frames a solo ``encode()`` of ``n_samples`` produces —
+        also the count of exact rows in a masked batched forward."""
+        n = n_samples
+        if sample_rate != self.encoder_sample_rate:
+            n = -((-n * self.encoder_sample_rate) // sample_rate)  # ceil
+        n = max(n, 400)
+        if self.model.config.pad_center:
+            n += 80
+        return int(conv_out_frames(n))
+
+    def align_index(
+        self, n_samples: int, sample_rate: int, hop_size: int
+    ) -> np.ndarray:
+        """encode()'s nearest-index alignment onto the synth hop grid
+        (ddsp/vocoder.py:221-226), clipped to this request's OWN valid
+        frame count — what a padded batch row must gather with."""
+        n_frames = n_samples // hop_size + 1
+        ratio = (hop_size / sample_rate) / (
+            self.encoder_hop_size / self.encoder_sample_rate
+        )
+        return np.clip(
+            np.round(ratio * np.arange(n_frames)).astype(np.int64),
+            0, self.valid_frames(n_samples, sample_rate) - 1,
+        )
+
+    def make_batched_encode_fn(self, sample_rate: int, audio_len: int):
+        """Jittable batched twin of ``encode`` for zero-padded rows:
+        ``fn(variables, audio (B, audio_len), valid_samples (B,)) ->
+        units (B, T, C)`` on the ENCODER grid, where each row's first
+        ``valid_frames(valid_samples[i], sample_rate)`` frames are
+        numerically identical to a solo encode of the unpadded row
+        (masked statistics + attention key mask; the serving encoder
+        batcher's exactness contract).  Align per request with
+        ``align_index``."""
+        model = self.model
+        enc_sr = self.encoder_sample_rate
+
+        def fn(variables, audio, valid_samples):
+            if sample_rate != enc_sr:
+                audio = resample(audio, sample_rate, enc_sr)
+                # ceil — matches resample()'s own target-length truncation
+                valid = -((-valid_samples * enc_sr) // sample_rate)
+                # solo truncates at ceil(valid*enc/sr); the padded row has
+                # sinc leakage past it, which pad_center's right zeros (and
+                # any frame whose receptive field straddles the boundary)
+                # must not see — re-zero the invalid tail
+                audio = jnp.where(
+                    jnp.arange(audio.shape[-1]) < valid[:, None], audio, 0.0
+                )
+            else:
+                valid = valid_samples
+            if audio.shape[-1] < 400:
+                audio = jnp.pad(audio, ((0, 0), (0, 400 - audio.shape[-1])))
+            valid = jnp.maximum(valid, 400)
+            return model.apply(variables, audio, valid_samples=valid)
 
         return fn
 

@@ -1,0 +1,212 @@
+"""Dynamic request batching for the units encoder.
+
+Full-stack serving's remaining serial cost is one HuBERT dispatch per
+request (bench_serving_diffusion; each dispatch is a device-queue slot and,
+on the tunneled backend, an RTT).  This engine collects concurrent encode
+requests, zero-pads each to an audio bucket, and runs ONE jitted masked
+forward per (bucket, sample_rate, hop) group — exact by construction: the
+masked HubertModel forward (features/hubert.py) reproduces each row's solo
+encode bit-for-bit up to f32 reduction noise, asserted by
+tests/test_hubert_batched.py.
+
+The reference has no serving batcher at all (flask_api.py handles one POST
+at a time); this composes with the synthesis batcher (infer/batcher.py) for
+an end-to-end batched request path.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class _EncRequest:
+    audio: np.ndarray  # (L,) float32 host audio
+    sample_rate: int
+    hop_size: int
+    bucket_len: int  # padded sample count (group key)
+    index: np.ndarray  # per-request synth-grid gather index
+    done: threading.Event = field(default_factory=threading.Event)
+    result: object = None  # (1, t, C) device array
+    error: Exception | None = None
+
+    @property
+    def group(self) -> tuple:
+        return (self.bucket_len, self.sample_rate, self.hop_size)
+
+
+class BatchedEncoder:
+    """Thread-safe batching front-end for UnitsEncoder.encode.
+
+    ``encode()`` blocks the calling thread until its request's batch has
+    run; the result stays DEVICE-resident (it feeds the synthesis
+    batcher's device staging — no host round trip)."""
+
+    def __init__(
+        self,
+        units_encoder,
+        frame_buckets: tuple[int, ...] = (128, 256, 512, 1024),
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+    ):
+        self.enc = units_encoder
+        self.frame_buckets = tuple(sorted(frame_buckets))
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._fns: dict = {}  # (bucket_len, sample_rate) -> jitted fn
+        self._q: queue.Queue = queue.Queue()
+        self._pending: list[_EncRequest] = []
+        self._stop = False
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_rows = 0
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # ---- public ---------------------------------------------------------
+    def encode(self, audio: np.ndarray, sample_rate: int, hop_size: int):
+        """audio (L,) host float -> (1, t, C) device units on the synth hop
+        grid (same contract as UnitsEncoder.encode).  Requests longer than
+        the largest bucket fall back to the solo path."""
+        if isinstance(audio, jnp.ndarray) and not isinstance(audio, np.ndarray):
+            jax.effects_barrier()  # axon: a d2h fetch needs a barrier first
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        t = audio.shape[0] // hop_size + 1
+        bucket = None
+        for b in self.frame_buckets:
+            if t <= b:
+                bucket = b
+                break
+        if bucket is None or self._stop:
+            return self.enc.encode(jnp.asarray(audio)[None], sample_rate,
+                                   hop_size)
+        req = _EncRequest(
+            audio, sample_rate, hop_size, bucket * hop_size,
+            self.enc.align_index(audio.shape[0], sample_rate, hop_size),
+        )
+        self._q.put(req)
+        while not req.done.wait(timeout=1.0):
+            if self._stop and not req.done.is_set():
+                raise RuntimeError("BatchedEncoder closed")
+        with self._stats_lock:
+            self._n_requests += 1
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def warmup(self, sample_rate: int, hop_size: int) -> None:
+        """Compile each bucket's batched graph before traffic arrives."""
+        for b in self.frame_buckets:
+            n = (b - 1) * hop_size
+            self.encode(np.zeros(n, np.float32), sample_rate, hop_size)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            n_req, n_b, n_rows = self._n_requests, self._n_batches, self._n_rows
+        return {
+            "requests": n_req,
+            "batches": n_b,
+            "mean_batch_occupancy": (
+                round(n_rows / (n_b * self.max_batch), 4) if n_b else None
+            ),
+            "compiled_signatures": len(self._fns),
+        }
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+        self._worker.join(timeout=5)
+        leftovers = list(self._pending)
+        self._pending.clear()
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                leftovers.append(r)
+        for r in leftovers:
+            r.error = RuntimeError("BatchedEncoder closed")
+            r.done.set()
+
+    # ---- internals ------------------------------------------------------
+    def _fn(self, bucket_len: int, sample_rate: int):
+        key = (bucket_len, sample_rate)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(self.enc.make_batched_encode_fn(sample_rate,
+                                                         bucket_len))
+            self._fns[key] = fn
+        return fn
+
+    def _collect(self) -> list[_EncRequest]:
+        if self._pending:
+            first = self._pending.pop(0)
+        else:
+            first = self._q.get()
+            if first is None:
+                return []
+        batch = [first]
+        for r in list(self._pending):
+            if len(batch) >= self.max_batch:
+                break
+            if r.group == first.group:
+                self._pending.remove(r)
+                batch.append(r)
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                r = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if r is None:
+                self._q.put(None)
+                break
+            if r.group == first.group:
+                batch.append(r)
+            else:
+                self._pending.append(r)
+        return batch
+
+    def _loop(self):
+        while not self._stop:
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                self._run(batch)
+            except Exception as e:
+                for r in batch:
+                    r.error = e
+                    r.done.set()
+
+    def _run(self, batch: list[_EncRequest]):
+        bucket_len, sample_rate, _hop = batch[0].group
+        n = self.max_batch
+        audio = np.zeros((n, bucket_len), np.float32)
+        valid = np.full((n,), bucket_len, np.int32)  # dummy rows: full length
+        for i, r in enumerate(batch):
+            audio[i, : r.audio.shape[0]] = r.audio
+            valid[i] = r.audio.shape[0]
+        units = self._fn(bucket_len, sample_rate)(
+            self.enc.variables, jnp.asarray(audio), jnp.asarray(valid)
+        )
+        with self._stats_lock:
+            self._n_batches += 1
+            self._n_rows += len(batch)
+        for i, r in enumerate(batch):
+            # async device gather: result rows stay on device for the
+            # synthesis batcher's device staging
+            r.result = jnp.take(units[i], jnp.asarray(r.index), axis=0)[None]
+            r.done.set()

@@ -79,13 +79,15 @@ class SvcPipeline:
         # eager; under XLA an uncached apply would retrace per call)
         self._jit_fwd: dict[tuple, object] = {}
         self.batcher = None
+        self.enc_batcher = None
 
     def enable_batching(self, buckets=(128, 256, 512, 1024), max_batch: int = 8,
                         max_wait_ms: float = 5.0, mesh=None,
                         max_signatures: int = 4, transfer_int16: bool = False,
                         transfer: str | None = None, transfer_in: str = "f32",
                         device_stage: bool = True,
-                        pipeline_depth: int = 1, **model_kwargs):
+                        pipeline_depth: int = 1, batch_encoder: bool = False,
+                        **model_kwargs):
         """Route synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
         bucket ride one device call. The reference's flask_api serves one
@@ -108,6 +110,20 @@ class SvcPipeline:
 
         if self.batcher is not None:
             self.batcher.close()
+        if self.enc_batcher is not None:
+            self.enc_batcher.close()
+            self.enc_batcher = None
+        if batch_encoder and hasattr(self.units_encoder,
+                                     "make_batched_encode_fn"):
+            # batch the units encoder across requests too (exact masked
+            # forward, infer/enc_batcher.py) — full-stack serving's
+            # remaining per-request device dispatch
+            from .enc_batcher import BatchedEncoder
+
+            self.enc_batcher = BatchedEncoder(
+                self.units_encoder, frame_buckets=buckets,
+                max_batch=max_batch, max_wait_ms=max_wait_ms,
+            )
         if self.family == "ddsp":
             self.batcher = BatchedSynth(
                 self.model, self.variables["params"], buckets=buckets,
@@ -178,6 +194,11 @@ class SvcPipeline:
             with self._batch_sig_lock:
                 sig = next(iter(self._batch_sigs))
         self.batcher.warmup(int(self.args.data.encoder_out_channels), sig)
+        if self.enc_batcher is not None:
+            self.enc_batcher.warmup(
+                int(self.args.data.sampling_rate),
+                int(self.args.data.block_size),
+            )
 
     @staticmethod
     def _static_sig(sampler_kwargs) -> tuple:
@@ -361,7 +382,13 @@ class SvcPipeline:
             units = None
             t = audio_j.shape[-1] // hop + 1  # encode()'s frame contract
         else:
-            units = self.units_encoder.encode(audio_j, sample_rate, hop)
+            enc_batcher = self.enc_batcher
+            if enc_batcher is not None:
+                # batched masked encode (exact vs solo); result is device-
+                # resident and feeds the synth batcher's device staging
+                units = enc_batcher.encode(audio, sample_rate, hop)
+            else:
+                units = self.units_encoder.encode(audio_j, sample_rate, hop)
             t = units.shape[1]
         f0 = f0[:, :t]
         volume_j = volume_j[:, :t]

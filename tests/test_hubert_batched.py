@@ -1,0 +1,142 @@
+"""Batched masked HuBERT encode == solo encode, exactly.
+
+Full-stack serving batches the units encoder across requests
+(infer/enc_batcher.py). The contract is EXACTNESS: a zero-padded batch row
+must reproduce the solo (unpadded) forward, which requires masked
+statistics at every non-frame-local stage — input normalization,
+the time-global conv0 GroupNorm, the positional conv's zero context, and
+self-attention keys (features/hubert.py)."""
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ddsp_svc_tpu.features.hubert import (
+    HubertConfig,
+    HubertModel,
+    UnitsEncoder,
+    conv_out_frames,
+)
+
+TINY = dict(dim=32, heads=4, ffn_dim=64, num_layers=2)
+
+VARIANTS = {
+    # each exercises a distinct non-frame-local hazard
+    "soft": HubertConfig(**TINY, proj_dim=16),  # pad_center + GroupNorm
+    "fish": HubertConfig(**TINY, proj_dim=16, pad_center=False,
+                         input_normalize=True, topk_gate=3),
+    "large": HubertConfig(**TINY, pre_norm=True, extractor_layer_norm=True,
+                          pad_center=False, output_layer=2),
+    "base": HubertConfig(**TINY, output_layer=1, pad_center=False),
+}
+
+
+@pytest.mark.parametrize("name", sorted(VARIANTS))
+def test_masked_batch_row_equals_solo(name):
+    cfg = VARIANTS[name]
+    model = HubertModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 800)))
+    rng = np.random.default_rng(0)
+    lengths = [900, 1531, 2000]
+    batch = np.zeros((3, max(lengths)), np.float32)
+    audio = [rng.standard_normal(n).astype(np.float32) for n in lengths]
+    for i, a in enumerate(audio):
+        batch[i, : len(a)] = a
+    out = model.apply(params, jnp.asarray(batch),
+                      valid_samples=jnp.asarray(lengths, jnp.int32))
+    for i, a in enumerate(audio):
+        solo = model.apply(params, jnp.asarray(a[None]))
+        tv = conv_out_frames(len(a) + (80 if cfg.pad_center else 0))
+        assert solo.shape[1] == tv
+        np.testing.assert_allclose(
+            np.asarray(out[i, :tv]), np.asarray(solo[0]), rtol=0, atol=1e-5
+        )
+
+
+def _tiny_encoder():
+    enc = UnitsEncoder.__new__(UnitsEncoder)
+    enc.model = HubertModel(HubertConfig(**TINY, proj_dim=16))
+    enc.encoder_sample_rate = 16000
+    enc.encoder_hop_size = 320
+    enc.variables = enc.model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 800), jnp.float32))
+    enc._apply = jax.jit(lambda v, a: enc.model.apply(v, a))
+    return enc
+
+
+def test_batched_encode_fn_with_resampling():
+    """make_batched_encode_fn at 44.1 kHz input: each padded row, gathered
+    with its own align_index, equals the solo encode() contract."""
+    enc = _tiny_encoder()
+    sr, hop = 44100, 512
+    rng = np.random.default_rng(1)
+    lengths = [3000, 5000, 8192]
+    l_pad = max(lengths)
+    batch = np.zeros((3, l_pad), np.float32)
+    audio = [rng.standard_normal(n).astype(np.float32) * 0.3 for n in lengths]
+    for i, a in enumerate(audio):
+        batch[i, : len(a)] = a
+
+    fn = jax.jit(enc.make_batched_encode_fn(sr, l_pad))
+    units = fn(enc.variables, jnp.asarray(batch),
+               jnp.asarray(lengths, jnp.int32))
+    for i, a in enumerate(audio):
+        solo = enc.encode(jnp.asarray(a[None]), sr, hop)
+        idx = enc.align_index(len(a), sr, hop)
+        row = jnp.take(units[i], jnp.asarray(idx), axis=0)
+        assert row.shape == solo[0].shape
+        np.testing.assert_allclose(np.asarray(row), np.asarray(solo[0]),
+                                   rtol=0, atol=1e-5)
+
+
+def test_batched_encoder_concurrent_requests():
+    """BatchedEncoder under concurrency: mixed lengths, same result as the
+    solo path; oversized requests fall back; occupancy counted."""
+    from ddsp_svc_tpu.infer.enc_batcher import BatchedEncoder
+
+    enc = _tiny_encoder()
+    sr, hop = 16000, 320
+    b = BatchedEncoder(enc, frame_buckets=(16, 32), max_batch=4,
+                       max_wait_ms=30.0)
+    try:
+        rng = np.random.default_rng(2)
+        lengths = [3000, 5000, 9000, 9999, 4000, 7000]
+        audio = [rng.standard_normal(n).astype(np.float32) for n in lengths]
+        results = [None] * len(audio)
+
+        def run(i):
+            results[i] = np.asarray(b.encode(audio[i], sr, hop))
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(audio))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, a in enumerate(audio):
+            solo = np.asarray(enc.encode(jnp.asarray(a[None]), sr, hop))
+            np.testing.assert_allclose(results[i], solo, rtol=0, atol=1e-5)
+        stats = b.stats()
+        assert stats["requests"] == len(audio)
+        assert stats["batches"] >= 1
+
+        # oversized: frames > largest bucket * hop -> direct fallback
+        big = rng.standard_normal(32 * hop + hop).astype(np.float32)
+        got = np.asarray(b.encode(big, sr, hop))
+        solo = np.asarray(enc.encode(jnp.asarray(big[None]), sr, hop))
+        np.testing.assert_allclose(got, solo, rtol=0, atol=1e-5)
+    finally:
+        b.close()
+
+
+def test_batched_encoder_close_fails_pending():
+    from ddsp_svc_tpu.infer.enc_batcher import BatchedEncoder
+
+    enc = _tiny_encoder()
+    b = BatchedEncoder(enc, frame_buckets=(16,), max_batch=2)
+    b.close()
+    out = b.encode(np.zeros(1000, np.float32), 16000, 320)  # falls back solo
+    assert out.shape[1] == 1000 // 320 + 1
