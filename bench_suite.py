@@ -187,7 +187,8 @@ def bench_nsf(batch=4, seconds=10.0, dtype=None, subpixel=False, fused=False):
     return call, batch * t * HOP / SR
 
 
-def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False):
+def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False,
+                   dtype=None):
     """include_vocoder=True measures the FULL main_diff.py chain RTF
     (cascade -> refined mel -> NSF-HiFiGAN audio) — the number a user of
     the reference's offline inference actually experiences; the vocoder
@@ -200,11 +201,11 @@ def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False):
                               hop_length=HOP, fmin=40.0, fmax=16000.0)
     if family == "diffusion":
         model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
-                             n_chans=512, k_step_max=100)
+                             n_chans=512, k_step_max=100, dtype=dtype)
         kwargs = dict(k_step=100, infer_speedup=10, sampler="dpm-solver")
     else:
         model = ReflowUnit2Wav(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
-                               n_chans=512)
+                               n_chans=512, dtype=dtype)
         kwargs = dict(infer_step=20, sampler="euler", t_start=0.7)
     with _cpu():
         tu, tf, tv, ts = make_inputs(1, 16)
@@ -222,7 +223,8 @@ def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False):
         from ddsp_svc_tpu.models.vocoder import Vocoder
 
         with _cpu():  # random-init on host; auto flag reads the backend
-            voc = Vocoder("nsf-hifigan")  # fused resblocks auto on TPU
+            # fused resblocks auto on TPU; vocoder rides the cascade's dtype
+            voc = Vocoder("nsf-hifigan", dtype=dtype)
         voc.params = _put(voc.params)
 
     @jax.jit
@@ -486,7 +488,8 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
 
 def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
                             transfer=None, transfer_in="f32",
-                            device_stage=True, pipeline_depth=1):
+                            device_stage=True, pipeline_depth=1,
+                            batch_encoder=False):
     """Full-stack serving for the heavy family: concurrent audio requests
     through SvcPipeline (host YIN f0 + volume + units) into the batcher's
     vmapped cascade+vocoder graph — the aggregate a DiffusionFast
@@ -532,6 +535,7 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
         buckets=(bucket,), max_batch=max_batch, max_wait_ms=30.0,
         transfer=transfer, transfer_in=transfer_in,
         device_stage=device_stage, pipeline_depth=pipeline_depth,
+        batch_encoder=batch_encoder,
         k_step=100, speedup=10, method="dpm-solver",
     )
     rng = np.random.default_rng(0)
@@ -581,9 +585,14 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
     finally:
         batcher.close()
         pipeline.batcher = None
+        if pipeline.enc_batcher is not None:
+            pipeline.enc_batcher.close()
+            pipeline.enc_batcher = None
     name = "serving_diffusion"
     if not device_stage:
         name += "_hoststage"
+    if batch_encoder:
+        name += "_bencoder"
     if transfer == "mulaw":
         name += "_mulaw"
     if transfer_in == "f16":
@@ -800,8 +809,14 @@ CONFIGS = {
     "nsf_bf16_b12": lambda: bench_nsf(batch=12, dtype=jnp.bfloat16),
     "cascade": lambda: _bench_cascade("diffusion"),
     "reflow": lambda: _bench_cascade("reflow"),
+    # bf16 activations (params f32 — the inference analogue of
+    # train.amp_dtype; quality gated by TPU_CHECKS.json cascade_bf16_quality)
+    "cascade_bf16": lambda: _bench_cascade("diffusion", dtype=jnp.bfloat16),
+    "reflow_bf16": lambda: _bench_cascade("reflow", dtype=jnp.bfloat16),
     # full offline chain (main_diff.py / main_reflow.py): cascade -> mel ->
     # NSF-HiFiGAN audio, vocoder on the fused Pallas resblock path
+    "diffusion_e2e_bf16": lambda: _bench_cascade(
+        "diffusion", include_vocoder=True, dtype=jnp.bfloat16),
     "diffusion_e2e": lambda: _bench_cascade("diffusion",
                                             include_vocoder=True),
     "reflow_e2e": lambda: _bench_cascade("reflow", include_vocoder=True),
@@ -858,6 +873,14 @@ DICT_CONFIGS = {
         lambda: bench_serving_diffusion(transfer="mulaw", transfer_in="f16",
                                         pipeline_depth=3),
         "serving_diffusion_mulaw_f16in_pipelined_throughput_rtf_44k1",
+        "aggregate_x_realtime_per_chip"),
+    # + the units encoder batched across requests (one masked HuBERT
+    # dispatch per batch instead of one per request)
+    "serving_diffusion_bencoder": (
+        lambda: bench_serving_diffusion(transfer="mulaw", transfer_in="f16",
+                                        pipeline_depth=3,
+                                        batch_encoder=True),
+        "serving_diffusion_bencoder_mulaw_f16in_pipelined_throughput_rtf_44k1",
         "aggregate_x_realtime_per_chip"),
     "serving_diffusion_hoststage": (
         lambda: bench_serving_diffusion(transfer="mulaw", transfer_in="f16",

@@ -53,7 +53,7 @@ def _iter_fields(buf: bytes):
         yield fnum, wtype, val
 
 
-def _zigzag_to_signed(v: int, bits: int = 64) -> int:
+def _twos_complement(v: int, bits: int = 64) -> int:
     # onnx int fields are plain int64 varints (two's complement), not zigzag
     if v >= 1 << (bits - 1):
         v -= 1 << bits
@@ -65,7 +65,7 @@ def _packed_varints(data: bytes) -> list[int]:
     pos = 0
     while pos < len(data):
         v, pos = _read_varint(data, pos)
-        out.append(_zigzag_to_signed(v))
+        out.append(_twos_complement(v))
     return out
 
 
@@ -149,7 +149,7 @@ def _parse_tensor(buf: bytes) -> Tensor:
     for fnum, wtype, val in _iter_fields(buf):
         if fnum == 1:  # dims
             if wtype == 0:
-                dims.append(_zigzag_to_signed(val))
+                dims.append(_twos_complement(val))
             else:
                 dims.extend(_packed_varints(val))
         elif fnum == 2:
@@ -158,12 +158,12 @@ def _parse_tensor(buf: bytes) -> Tensor:
             float_data.extend(np.frombuffer(val, "<f4").tolist())
         elif fnum == 5:
             if wtype == 0:
-                int32_data.append(_zigzag_to_signed(val, 32))
+                int32_data.append(_twos_complement(val, 32))
             else:
                 int32_data.extend(_packed_varints(val))
         elif fnum == 7:
             if wtype == 0:
-                int64_data.append(_zigzag_to_signed(val))
+                int64_data.append(_twos_complement(val))
             else:
                 int64_data.extend(_packed_varints(val))
         elif fnum == 8:
@@ -203,7 +203,7 @@ def _parse_attribute(buf: bytes) -> Attribute:
         elif fnum == 2:  # f (fixed32)
             a.value = struct.unpack("<f", struct.pack("<I", val))[0]
         elif fnum == 3:  # i
-            a.value = _zigzag_to_signed(val)
+            a.value = _twos_complement(val)
         elif fnum == 4:  # s
             a.value = val
         elif fnum == 5:  # t
@@ -217,7 +217,7 @@ def _parse_attribute(buf: bytes) -> Attribute:
                 floats.extend(np.frombuffer(val, "<f4").tolist())
         elif fnum == 8:  # ints
             if wtype == 0:
-                ints.append(_zigzag_to_signed(val))
+                ints.append(_twos_complement(val))
             else:
                 ints.extend(_packed_varints(val))
         elif fnum == 9:  # strings
@@ -269,7 +269,7 @@ def _parse_value_info(buf: bytes) -> ValueInfo:
                                     dim: object = None
                                     for f5, _w5, v5 in _iter_fields(v4):
                                         if f5 == 1:
-                                            dim = _zigzag_to_signed(v5)
+                                            dim = _twos_complement(v5)
                                         elif f5 == 2:
                                             dim = v5.decode()
                                     vi.shape.append(dim)

@@ -556,6 +556,111 @@ def check_batcher_pipelined():
     return {"ok": bool(err == 0.0), "max_abs_err": err}
 
 
+def check_encoder_batched():
+    """BatchedEncoder on the real chip: a zero-padded batch row's units must
+    match the solo encode of the unpadded request (masked HuBERT forward,
+    features/hubert.py) at the production encoder size (contentvec768l12)."""
+    from ddsp_svc_tpu.features.hubert import UnitsEncoder
+    from ddsp_svc_tpu.infer.enc_batcher import BatchedEncoder
+
+    sr, hop = 44100, 512
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        enc = UnitsEncoder("contentvec768l12")
+    dev = jax.devices()[0]
+    enc.variables = jax.tree.map(
+        lambda a: jax.device_put(np.asarray(a), dev), dict(enc.variables)
+    )
+
+    rng = np.random.default_rng(7)
+    lengths = [int(0.8 * sr), int(1.4 * sr)]
+    audio = [
+        (0.3 * np.sin(2 * np.pi * 200.0 * np.arange(n) / sr)
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        for n in lengths
+    ]
+    bucket = lengths[-1] // hop + 1
+    eng = BatchedEncoder(enc, frame_buckets=(bucket,), max_batch=2,
+                         max_wait_ms=1000.0)
+    try:
+        import threading
+
+        results = [None, None]
+
+        def run(i):
+            results[i] = _fetch(eng.encode(audio[i], sr, hop))
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats = eng.stats()
+    finally:
+        eng.close()
+
+    worst = 0.0
+    for i, a in enumerate(audio):
+        ref = _fetch(enc.encode(jnp.asarray(a)[None], sr, hop))
+        denom = max(float(np.abs(ref).max()), 1e-9)
+        worst = max(worst, float(np.abs(results[i] - ref).max()) / denom)
+    return {"ok": bool(worst < 1e-2 and stats["batches"] == 1),
+            "max_rel_err": worst, "batches": stats["batches"]}
+
+def check_cascade_bf16_quality():
+    """DiffusionFast cascade bf16 activations vs f32: refined-mel SNR (the
+    quality gate for the cascade_bf16/reflow_bf16 bench configs — the
+    cascades sit at the f32 memory roofline, so bf16 is the bytes lever)."""
+    from ddsp_svc_tpu.models.cascade import Unit2WavFast
+    from ddsp_svc_tpu.ops.mel import LogMelSpectrogram
+
+    sr, hop, win, n_unit, m_bins = 44100, 512, 2048, 768, 128
+    b, t = 2, 128
+    rng = np.random.default_rng(11)
+    mel_x = LogMelSpectrogram(sr=sr, n_mels=m_bins, n_fft=2048, win_size=2048,
+                              hop_length=hop, fmin=40.0, fmax=16000.0)
+    kwargs = dict(k_step=100, infer_speedup=10, sampler="dpm-solver")
+
+    def build(dtype):
+        return Unit2WavFast(sr, hop, win, n_unit, 1, out_dims=m_bins,
+                            n_layers=6, n_chans=512, k_step_max=100,
+                            dtype=dtype)
+
+    m32, m16 = build(None), build(jnp.bfloat16)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = m32.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+            mel_extract_fn=mel_x.extract, infer=True,
+            key=jax.random.PRNGKey(3), **kwargs,
+        )["params"]
+    dev = jax.devices()[0]
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+    units = jax.device_put(
+        rng.standard_normal((b, t, n_unit)).astype(np.float32), dev)
+    f0 = jax.device_put(
+        (220.0 * np.exp(0.1 * rng.standard_normal((b, t, 1)))).astype(
+            np.float32), dev)
+    vol = jax.device_put(0.5 * np.ones((b, t, 1), np.float32), dev)
+    spk = jax.device_put(np.ones((b, 1), np.int32), dev)
+    key = jax.random.PRNGKey(4)
+
+    def run(m):
+        def f(p, units, f0, vol, spk):
+            return m.apply({"params": p}, units, f0, vol, spk_id=spk,
+                           mel_extract_fn=mel_x.extract, infer=True, key=key,
+                           rngs={"noise": key}, **kwargs)
+        return _fetch(jax.jit(f)(params, units, f0, vol, spk))
+
+    y32 = run(m32)
+    y16 = run(m16).astype(np.float32)
+    snr = float(10.0 * np.log10(
+        float((y32 ** 2).sum()) / max(float(((y32 - y16) ** 2).sum()), 1e-20)
+    ))
+    return {"ok": bool(snr > 25.0), "snr_db_bf16_vs_f32": round(snr, 2)}
+
 CHECKS = {
     "pallas_combtooth": check_pallas_combtooth,
     "pallas_oscillator": check_pallas_oscillator,
@@ -569,6 +674,8 @@ CHECKS = {
     "batcher_mulaw": check_batcher_mulaw,
     "batcher_f16in": check_batcher_f16in,
     "batcher_pipelined": check_batcher_pipelined,
+    "encoder_batched": check_encoder_batched,
+    "cascade_bf16_quality": check_cascade_bf16_quality,
 }
 
 
