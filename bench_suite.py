@@ -188,7 +188,7 @@ def bench_nsf(batch=4, seconds=10.0, dtype=None, subpixel=False, fused=False):
 
 
 def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False,
-                   dtype=None):
+                   dtype=None, voc_dtype="same"):
     """include_vocoder=True measures the FULL main_diff.py chain RTF
     (cascade -> refined mel -> NSF-HiFiGAN audio) — the number a user of
     the reference's offline inference actually experiences; the vocoder
@@ -224,7 +224,10 @@ def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False,
 
         with _cpu():  # random-init on host; auto flag reads the backend
             # fused resblocks auto on TPU; vocoder rides the cascade's dtype
-            voc = Vocoder("nsf-hifigan", dtype=dtype)
+            # unless voc_dtype overrides (bf16 helps the vocoder but HURTS
+            # the mel-only cascade — norm/convert ping-pong, PERF.md)
+            voc = Vocoder("nsf-hifigan",
+                          dtype=dtype if voc_dtype == "same" else voc_dtype)
         voc.params = _put(voc.params)
 
     @jax.jit
@@ -817,6 +820,10 @@ CONFIGS = {
     # NSF-HiFiGAN audio, vocoder on the fused Pallas resblock path
     "diffusion_e2e_bf16": lambda: _bench_cascade(
         "diffusion", include_vocoder=True, dtype=jnp.bfloat16),
+    # the measured-best mix: f32 cascade (bandwidth-optimal as-is) + bf16
+    # fused vocoder (the e2e FLOP majority)
+    "diffusion_e2e_mixed": lambda: _bench_cascade(
+        "diffusion", include_vocoder=True, voc_dtype=jnp.bfloat16),
     "diffusion_e2e": lambda: _bench_cascade("diffusion",
                                             include_vocoder=True),
     "reflow_e2e": lambda: _bench_cascade("reflow", include_vocoder=True),

@@ -193,6 +193,13 @@ class HubertModel(nn.Module):
                             keepdims=True) / cnt
                 )
             audio = (audio - mean) / jnp.sqrt(var + 1e-7)
+            if valid_samples is not None:
+                # normalized batch padding is (0 - mean)/std != 0; solo has
+                # NOTHING there (and pad_center's right pad must stay zero)
+                audio = jnp.where(
+                    jnp.arange(audio.shape[-1]) < valid_samples[:, None],
+                    audio, 0.0,
+                )
         valid_in = valid_samples
         if cfg.pad_center:
             audio = jnp.pad(audio, ((0, 0), (40, 40)))

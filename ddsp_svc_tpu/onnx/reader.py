@@ -230,6 +230,10 @@ def _parse_attribute(buf: bytes) -> Attribute:
         a.value = ints
     elif a.type == 8:  # STRINGS
         a.value = strings
+    elif a.value is None:
+        # proto3 omits zero-valued scalars on the wire: an absent f/i/s
+        # field with the type set means 0.0 / 0 / "" (e.g. axis=0), not None
+        a.value = {1: 0.0, 2: 0, 3: b""}.get(a.type)
     return a
 
 

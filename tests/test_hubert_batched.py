@@ -31,6 +31,10 @@ VARIANTS = {
     "large": HubertConfig(**TINY, pre_norm=True, extractor_layer_norm=True,
                           pad_center=False, output_layer=2),
     "base": HubertConfig(**TINY, output_layer=1, pad_center=False),
+    # pad_center AND input_normalize together: the normalized batch padding
+    # is nonzero and must be re-zeroed or it leaks into pad_center's right
+    # zeros (regression: features/hubert.py input_normalize masking)
+    "soft_norm": HubertConfig(**TINY, proj_dim=16, input_normalize=True),
 }
 
 

@@ -156,6 +156,40 @@ def test_end_to_end_pndm_vs_jax(exported):
     assert stats["snr_db"] > 80.0, stats
 
 
+def test_runtime_zero_valued_attributes(tmp_path):
+    """proto3 omits zero scalars on the wire: Gather axis=0 / Concat axis=0
+    must parse as 0, not None (None would make np.take/concatenate flatten
+    — regression for the reader's attribute defaults)."""
+    import torch
+
+    from ddsp_svc_tpu.onnx.reader import load_model_file
+    from ddsp_svc_tpu.onnx.runtime import run_model
+    from ddsp_svc_tpu.onnx.shim import torch_onnx_export
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.register_buffer("table", torch.randn(7, 5))
+
+        def forward(self, idx, extra):
+            rows = self.table.index_select(0, idx)  # Gather axis=0 on 2-D
+            return torch.cat([rows, extra], dim=0)  # Concat axis=0
+
+    m = M()
+    idx = torch.tensor([3, 0, 6], dtype=torch.long)
+    extra = torch.randn(2, 5)
+    path = str(tmp_path / "gather0.onnx")
+    torch_onnx_export(m, (idx, extra), path, input_names=["idx", "extra"],
+                      output_names=["y"], opset_version=16)
+    model = load_model_file(path)
+    gather = [n for n in model.graph.nodes if n.op_type == "Gather"]
+    assert gather and gather[0].attributes.get("axis") == 0  # not None
+    got = run_model(model, {"idx": idx.numpy(), "extra": extra.numpy()})["y"]
+    with torch.no_grad():
+        ref = m(idx, extra).numpy()
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
 def test_rejects_non_diffusion_family(tmp_path):
     from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
     from ddsp_svc_tpu.onnx import export_onnx
