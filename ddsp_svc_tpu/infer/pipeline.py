@@ -29,13 +29,15 @@ class SvcPipeline:
         f0_min: float = 50.0,
         f0_max: float = 1100.0,
         enhance: bool = False,
+        vocoder_bf16: bool = False,
     ):
         from ..cli.common import build_units_encoder
 
         model, variables, args = load_model(model_path)
         self._init_from_parts(model, variables, args,
                               build_units_encoder(args),
-                              pitch_extractor, f0_min, f0_max, enhance)
+                              pitch_extractor, f0_min, f0_max, enhance,
+                              vocoder_bf16)
 
     @classmethod
     def from_parts(
@@ -48,16 +50,19 @@ class SvcPipeline:
         f0_min: float = 50.0,
         f0_max: float = 1100.0,
         enhance: bool = False,
+        vocoder_bf16: bool = False,
     ) -> "SvcPipeline":
         """Build a pipeline from in-memory objects (no checkpoint on disk) —
         used by benchmarks and tests with random-init weights."""
         self = cls.__new__(cls)
         self._init_from_parts(model, variables, args, units_encoder,
-                              pitch_extractor, f0_min, f0_max, enhance)
+                              pitch_extractor, f0_min, f0_max, enhance,
+                              vocoder_bf16)
         return self
 
     def _init_from_parts(self, model, variables, args, units_encoder,
-                         pitch_extractor, f0_min, f0_max, enhance):
+                         pitch_extractor, f0_min, f0_max, enhance,
+                         vocoder_bf16: bool = False):
         self.model, self.variables, self.args = model, variables, args
         self.family = model_family(self.args.model.type)
         self.units_encoder = units_encoder
@@ -70,7 +75,13 @@ class SvcPipeline:
             self.enhancer = Enhancer(self.args.enhancer.type, self.args.enhancer.ckpt)
         if self.family != "ddsp":
             vc = self.args.vocoder or {}
-            self.vocoder = Vocoder(vc.get("type", "nsf-hifigan"), vc.get("ckpt"))
+            # bf16 vocoder activations: +26 % measured on the e2e chain
+            # (645.6x vs 513.9x same-window; quality gated on hardware by
+            # TPU_CHECKS.json nsf_bf16_quality) — opt-in, params stay f32
+            self.vocoder = Vocoder(
+                vc.get("type", "nsf-hifigan"), vc.get("ckpt"),
+                dtype=jnp.bfloat16 if vocoder_bf16 else None,
+            )
         self._key = jax.random.PRNGKey(0)
         self._key_lock = threading.Lock()  # infer() is called from server threads
         # jit cache per static signature: realtime feeds fixed-context
