@@ -612,6 +612,82 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
     }
 
 
+def bench_train_diffusion(batch=48, seconds=2.0):
+    """DiffusionFast cascade training-step throughput at the reference's
+    default config scale (configs/diffusion-fast.yaml: batch_size 48, 2 s
+    crops): audio-seconds trained per wall-second. Covers the heavy-family
+    trainer (make_cascade_train_step: joint ddsp + diffusion loss with the
+    mel extractor inside the step, solver_new.py:94-204 semantics)."""
+    from ddsp_svc_tpu.models.cascade import Unit2WavFast
+    from ddsp_svc_tpu.ops.mel import LogMelSpectrogram
+    from ddsp_svc_tpu.train.state import create_train_state
+    from ddsp_svc_tpu.train.steps import make_cascade_train_step
+
+    t = int(seconds * SR) // HOP
+    mel_x = LogMelSpectrogram(sr=SR, n_mels=M, n_fft=2048, win_size=2048,
+                              hop_length=HOP, fmin=40.0, fmax=16000.0)
+    model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
+                         n_chans=512, k_step_max=100)
+    with _cpu():
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+            gt_spec=jnp.zeros((1, 16, M)), infer=False,
+            mel_extract_fn=mel_x.extract, key=jax.random.PRNGKey(3),
+        )
+
+    def fresh_state():
+        s = create_train_state(model, _put(dict(variables))["params"])
+        return jax.tree.map(
+            lambda a: jax.device_put(a, jax.devices()[0])
+            if hasattr(a, "dtype") else a, s,
+        )
+
+    state = fresh_state()
+    units, f0, volume, spk = make_inputs(batch, t)
+    rng = np.random.default_rng(1)
+    audio = (0.1 * rng.standard_normal((batch, t * HOP))).astype(np.float32)
+    with _cpu():
+        mel = np.asarray(mel_x.extract(jnp.asarray(audio)))
+    batch_d = _put({
+        "units": units, "f0": f0, "volume": volume, "spk_id": spk + 1,
+        "audio": audio, "mel": mel,
+    })
+    step_fn = make_cascade_train_step(mel_x.extract, k_step_max=100,
+                                      family="diffusion")
+    audio_s_per_step = batch * t * HOP / SR
+
+    last = None
+    for attempt in range(5):
+        try:
+            state, metrics = step_fn(state, batch_d, jax.random.PRNGKey(2))
+            _sync(metrics["loss"])
+            break
+        except Exception as e:
+            last = e
+            if attempt == 4:
+                raise last
+            time.sleep(30)
+            state = fresh_state()
+
+    def call(i):
+        nonlocal state
+        state, metrics = step_fn(state, batch_d, jax.random.fold_in(
+            jax.random.PRNGKey(3), i))
+        return metrics["loss"]
+
+    rtf = measure(call, audio_s_per_step)
+    return {
+        "metric": "train_diffusion_rtf_44k1",
+        "value": round(rtf, 2),
+        "unit": "audio_seconds_trained_per_wall_second_per_chip",
+        "batch": batch,
+        "steps_per_s": round(rtf / audio_s_per_step, 2),
+        "vs_baseline": None,
+    }
+
+
 def bench_train(batch=24, seconds=2.0):
     """Flagship training-step throughput at the reference's default config
     (configs/combsub.yaml: batch_size 24, 2 s crops): audio-seconds trained
@@ -897,6 +973,9 @@ DICT_CONFIGS = {
         "aggregate_x_realtime_per_chip"),
     "train": (lambda: bench_train(), "train_rtf_44k1",
               "audio_seconds_trained_per_wall_second_per_chip"),
+    "train_diffusion": (lambda: bench_train_diffusion(),
+                        "train_diffusion_rtf_44k1",
+                        "audio_seconds_trained_per_wall_second_per_chip"),
     "train_vocoder": (lambda: bench_train_vocoder(),
                       "train_vocoder_rtf_44k1",
                       "audio_seconds_trained_per_wall_second_per_chip"),

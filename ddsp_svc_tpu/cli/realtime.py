@@ -32,6 +32,9 @@ def main(argv=None):
                         "fresh (non-silence-front) frames — the reference "
                         "GUI's 'diff silence' checkbox (gui_diff.py:282); "
                         "faster blocks, slight boundary quality cost")
+    p.add_argument("--voc_bf16", action="store_true",
+                   help="bf16 vocoder activations (+26%% on the diffusion "
+                        "chain, nsf_bf16_quality-gated)")
     cmd = p.parse_args(argv)
 
     from .common import enable_compile_cache
@@ -41,7 +44,8 @@ def main(argv=None):
     from ..infer.pipeline import SvcPipeline
     from ..infer.realtime import RealtimeVC
 
-    pipeline = SvcPipeline(cmd.model_path, pitch_extractor=cmd.pitch_extractor)
+    pipeline = SvcPipeline(cmd.model_path, pitch_extractor=cmd.pitch_extractor,
+                           vocoder_bf16=cmd.voc_bf16)
     sr = pipeline.args.data.sampling_rate
     vc = RealtimeVC(
         pipeline,
