@@ -492,7 +492,7 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
 def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
                             transfer=None, transfer_in="f32",
                             device_stage=True, pipeline_depth=1,
-                            batch_encoder=False):
+                            batch_encoder=False, device_f0=False):
     """Full-stack serving for the heavy family: concurrent audio requests
     through SvcPipeline (host YIN f0 + volume + units) into the batcher's
     vmapped cascade+vocoder graph — the aggregate a DiffusionFast
@@ -531,7 +531,8 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
         enc = UnitsEncoder("contentvec768l12")
     variables = _put(dict(variables))
     enc.variables = _put(dict(enc.variables))
-    pipeline = SvcPipeline.from_parts(model, variables, args, enc)
+    pipeline = SvcPipeline.from_parts(model, variables, args, enc,
+                                      device_f0=device_f0)
     pipeline.vocoder.params = _put(pipeline.vocoder.params)
     bucket = int(seconds * SR) // HOP + 1  # one bucket fits each request
     batcher = pipeline.enable_batching(
@@ -594,6 +595,8 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
     name = "serving_diffusion"
     if not device_stage:
         name += "_hoststage"
+    if device_f0:
+        name += "_devf0"
     if batch_encoder:
         name += "_bencoder"
     if transfer == "mulaw":
@@ -956,6 +959,14 @@ DICT_CONFIGS = {
         lambda: bench_serving_diffusion(transfer="mulaw", transfer_in="f16",
                                         pipeline_depth=3),
         "serving_diffusion_mulaw_f16in_pipelined_throughput_rtf_44k1",
+        "aggregate_x_realtime_per_chip"),
+    # + the YIN front-end as a jitted on-device dispatch per request
+    # (features/yin_jax.py) — removes the ~23 ms/request of GIL-bound host
+    # numpy that bounded the full-stack ladder at 63-70x
+    "serving_diffusion_devf0": (
+        lambda: bench_serving_diffusion(transfer="mulaw", transfer_in="f16",
+                                        pipeline_depth=3, device_f0=True),
+        "serving_diffusion_devf0_mulaw_f16in_pipelined_throughput_rtf_44k1",
         "aggregate_x_realtime_per_chip"),
     # + the units encoder batched across requests (one masked HuBERT
     # dispatch per batch instead of one per request)

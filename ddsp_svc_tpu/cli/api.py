@@ -258,6 +258,12 @@ def main(argv=None):
     p.add_argument("--voc_bf16", action="store_true",
                    help="bf16 vocoder activations (+26%% on the serving "
                         "chain, nsf_bf16_quality-gated)")
+    p.add_argument("--device_f0", action="store_true",
+                   help="run the YIN f0 front-end on the accelerator as a "
+                        "jitted graph (yin extractor only): each request's "
+                        "pitch track becomes an async device dispatch "
+                        "instead of ~23 ms of serial host numpy — the "
+                        "measured full-stack serving binder (PERF.md)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile every batching bucket before accepting "
                         "traffic (first requests never pay a compile; a "
@@ -271,7 +277,8 @@ def main(argv=None):
     from ..infer.pipeline import SvcPipeline
 
     pipeline = SvcPipeline(cmd.model_path, pitch_extractor=cmd.pitch_extractor,
-                           vocoder_bf16=cmd.voc_bf16)
+                           vocoder_bf16=cmd.voc_bf16,
+                           device_f0=cmd.device_f0)
     if cmd.batch > 1:
         mesh = None
         if cmd.batch_devices > 1:

@@ -130,8 +130,6 @@ def main(argv=None):
     vocoder = None
     if family != "ddsp":
         vc = args.vocoder or {}
-        import jax.numpy as jnp
-
         vocoder = Vocoder(vc.get("type", "nsf-hifigan"), vc.get("ckpt"),
                           dtype=jnp.bfloat16 if cmd.voc_bf16 else None)
     ddsp_ext = None

@@ -30,6 +30,7 @@ class SvcPipeline:
         f0_max: float = 1100.0,
         enhance: bool = False,
         vocoder_bf16: bool = False,
+        device_f0: bool = False,
     ):
         from ..cli.common import build_units_encoder
 
@@ -37,7 +38,7 @@ class SvcPipeline:
         self._init_from_parts(model, variables, args,
                               build_units_encoder(args),
                               pitch_extractor, f0_min, f0_max, enhance,
-                              vocoder_bf16)
+                              vocoder_bf16, device_f0)
 
     @classmethod
     def from_parts(
@@ -51,23 +52,29 @@ class SvcPipeline:
         f0_max: float = 1100.0,
         enhance: bool = False,
         vocoder_bf16: bool = False,
+        device_f0: bool = False,
     ) -> "SvcPipeline":
         """Build a pipeline from in-memory objects (no checkpoint on disk) —
         used by benchmarks and tests with random-init weights."""
         self = cls.__new__(cls)
         self._init_from_parts(model, variables, args, units_encoder,
                               pitch_extractor, f0_min, f0_max, enhance,
-                              vocoder_bf16)
+                              vocoder_bf16, device_f0)
         return self
 
     def _init_from_parts(self, model, variables, args, units_encoder,
                          pitch_extractor, f0_min, f0_max, enhance,
-                         vocoder_bf16: bool = False):
+                         vocoder_bf16: bool = False,
+                         device_f0: bool = False):
         self.model, self.variables, self.args = model, variables, args
         self.family = model_family(self.args.model.type)
         self.units_encoder = units_encoder
         self.pitch_extractor_name = pitch_extractor
         self.f0_min, self.f0_max = f0_min, f0_max
+        # on-device YIN front-end (features/yin_jax.py): each request's f0
+        # becomes one async device dispatch instead of ~23 ms of GIL-bound
+        # host numpy — the measured binder of full-stack serving (PERF.md)
+        self.device_f0 = bool(device_f0) and pitch_extractor == "yin"
         self._f0_extractors: dict[int, F0Extractor] = {}
         self.enhancer = None
         self.vocoder = None
@@ -349,10 +356,28 @@ class SvcPipeline:
         args = self.args
         hop = int(args.data.block_size * sample_rate / args.data.sampling_rate)
 
-        f0 = self._f0_extractor(sample_rate, hop).extract(
-            audio, uv_interp=True, silence_front=silence_front
-        )
-        f0 = jnp.asarray(f0, jnp.float32)[None, :, None] * 2 ** (key_shift / 12.0)
+        if self.device_f0:
+            # jitted YIN on the accelerator (features/yin_jax.py): the f0
+            # stays device-resident all the way into the batcher staging /
+            # fused forward — no host FFTs, no barrier, no fetch
+            start_frame_f0 = int(silence_front * sample_rate / hop)
+            key = ("yin_dev", len(audio), sample_rate, hop, start_frame_f0)
+            f0_fn = self._jit_fwd.get(key)
+            if f0_fn is None:
+                from ..features.yin_jax import make_pipeline_f0_fn
+
+                f0_fn = jax.jit(make_pipeline_f0_fn(
+                    len(audio), sample_rate, hop,
+                    self.f0_min, self.f0_max, start_frame_f0,
+                ))
+                self._jit_fwd[key] = f0_fn
+            f0 = f0_fn(jnp.asarray(audio, jnp.float32))[None, :, None]
+        else:
+            f0 = self._f0_extractor(sample_rate, hop).extract(
+                audio, uv_interp=True, silence_front=silence_front
+            )
+            f0 = jnp.asarray(f0, jnp.float32)[None, :, None]
+        f0 = f0 * 2 ** (key_shift / 12.0)
 
         vx = VolumeExtractor(hop)
         volume = vx.extract(audio)

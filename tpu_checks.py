@@ -661,6 +661,34 @@ def check_cascade_bf16_quality():
     ))
     return {"ok": bool(snr > 25.0), "snr_db_bf16_vs_f32": round(snr, 2)}
 
+def check_device_yin():
+    """Jitted on-device YIN (features/yin_jax.py) vs the host numpy tracker
+    on hardware: the serving front-end lever (--device_f0) must reproduce
+    the host voicing decisions and pitch within f32-FFT noise on the real
+    chip, not just the CPU-mesh tests."""
+    from ddsp_svc_tpu.features.f0 import F0Extractor
+    from ddsp_svc_tpu.features.yin_jax import make_pipeline_f0_fn
+
+    sr, hop = 44100, 512
+    rng = np.random.default_rng(5)
+    t = np.arange(sr * 5) / sr
+    f_inst = 220.0 * (1 + 0.03 * np.sin(2 * np.pi * 5 * t))
+    a = (0.3 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr)
+         + 0.01 * rng.standard_normal(len(t))).astype(np.float32)
+    a[sr:sr + sr // 2] = 0.0
+    host = F0Extractor("yin", sr, hop, 50.0, 1100.0).extract(
+        a, uv_interp=True)
+    fn = jax.jit(make_pipeline_f0_fn(len(a), sr, hop, 50.0, 1100.0))
+    dev = _fetch(fn(jax.device_put(a, jax.devices()[0])))
+    cents = np.abs(1200.0 * np.log2(
+        np.maximum(dev, 1e-6) / np.maximum(host, 1e-6)))
+    return {
+        "ok": bool(cents.max() < 1.0),
+        "max_cents_vs_host": round(float(cents.max()), 4),
+        "mean_cents_vs_host": round(float(cents.mean()), 5),
+    }
+
+
 CHECKS = {
     "pallas_combtooth": check_pallas_combtooth,
     "pallas_oscillator": check_pallas_oscillator,
@@ -676,6 +704,7 @@ CHECKS = {
     "batcher_pipelined": check_batcher_pipelined,
     "encoder_batched": check_encoder_batched,
     "cascade_bf16_quality": check_cascade_bf16_quality,
+    "device_yin": check_device_yin,
 }
 
 
