@@ -253,7 +253,7 @@ def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False,
     return call, batch * t * HOP / SR
 
 
-def bench_realtime_latency(n_blocks=20):
+def bench_realtime_latency(n_blocks=20, device_f0=False):
     """Full realtime VC block latency (gui.py:152-163 defaults: 0.3 s block,
     2 s extra context): units encoder (contentvec768l12) + YIN f0 + volume +
     flagship CombSubSuperFast + SOLA splice, per RealtimeVC.process_block.
@@ -283,7 +283,8 @@ def bench_realtime_latency(n_blocks=20):
         enc = UnitsEncoder("contentvec768l12")
     variables = _put(dict(variables))
     enc.variables = _put(dict(enc.variables))
-    pipeline = SvcPipeline.from_parts(model, variables, args, enc)
+    pipeline = SvcPipeline.from_parts(model, variables, args, enc,
+                                      device_f0=device_f0)
     vc = RealtimeVC(pipeline, sample_rate=SR, block_time=0.3,
                     crossfade_time=0.04, extra_time=2.0)
     rng = np.random.default_rng(0)
@@ -302,7 +303,8 @@ def bench_realtime_latency(n_blocks=20):
         lat.append(time.perf_counter() - t0)
     lat_ms = 1000.0 * float(np.mean(lat))
     return {
-        "metric": "realtime_block_latency_ms",
+        "metric": ("realtime_devf0_block_latency_ms" if device_f0
+                   else "realtime_block_latency_ms"),
         "value": round(lat_ms, 2),
         "unit": "ms_per_300ms_block",
         "p50_ms": round(1000.0 * float(np.percentile(lat, 50)), 2),

@@ -35,6 +35,11 @@ def main(argv=None):
     p.add_argument("--voc_bf16", action="store_true",
                    help="bf16 vocoder activations (+26%% on the diffusion "
                         "chain, nsf_bf16_quality-gated)")
+    p.add_argument("--device_f0", action="store_true",
+                   help="fold the YIN f0 front-end into the block's single "
+                        "jitted device call (yin extractor only): the host "
+                        "does no pitch work per block — removes the host "
+                        "YIN share of block latency")
     cmd = p.parse_args(argv)
 
     from .common import enable_compile_cache
@@ -45,7 +50,8 @@ def main(argv=None):
     from ..infer.realtime import RealtimeVC
 
     pipeline = SvcPipeline(cmd.model_path, pitch_extractor=cmd.pitch_extractor,
-                           vocoder_bf16=cmd.voc_bf16)
+                           vocoder_bf16=cmd.voc_bf16,
+                           device_f0=cmd.device_f0)
     sr = pipeline.args.data.sampling_rate
     vc = RealtimeVC(
         pipeline,

@@ -296,22 +296,36 @@ class SvcPipeline:
         return fn
 
     def _ddsp_forward_enc_masked(self, sample_rate: int, hop: int,
-                                 audio_len: int):
+                                 audio_len: int, devf0_start: int | None = None):
         """Single-dispatch flagship path with the units encoder fused in:
         encoder + synth + volume mask as ONE jitted graph (see
         make_encode_fn; the per-dispatch tunnel RTT is the realtime
-        block-latency tail)."""
-        key = ("ddsp_enc_masked", sample_rate, hop, audio_len)
+        block-latency tail). With ``devf0_start`` (device_f0 on the fused
+        path) the YIN f0 front-end runs INSIDE the same graph — the block
+        stays one device call and the host does no pitch work at all; the
+        f0 slot of the returned fn takes the key_shift scalar instead."""
+        key = ("ddsp_enc_masked", sample_rate, hop, audio_len, devf0_start)
         fn = self._jit_fwd.get(key)
         if fn is None:
             block = self.args.data.block_size
             encode = self.units_encoder.make_encode_fn(
                 sample_rate, hop, audio_len
             )
+            f0_fn = None
+            if devf0_start is not None:
+                from ..features.yin_jax import make_pipeline_f0_fn
+
+                f0_fn = make_pipeline_f0_fn(
+                    audio_len, sample_rate, hop,
+                    self.f0_min, self.f0_max, devf0_start,
+                )
 
             def fwd(params, enc_vars, audio, f0, volume, spk, key_,
                     frame_mask):
                 units = encode(enc_vars, audio)
+                if f0_fn is not None:  # f0 arg is the key_shift scalar
+                    f0 = (f0_fn(audio[0])[None, :, None]
+                          * 2.0 ** (f0 / 12.0))[:, : volume.shape[1]]
                 out, _, _ = self.model.apply(
                     {"params": params}, units, f0, volume, spk_id=spk,
                     infer=True, rngs={"noise": key_},
@@ -356,11 +370,28 @@ class SvcPipeline:
         args = self.args
         hop = int(args.data.block_size * sample_rate / args.data.sampling_rate)
 
-        if self.device_f0:
+        batcher = self.batcher  # read once: enable_batching/close may race
+        # direct paths fuse the units encoder INTO the synthesis graph:
+        # one device dispatch per call instead of encode + synth (each
+        # dispatch's tunnel RTT is realtime block-latency tail, PERF.md);
+        # batched paths stage units on the host for the batcher instead
+        fuse_encoder = (
+            batcher is None
+            and spk_mix_dict is None
+            and hasattr(self.units_encoder, "make_encode_fn")
+        )
+        start_frame_f0 = int(silence_front * sample_rate / hop)
+        # device_f0 on a fused direct path: fold the YIN INTO the single
+        # jitted block graph — the block stays ONE device call and the host
+        # does no pitch work at all. The enhancer consumes the f0 track
+        # after synthesis, so it keeps the standalone-dispatch form.
+        fold_f0 = self.device_f0 and fuse_encoder and self.enhancer is None
+        if fold_f0:
+            f0 = None
+        elif self.device_f0:
             # jitted YIN on the accelerator (features/yin_jax.py): the f0
             # stays device-resident all the way into the batcher staging /
             # fused forward — no host FFTs, no barrier, no fetch
-            start_frame_f0 = int(silence_front * sample_rate / hop)
             key = ("yin_dev", len(audio), sample_rate, hop, start_frame_f0)
             f0_fn = self._jit_fwd.get(key)
             if f0_fn is None:
@@ -372,12 +403,13 @@ class SvcPipeline:
                 ))
                 self._jit_fwd[key] = f0_fn
             f0 = f0_fn(jnp.asarray(audio, jnp.float32))[None, :, None]
+            f0 = f0 * 2 ** (key_shift / 12.0)
         else:
             f0 = self._f0_extractor(sample_rate, hop).extract(
                 audio, uv_interp=True, silence_front=silence_front
             )
             f0 = jnp.asarray(f0, jnp.float32)[None, :, None]
-        f0 = f0 * 2 ** (key_shift / 12.0)
+            f0 = f0 * 2 ** (key_shift / 12.0)
 
         vx = VolumeExtractor(hop)
         volume = vx.extract(audio)
@@ -404,16 +436,6 @@ class SvcPipeline:
         volume_j = jnp.asarray(volume, jnp.float32)[None, :, None]
 
         audio_j = jnp.asarray(audio, jnp.float32)[None, :]
-        batcher = self.batcher  # read once: enable_batching/close may race
-        # direct paths fuse the units encoder INTO the synthesis graph:
-        # one device dispatch per call instead of encode + synth (each
-        # dispatch's tunnel RTT is realtime block-latency tail, PERF.md);
-        # batched paths stage units on the host for the batcher instead
-        fuse_encoder = (
-            batcher is None
-            and spk_mix_dict is None
-            and hasattr(self.units_encoder, "make_encode_fn")
-        )
         if fuse_encoder:
             units = None
             t = audio_j.shape[-1] // hop + 1  # encode()'s frame contract
@@ -426,7 +448,8 @@ class SvcPipeline:
             else:
                 units = self.units_encoder.encode(audio_j, sample_rate, hop)
             t = units.shape[1]
-        f0 = f0[:, :t]
+        if f0 is not None:
+            f0 = f0[:, :t]
         volume_j = volume_j[:, :t]
 
         # silent-prefix frame count (reference DiffGtMel.infer start_frame,
@@ -445,7 +468,8 @@ class SvcPipeline:
             # prefix length is constant, so this is ONE static shape.
             if units is not None:
                 units = units[:, start_frame:]
-            f0 = f0[:, start_frame:]
+            if f0 is not None:
+                f0 = f0[:, start_frame:]
             volume_j = volume_j[:, start_frame:]
             t = t - start_frame
 
@@ -474,11 +498,14 @@ class SvcPipeline:
                     )[None, :]
                 elif fuse_encoder:
                     out = self._ddsp_forward_enc_masked(
-                        sample_rate, hop, audio_j.shape[-1]
+                        sample_rate, hop, audio_j.shape[-1],
+                        devf0_start=start_frame_f0 if fold_f0 else None,
                     )(
                         self.variables["params"],
-                        self.units_encoder.variables, audio_j, f0, volume_j,
-                        spk, sub, jnp.asarray(frame_mask, jnp.float32),
+                        self.units_encoder.variables, audio_j,
+                        jnp.float32(key_shift) if fold_f0 else f0,
+                        volume_j, spk, sub,
+                        jnp.asarray(frame_mask, jnp.float32),
                     )
                     mask_done = True
                 else:
@@ -530,6 +557,8 @@ class SvcPipeline:
                 if fuse_encoder:
                     static_key += ("__enc__", sample_rate, hop,
                                    audio_j.shape[-1])
+                if fold_f0:
+                    static_key += ("__devf0__", start_frame_f0)
                 fn = self._jit_fwd.get(static_key)
                 if fn is None:
                     jit_kwargs = dict(kwargs)
@@ -543,10 +572,25 @@ class SvcPipeline:
                         )
                         if fuse_encoder else None
                     )
+                    f0_fn = None
+                    if fold_f0:  # YIN inside the same graph (device_f0)
+                        from ..features.yin_jax import make_pipeline_f0_fn
+
+                        f0_fn = make_pipeline_f0_fn(
+                            audio_j.shape[-1], sample_rate, hop,
+                            self.f0_min, self.f0_max, start_frame_f0,
+                        )
 
                     def fwd(params, voc_params, enc_vars, units, f0, volume,
                             spk, key, frame_mask, _kw=jit_kwargs,
                             _sf=start_frame, _sil=bool(use_silence)):
+                        if f0_fn is not None:  # f0 arg is key_shift scalar
+                            f0 = (f0_fn(units[0])[None, :, None]
+                                  * 2.0 ** (f0 / 12.0))
+                            f0 = f0[:, : volume.shape[1]
+                                    + (_sf if _sil else 0)]
+                            if _sil and _sf > 0:
+                                f0 = f0[:, _sf:]
                         if encode is not None:
                             units = encode(enc_vars, units)  # units == audio
                             units = units[:, : f0.shape[1] + (_sf if _sil
@@ -589,7 +633,8 @@ class SvcPipeline:
                     # on exactly the latency path this fusion optimizes
                     self.units_encoder.variables if fuse_encoder else None,
                     audio_j if fuse_encoder else units,
-                    f0, volume_j, spk, sub,
+                    jnp.float32(key_shift) if fold_f0 else f0,
+                    volume_j, spk, sub,
                     jnp.asarray(frame_mask, jnp.float32),
                 )
                 out_sr = self.vocoder.vocoder_sample_rate

@@ -21,3 +21,33 @@ class StubUnitsEncoder:
         if self.channel_ramp:
             units = units * jnp.linspace(0.5, 1.5, self.n_unit)
         return units
+
+
+class StubUnitsEncoderFused(StubUnitsEncoder):
+    """Stub with the fused-path contract (make_encode_fn, like the real
+    UnitsEncoder): per-frame std on the n_frames = len//hop + 1 grid, so
+    SvcPipeline's single-dispatch direct paths (fuse_encoder) are
+    exercised. encode() matches the fused grid for shape consistency."""
+
+    variables = None
+
+    def encode(self, audio, sample_rate, hop):
+        return self.make_encode_fn(sample_rate, hop, audio.shape[-1])(
+            None, jnp.asarray(audio)
+        )
+
+    def make_encode_fn(self, sample_rate: int, hop_size: int, audio_len: int):
+        n_frames = audio_len // hop_size + 1
+        n_unit, ramp = self.n_unit, self.channel_ramp
+
+        def fn(variables, audio):
+            pad = jnp.pad(
+                audio, ((0, 0), (0, n_frames * hop_size - audio_len))
+            )
+            frames = pad[0].reshape(n_frames, hop_size)
+            units = jnp.tile(frames.std(axis=1, keepdims=True), (1, n_unit))
+            if ramp:
+                units = units * jnp.linspace(0.5, 1.5, n_unit)
+            return units[None].astype(jnp.float32)
+
+        return fn

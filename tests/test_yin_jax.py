@@ -142,6 +142,104 @@ class TestPipelineDeviceF0:
         scale = np.abs(outs[False]).max() + 1e-9
         assert err / scale < 5e-3
 
+    def test_fused_ddsp_fold_single_dispatch(self):
+        """On the fused direct flagship path, device_f0 folds YIN INTO the
+        one jitted block graph: output matches the host-f0 fused path, no
+        standalone f0 executable exists, and key_shift is a traced scalar
+        (changing it does not grow the jit cache)."""
+        from helpers import StubUnitsEncoderFused
+
+        from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+        from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+        from ddsp_svc_tpu.utils.config import DotDict
+
+        sr, hop, win, n_unit = 16000, 64, 256, 16
+        args = DotDict({
+            "data": {"sampling_rate": sr, "block_size": hop,
+                     "encoder_out_channels": n_unit},
+            "model": {"type": "CombSubSuperFast", "win_length": win,
+                      "n_spk": 1},
+            "enhancer": None,
+        })
+        model = CombSubSuperFast(sr, hop, win, n_unit=n_unit, n_spk=1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        )
+        t = np.arange(sr) / sr
+        a = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+        outs = {}
+        pipes = {}
+        for dev in (False, True):
+            pipe = SvcPipeline.from_parts(
+                model, variables, args, StubUnitsEncoderFused(n_unit),
+                device_f0=dev,
+            )
+            pipe._key = jax.random.PRNGKey(7)
+            outs[dev], _ = pipe.infer(a, sr, spk_id=1, key_shift=3.0)
+            pipes[dev] = pipe
+        err = np.abs(outs[True] - outs[False]).max()
+        scale = np.abs(outs[False]).max() + 1e-9
+        assert err / scale < 5e-3
+
+        keys = list(pipes[True]._jit_fwd)
+        assert not any(k[0] == "yin_dev" for k in keys)  # folded, not solo
+        assert any(k[0] == "ddsp_enc_masked" and k[-1] is not None
+                   for k in keys)
+        n_before = len(pipes[True]._jit_fwd)
+        pipes[True].infer(a, sr, spk_id=1, key_shift=-2.0)
+        assert len(pipes[True]._jit_fwd) == n_before  # traced key_shift
+
+    @pytest.mark.parametrize("use_silence", [False, True])
+    def test_fused_cascade_fold_matches_host(self, tmp_path, use_silence):
+        """Non-ddsp fused direct path (cascade -> vocoder as one graph) with
+        device_f0: output matches the host-f0 variant, including the
+        silence_front prefix handling of both diff-silence modes."""
+        from helpers import StubUnitsEncoderFused
+        from test_batcher import _tiny_vocoder_ckpt
+
+        from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+        from ddsp_svc_tpu.models.cascade import Unit2Mel
+        from ddsp_svc_tpu.utils.config import DotDict
+
+        sr, hop, n_unit = 16000, 64, 16
+        voc_path = _tiny_vocoder_ckpt(tmp_path)
+        args = DotDict({
+            "data": {"sampling_rate": sr, "block_size": hop,
+                     "encoder_out_channels": n_unit},
+            "model": {"type": "Diffusion", "n_spk": 1, "k_step_max": 20},
+            "vocoder": {"type": "nsf-hifigan", "ckpt": voc_path},
+            "enhancer": None,
+        })
+        model = Unit2Mel(n_unit, 1, False, 16, n_layers=2, n_chans=16,
+                         n_hidden=16, k_step_max=20)
+        variables = {"params": model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+            gt_spec=jnp.zeros((1, 16, 16)), infer=False,
+        )["params"]}
+        t = np.arange(sr) / sr
+        a = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+
+        outs = {}
+        for dev in (False, True):
+            pipe = SvcPipeline.from_parts(
+                model, variables, args, StubUnitsEncoderFused(n_unit),
+                device_f0=dev,
+            )
+            pipe._key = jax.random.PRNGKey(7)
+            outs[dev], _ = pipe.infer(
+                a, sr, spk_id=1, k_step=10, speedup=2, method="dpm-solver",
+                silence_front=0.25, use_silence=use_silence,
+            )
+        assert outs[True].shape == outs[False].shape
+        err = np.abs(outs[True] - outs[False]).max()
+        scale = np.abs(outs[False]).max() + 1e-9
+        assert err / scale < 5e-3
+
     def test_flag_requires_yin(self):
         """device_f0 silently stays off for non-yin extractors (they have
         their own device paths or host algorithms)."""
