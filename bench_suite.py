@@ -908,6 +908,10 @@ CONFIGS = {
     "diffusion_e2e": lambda: _bench_cascade("diffusion",
                                             include_vocoder=True),
     "reflow_e2e": lambda: _bench_cascade("reflow", include_vocoder=True),
+    # same +27% question for the reflow chain (diffusion_e2e got 513->650
+    # from full-bf16; the reflow denoiser is the same NaiveV2Diff op mix)
+    "reflow_e2e_bf16": lambda: _bench_cascade(
+        "reflow", include_vocoder=True, dtype=jnp.bfloat16),
 }
 
 
@@ -915,6 +919,11 @@ CONFIGS = {
 DICT_CONFIGS = {
     "realtime": (lambda: bench_realtime_latency(),
                  "realtime_block_latency_ms", "ms_per_300ms_block"),
+    # --device_f0: the YIN front-end folded INTO the single jitted block
+    # dispatch (features/yin_jax.py) — host does no pitch work at all
+    "realtime_devf0": (lambda: bench_realtime_latency(device_f0=True),
+                       "realtime_devf0_block_latency_ms",
+                       "ms_per_300ms_block"),
     "realtime_diffusion": (lambda: bench_realtime_diffusion(),
                            "realtime_diffusion_block_latency_ms",
                            "ms_per_300ms_block"),

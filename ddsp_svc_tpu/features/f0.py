@@ -29,6 +29,38 @@ from __future__ import annotations
 import numpy as np
 
 
+def decimation_filter(factor: int) -> np.ndarray:
+    """Windowed-sinc low-pass taps for polyphase decimation by ``factor``
+    (Kaiser beta=9, cutoff 0.92 of the decimated Nyquist, 32*factor+1 taps,
+    unit DC gain). Shared by the host YIN (yin_f0 below) and the on-device
+    mirror (features/yin_jax.py) so the two front-ends stay numerically
+    identical: designed host-side in f64, applied in f32 by both. A brick-
+    wall FFT resampler would be marginally sharper but needs a full-length
+    non-power-of-2 FFT, which the TPU backend cannot compile (XLA lowers it
+    to an O(n^2) DFT; PERF.md devf0 note) — and YIN's pitch lattice only
+    needs the band below sr/(2*factor) preserved, which this filter does to
+    ~90 dB stopband."""
+    taps = 32 * factor + 1
+    cutoff = 0.92 * 0.5 / factor  # cycles/sample at the ORIGINAL rate
+    t = np.arange(taps, dtype=np.float64) - (taps - 1) / 2
+    h = 2.0 * cutoff * np.sinc(2.0 * cutoff * t) * np.kaiser(taps, 9.0)
+    return (h / h.sum()).astype(np.float32)
+
+
+def _decimate_fir(audio: np.ndarray, factor: int) -> np.ndarray:
+    """Polyphase FIR decimation: y[m] = sum_t h[t] x[m*factor + t - T//2]
+    (zero-padded edges), n_out = len(audio)//factor — the host half of the
+    shared-decimator contract above."""
+    h = decimation_filter(factor)
+    half = len(h) // 2
+    x = np.pad(np.asarray(audio, np.float32), (half, half))
+    n_out = len(audio) // factor
+    windows = np.lib.stride_tricks.sliding_window_view(x, len(h))[
+        : n_out * factor : factor
+    ]
+    return windows @ h
+
+
 def _interp_unvoiced(f0: np.ndarray) -> np.ndarray:
     uv = f0 == 0
     if (~uv).any():
@@ -81,14 +113,12 @@ def yin_f0(
         ):
             factor *= 2
     if factor > 1:
-        n_new = len(audio) // factor
-        spec = np.fft.rfft(np.asarray(audio, np.float64))
-        k = min(len(spec), n_new // 2 + 1)
-        # exact effective rate: n_new samples span the same duration (the
-        # floored n_new skews sr/factor by up to factor/len — a systematic
-        # pitch bias if left as the integer ratio)
-        sample_rate = sample_rate * n_new / len(audio)
-        audio = np.fft.irfft(spec[:k], n_new) * (n_new / len(audio))
+        # polyphase FIR decimation (strided samples of the original grid:
+        # the effective rate is exactly sample_rate/factor, no skew term) —
+        # the same taps drive the on-device mirror (features/yin_jax.py),
+        # keeping host and device YIN numerically identical
+        audio = _decimate_fir(audio, factor)
+        sample_rate = sample_rate / factor
         hop_size //= factor
     # f32 in fast (decimated) mode; decimate=False keeps the original f64
     # numerics (cmndf is a difference of large cumsums — callers opting out

@@ -64,6 +64,8 @@ def make_yin_fn(
     (decimation factor, tau lattice, FFT size) happens here on the host;
     the returned closure is pure jnp and can be jitted or embedded in a
     larger graph (the serving batcher / realtime block dispatch)."""
+    from .f0 import decimation_filter
+
     factor = 1
     if decimate:
         while (
@@ -74,9 +76,12 @@ def make_yin_fn(
             factor *= 2
     n_frames_out = n_samples // hop_size + 1
     n_dec = n_samples // factor
-    sr_eff = sample_rate * n_dec / n_samples if factor > 1 else float(sample_rate)
+    sr_eff = sample_rate / factor
     hop_dec = hop_size // factor
-    k_keep = min(n_samples // 2 + 1, n_dec // 2 + 1)
+    # polyphase FIR decimator shared bit-for-bit with the host yin_f0
+    # (features/f0.py decimation_filter — full-length non-pow2 FFT resample
+    # does not compile on the TPU backend; XLA lowers it to an O(n^2) DFT)
+    dec_taps = jnp.asarray(decimation_filter(factor)) if factor > 1 else None
 
     tau_max = int(sr_eff / f0_min) + 1
     tau_min = max(int(sr_eff / f0_max), 2)
@@ -89,8 +94,14 @@ def make_yin_fn(
     def fn(audio: jnp.ndarray) -> jnp.ndarray:
         audio = audio.astype(jnp.float32)
         if factor > 1:
-            spec = jnp.fft.rfft(audio)[:k_keep]
-            audio = jnp.fft.irfft(spec, n_dec) * (n_dec / n_samples)
+            # strided conv = the polyphase decimator (host _decimate_fir);
+            # conv lowering, not a (n_dec, taps) gather — the gather form
+            # compiles pathologically on the TPU backend at serving sizes
+            half = dec_taps.shape[0] // 2
+            audio = jax.lax.conv_general_dilated(
+                audio[None, None, :], dec_taps[None, None, :],
+                window_strides=(factor,), padding=[(half, half)],
+            )[0, 0, :n_dec]
         x = jnp.pad(audio, (frame_len // 2, frame_len))
         idx = (
             jnp.arange(n_frames)[:, None] * hop_dec
