@@ -617,13 +617,14 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
     }
 
 
-def bench_train_diffusion(batch=48, seconds=2.0):
-    """DiffusionFast cascade training-step throughput at the reference's
-    default config scale (configs/diffusion-fast.yaml: batch_size 48, 2 s
-    crops): audio-seconds trained per wall-second. Covers the heavy-family
-    trainer (make_cascade_train_step: joint ddsp + diffusion loss with the
-    mel extractor inside the step, solver_new.py:94-204 semantics)."""
-    from ddsp_svc_tpu.models.cascade import Unit2WavFast
+def bench_train_diffusion(batch=48, seconds=2.0, family="diffusion"):
+    """Heavy-family cascade training-step throughput at the reference's
+    default config scale (configs/diffusion-fast.yaml / reflow.yaml:
+    batch_size 48, 2 s crops): audio-seconds trained per wall-second.
+    Covers the heavy-family trainers (make_cascade_train_step: joint ddsp +
+    diffusion/reflow loss with the mel extractor inside the step,
+    solver_new.py:94-204 / reflow/solver.py:193-305 semantics)."""
+    from ddsp_svc_tpu.models.cascade import ReflowUnit2Wav, Unit2WavFast
     from ddsp_svc_tpu.ops.mel import LogMelSpectrogram
     from ddsp_svc_tpu.train.state import create_train_state
     from ddsp_svc_tpu.train.steps import make_cascade_train_step
@@ -631,15 +632,21 @@ def bench_train_diffusion(batch=48, seconds=2.0):
     t = int(seconds * SR) // HOP
     mel_x = LogMelSpectrogram(sr=SR, n_mels=M, n_fft=2048, win_size=2048,
                               hop_length=HOP, fmin=40.0, fmax=16000.0)
-    model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
-                         n_chans=512, k_step_max=100)
+    init_kwargs = dict(key=jax.random.PRNGKey(3))
+    if family == "diffusion":
+        model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
+                             n_chans=512, k_step_max=100)
+    else:  # reflow (configs/reflow.yaml: same 6x512 NaiveV2Diff trunk)
+        model = ReflowUnit2Wav(SR, HOP, WIN, N_UNIT, 1, out_dims=M,
+                               n_layers=6, n_chans=512)
+        init_kwargs["t_start"] = 0.7
     with _cpu():
         variables = model.init(
             {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
             jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
             jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
             gt_spec=jnp.zeros((1, 16, M)), infer=False,
-            mel_extract_fn=mel_x.extract, key=jax.random.PRNGKey(3),
+            mel_extract_fn=mel_x.extract, **init_kwargs,
         )
 
     def fresh_state():
@@ -659,8 +666,10 @@ def bench_train_diffusion(batch=48, seconds=2.0):
         "units": units, "f0": f0, "volume": volume, "spk_id": spk + 1,
         "audio": audio, "mel": mel,
     })
-    step_fn = make_cascade_train_step(mel_x.extract, k_step_max=100,
-                                      family="diffusion")
+    step_fn = make_cascade_train_step(
+        mel_x.extract, family=family,
+        **({"k_step_max": 100} if family == "diffusion"
+           else {"t_start": 0.7}))
     audio_s_per_step = batch * t * HOP / SR
 
     last = None
@@ -684,7 +693,7 @@ def bench_train_diffusion(batch=48, seconds=2.0):
 
     rtf = measure(call, audio_s_per_step)
     return {
-        "metric": "train_diffusion_rtf_44k1",
+        "metric": f"train_{family}_rtf_44k1",
         "value": round(rtf, 2),
         "unit": "audio_seconds_trained_per_wall_second_per_chip",
         "batch": batch,
@@ -998,6 +1007,9 @@ DICT_CONFIGS = {
     "train_diffusion": (lambda: bench_train_diffusion(),
                         "train_diffusion_rtf_44k1",
                         "audio_seconds_trained_per_wall_second_per_chip"),
+    "train_reflow": (lambda: bench_train_diffusion(family="reflow"),
+                     "train_reflow_rtf_44k1",
+                     "audio_seconds_trained_per_wall_second_per_chip"),
     "train_vocoder": (lambda: bench_train_vocoder(),
                       "train_vocoder_rtf_44k1",
                       "audio_seconds_trained_per_wall_second_per_chip"),

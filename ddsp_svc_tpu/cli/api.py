@@ -216,7 +216,10 @@ def make_handler(pipeline, default_kwargs):
     return Handler
 
 
-def main(argv=None):
+def main(argv=None, ready_cb=None):
+    """``ready_cb(server)``, if given, fires after the socket is bound and
+    before ``serve_forever`` — lets embedders/tests learn the real port
+    (``-p 0``) and stop the server via ``server.shutdown()``."""
     p = argparse.ArgumentParser()
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-p", "--port", type=int, default=6842)
@@ -301,7 +304,9 @@ def main(argv=None):
             print("warming batch buckets ...", flush=True)
             pipeline.warmup_batching()
     server = ThreadingHTTPServer(("0.0.0.0", cmd.port), make_handler(pipeline, {}))
-    print(f"voiceChangeModel API on :{cmd.port}")
+    print(f"voiceChangeModel API on :{server.server_address[1]}")
+    if ready_cb is not None:
+        ready_cb(server)
     server.serve_forever()
 
 

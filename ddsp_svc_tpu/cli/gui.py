@@ -9,12 +9,12 @@ from __future__ import annotations
 import argparse
 
 
-def main():
+def main(argv=None, ready_cb=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--model", default=None, help="checkpoint to preload")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from .common import enable_compile_cache
 
@@ -25,7 +25,7 @@ def main():
     app = GuiApp()
     if args.model:
         app.load_model(args.model)
-    serve(app, host=args.host, port=args.port)
+    serve(app, host=args.host, port=args.port, ready_cb=ready_cb)
 
 
 if __name__ == "__main__":

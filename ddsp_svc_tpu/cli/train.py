@@ -41,9 +41,13 @@ def init_model_params(args, model, key):
             kwargs["mel_extract_fn"] = build_mel_extractor(args).extract
         if args.model.type == "RectifiedFlow":
             kwargs.pop("k_step")
-    variables = model.init(
-        {"params": key, "noise": key}, units, f0, volume, spk_id=spk_id, **kwargs
-    )
+    # jitted init: one compiled graph instead of per-op eager dispatches
+    # (measured several× faster for the big models on CPU and over the
+    # tunnel; same params — init is deterministic in the keys)
+    variables = jax.jit(lambda: model.init(
+        {"params": key, "noise": key}, units, f0, volume, spk_id=spk_id,
+        **kwargs
+    ))()
     return variables["params"]
 
 

@@ -82,12 +82,22 @@ def main(argv=None):
     sampler = BatchSampler(ds, int(args.train.batch_size))
 
     t_ex = ds.crop_frames
+    disc_cfg = None
+    if args.vocoder and (args.vocoder.discriminator_periods
+                         or args.vocoder.msd_scales):
+        from ..train.vocoder_solver import Discriminators
+
+        disc_cfg = Discriminators(
+            periods=tuple(args.vocoder.discriminator_periods or (2, 3, 5, 7, 11)),
+            msd_scales=int(args.vocoder.msd_scales or 3),
+        )
     state_g, state_d, disc = init_vocoder_training(
         gen,
         jnp.zeros((1, t_ex, cfg["num_mels"]), jnp.float32),
         jnp.zeros((1, t_ex, 1), jnp.float32),
         jax.random.PRNGKey(int(args.train.seed or 0)),
         lr=float(args.train.lr),
+        disc=disc_cfg,
     )
     saver = Saver(args, initial_global_step=0)
 

@@ -272,6 +272,11 @@ ENCODER_CONFIGS: dict[str, HubertConfig] = {
     "cnhubertsoftfish": HubertConfig(
         proj_dim=256, pad_center=False, input_normalize=True, topk_gate=10
     ),
+    # dev/test-only miniature (NOT in the reference zoo): same I/O contract
+    # as hubertsoft (256-wide units, 320-hop), 2 tiny layers — keeps the
+    # smoke-tier CLI drives' compiles under a second each
+    "tiny": HubertConfig(dim=64, heads=2, ffn_dim=128, num_layers=2,
+                         proj_dim=256),
 }
 
 

@@ -462,8 +462,13 @@ def make_handler(app: GuiApp):
 
 
 def serve(app: GuiApp, host: str = "127.0.0.1", port: int = 7860,
-          background: bool = False) -> ThreadingHTTPServer:
+          background: bool = False, ready_cb=None) -> ThreadingHTTPServer:
+    """``ready_cb(server)`` fires once the socket is bound (before the serve
+    loop) — embedders/tests learn the real port when ``port=0`` and can stop
+    the loop with ``server.shutdown()``."""
     server = ThreadingHTTPServer((host, port), make_handler(app))
+    if ready_cb is not None:
+        ready_cb(server)
     if background:
         threading.Thread(target=server.serve_forever, daemon=True).start()
         return server

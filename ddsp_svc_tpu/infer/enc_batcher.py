@@ -4,10 +4,19 @@ Full-stack serving's remaining serial cost is one HuBERT dispatch per
 request (bench_serving_diffusion; each dispatch is a device-queue slot and,
 on the tunneled backend, an RTT).  This engine collects concurrent encode
 requests, zero-pads each to an audio bucket, and runs ONE jitted masked
-forward per (bucket, sample_rate, hop) group — exact by construction: the
-masked HubertModel forward (features/hubert.py) reproduces each row's solo
-encode bit-for-bit up to f32 reduction noise, asserted by
-tests/test_hubert_batched.py.
+forward per (bucket, sample_rate, hop) group.  The masked HubertModel
+forward (features/hubert.py) computes the same mathematical function as
+each row's solo encode — on CPU f32 they agree to reduction noise (~1e-6
+rel at the production contentvec768l12 size; tests/test_hubert_batched.py).
+On TPU at the DEFAULT matmul precision the agreement is ~7.5e-3 rel
+(`TPU_CHECKS.json encoder_batched`): the MXU rounds f32 matmuls through
+bf16 passes and that rounding is shape-dependent, so the padded bucket
+shape tiles (and rounds) differently from the solo shape through 12
+transformer layers — the same default-vs-HIGHEST gap the `nsf_subpixel`
+check records.  With `jax.default_matmul_precision('highest')` the two
+paths agree at f32-reduction level on TPU too (measured by the check's
+`max_rel_err_highest` field).  Not a masking bug: the masking itself is
+exact.
 
 The reference has no serving batcher at all (flask_api.py handles one POST
 at a time); this composes with the synthesis batcher (infer/batcher.py) for

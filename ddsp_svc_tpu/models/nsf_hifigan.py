@@ -329,11 +329,12 @@ class DiscriminatorS(nn.Module):
 
 class MultiScaleDiscriminator(nn.Module):
     dtype: jnp.dtype | None = None
+    scales: int = 3  # reference uses 3; fewer for tiny/dev recipes
 
     @nn.compact
     def __call__(self, y, y_hat):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
-        for i in range(3):
+        for i in range(self.scales):
             if i != 0:
                 # AvgPool1d(4, 2, padding=2)
                 def pool(v):

@@ -117,10 +117,10 @@ class Vocoder:
         if params is None:
             mel0 = jnp.zeros((1, 8, self.dimension), jnp.float32)
             f00 = 220.0 * jnp.ones((1, 8), jnp.float32)
-            params = self.model.init(
+            params = jax.jit(lambda: self.model.init(
                 {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
                 mel0, f00,
-            )["params"]
+            )["params"])()
         self.params = params
         self._infer = jax.jit(
             lambda p, mel, f0, key: self.model.apply(

@@ -26,12 +26,21 @@ from .state import TrainState, create_train_state
 
 
 class Discriminators(nn.Module):
-    """MPD + MSD bundle: (y, y_hat) -> (reals, fakes, fmap_r, fmap_g)."""
+    """MPD + MSD bundle: (y, y_hat) -> (reals, fakes, fmap_r, fmap_g).
+
+    ``periods``/``msd_scales`` default to the HiFiGAN recipe; smaller sets
+    are for tiny/dev configs (vocoder.discriminator_periods /
+    vocoder.msd_scales in the train_vocoder config)."""
+
+    periods: tuple = (2, 3, 5, 7, 11)
+    msd_scales: int = 3
 
     @nn.compact
     def __call__(self, y, y_hat):
-        pr, pg, pfr, pfg = MultiPeriodDiscriminator(name="mpd")(y, y_hat)
-        sr, sg, sfr, sfg = MultiScaleDiscriminator(name="msd")(y, y_hat)
+        pr, pg, pfr, pfg = MultiPeriodDiscriminator(
+            periods=self.periods, name="mpd")(y, y_hat)
+        sr, sg, sfr, sfg = MultiScaleDiscriminator(
+            scales=self.msd_scales, name="msd")(y, y_hat)
         return pr + sr, pg + sg, pfr + sfr, pfg + sfg
 
 
@@ -89,21 +98,28 @@ def make_vocoder_train_steps(
 
 
 def init_vocoder_training(
-    generator, mel_example, f0_example, key, lr=2e-4, b1=0.8, b2=0.99
+    generator, mel_example, f0_example, key, lr=2e-4, b1=0.8, b2=0.99,
+    disc: Discriminators | None = None,
 ):
     """Initialize generator + discriminator TrainStates (AdamW betas per the
-    HiFiGAN recipe)."""
+    HiFiGAN recipe). ``disc`` overrides the default full-recipe bundle."""
     import optax
 
     k1, k2, k3 = jax.random.split(key, 3)
-    gen_params = generator.init(
+    # jit the inits: one compiled graph instead of hundreds of eager op
+    # dispatches (the torch-init convs + weight norms each cost an XLA
+    # compile eagerly — measured 25 s -> 9 s for gen+disc on CPU)
+    gen_params = jax.jit(lambda: generator.init(
         {"params": k1, "noise": k2}, mel_example, f0_example[..., 0], key=k2
-    )["params"]
-    disc = Discriminators()
+    )["params"])()
+    if disc is None:
+        disc = Discriminators()
     b, t = mel_example.shape[0], mel_example.shape[1]
     upp = generator.upp
     audio_example = jnp.zeros((b, t * upp), jnp.float32)
-    d_params = disc.init(k3, audio_example, audio_example)["params"]
+    d_params = jax.jit(
+        lambda: disc.init(k3, audio_example, audio_example)["params"]
+    )()
 
     def mk_state(module, params):
         tx = optax.adamw(lr, b1=b1, b2=b2)

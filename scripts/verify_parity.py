@@ -10,13 +10,16 @@ to run the day real pretrained weights appear (VERDICT r2 missing #4).
 
 Modes
 -----
-  --self-check [--seconds S]
+  --self-check [--seconds S] [--families f1,f2]
       No checkpoints needed (runs in this image today): builds the
       reference's own torch modules (/root/reference, read-only, wheels
       stubbed) at seeded random init, converts their state dicts through
-      convert/, and runs the full chain on synthetic features. Covers the
-      DiffusionFast chain of main_diff.py:196-389: CombSubSuperFast ->
-      mel -> shallow dpm-solver diffusion (NaiveV2Diff) -> NSF-HiFiGAN.
+      convert/, and runs each family's chain on synthetic features. All
+      five reference families are covered: diffusion_fast (main_diff.py:
+      196-389: CombSubSuperFast -> mel -> shallow dpm-solver NaiveV2Diff ->
+      NSF-HiFiGAN), reflow (main_reflow.py euler chain), unit2mel (the
+      pure-diffusion 'Diffusion' model), and the legacy sins/combsub
+      synths of main.py.
 
   --model model_<step>.pt --config config.yaml --wav in.wav
       [--vocoder-ckpt nsf.ckpt] [--pitch yin]
@@ -95,9 +98,11 @@ def import_reference():
     import diffusion.naive_v2_diff as ref_nv2  # noqa: F401 (registers import)
     import diffusion.vocoder as ref_diff_vocoder
     import nsf_hifigan.models as ref_nsf
+    import reflow.vocoder as ref_reflow_vocoder
 
     return types.SimpleNamespace(
-        vocoder=ref_vocoder, diff_vocoder=ref_diff_vocoder, nsf=ref_nsf
+        vocoder=ref_vocoder, diff_vocoder=ref_diff_vocoder, nsf=ref_nsf,
+        reflow_vocoder=ref_reflow_vocoder,
     )
 
 
@@ -308,17 +313,38 @@ def make_torch_vocoder(ref, sr, m, seed=5):
     return (TorchDeterministic(tgen), sine_kwargs), (gen, params)
 
 
-def self_check(seconds: float) -> int:
+def _convert_torch(tcasc, args_cfg):
+    """state_dict -> convert_reference_model through a real model_<step>.pt
+    file (the exact path a user's checkpoint takes)."""
+    import tempfile
+
     import torch
 
     from ddsp_svc_tpu.convert.models import convert_reference_model
+
+    with tempfile.NamedTemporaryFile(suffix="model_0.pt") as f:
+        torch.save({"model": tcasc.state_dict()}, f.name)
+        return convert_reference_model(f.name, args_cfg)
+
+
+def _seeded_inputs(seconds, sr, hop, n_unit, seed=7):
+    t = max(16, int(seconds * sr) // hop)
+    rng = np.random.default_rng(seed)
+    units = rng.standard_normal((1, t, n_unit)).astype(np.float32)
+    f0 = (220.0 * np.exp(
+        0.2 * np.sin(np.arange(t) / 9.0))).astype(np.float32)[None, :, None]
+    volume = (0.5 + 0.3 * rng.random((1, t, 1))).astype(np.float32)
+    return t, units, f0, volume
+
+
+def check_diffusion_fast(ref, report, seconds):
+    """main_diff.py:196-389 DiffusionFast chain: CombSubSuperFast -> mel ->
+    shallow dpm-solver diffusion (NaiveV2Diff) -> NSF-HiFiGAN."""
+    import torch
+
     from ddsp_svc_tpu.utils.config import DotDict
 
-    print("verify_parity --self-check: reference torch modules at seeded "
-          "random init -> convert/ -> per-stage SNR")
-    ref = import_reference()
     sr, hop, win, n_unit, m = 44100, 512, 2048, 64, 32
-    t = max(16, int(seconds * sr) // hop)
     args_cfg = DotDict({
         "data": {"sampling_rate": sr, "block_size": hop},
         "model": {"type": "DiffusionFast", "win_length": win, "n_spk": 1,
@@ -329,24 +355,206 @@ def self_check(seconds: float) -> int:
     tcasc = ref.diff_vocoder.Unit2WavFast(
         sr, hop, win, n_unit, 1, out_dims=m, n_layers=3, n_chans=64,
     ).eval()
-    import tempfile
-
-    import torch as _t
-
-    with tempfile.NamedTemporaryFile(suffix="model_0.pt") as f:
-        _t.save({"model": tcasc.state_dict()}, f.name)
-        our_params = convert_reference_model(f.name, args_cfg)
-
-    rng = np.random.default_rng(7)
-    units = rng.standard_normal((1, t, n_unit)).astype(np.float32)
-    f0 = (220.0 * np.exp(
-        0.2 * np.sin(np.arange(t) / 9.0))).astype(np.float32)[None, :, None]
-    volume = (0.5 + 0.3 * rng.random((1, t, 1))).astype(np.float32)
-
+    our_params = _convert_torch(tcasc, args_cfg)
+    _, units, f0, volume = _seeded_inputs(seconds, sr, hop, n_unit)
     torch_voc, our_voc = make_torch_vocoder(ref, sr, m)
-    report = Report()
     run_chain_parity(ref, tcasc, our_params, args_cfg, units, f0, volume,
                      report, torch_vocoder=torch_voc, our_vocoder=our_voc)
+
+
+def check_reflow(ref, report, seconds):
+    """main_reflow.py chain: CombSubSuperFast -> mel -> RectifiedFlow
+    (euler, t_start 0.7) per reflow/vocoder.py:149-198."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+    from ddsp_svc_tpu.models.naive_v2_diff import NaiveV2Diff
+    from ddsp_svc_tpu.models.reflow import RectifiedFlow
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    sr, hop, win, n_unit, m = 44100, 512, 2048, 64, 32
+    args_cfg = DotDict({
+        "data": {"sampling_rate": sr, "block_size": hop},
+        "model": {"type": "RectifiedFlow", "win_length": win, "n_spk": 1,
+                  "n_layers": 3, "n_chans": 64, "out_dims": m,
+                  "t_start": 0.7},
+    })
+    torch.manual_seed(6)
+    tcasc = ref.reflow_vocoder.Unit2Wav(
+        sr, hop, win, n_unit, 1, out_dims=m, n_layers=3, n_chans=64,
+    ).eval()
+    our_params = _convert_torch(tcasc, args_cfg)
+    t, units, f0, volume = _seeded_inputs(seconds, sr, hop, n_unit, seed=8)
+    rng = np.random.default_rng(199)
+    ddsp_noise = rng.standard_normal((1, t * hop)).astype(np.float32)
+    init_noise = rng.standard_normal((1, 1, m, t)).astype(np.float32)
+    mel_x = _mel_extractor(sr, hop, m)
+
+    tu, tf, tv = map(torch.from_numpy, (units, f0, volume))
+    with PatchedNoise(randn_like=ddsp_noise), torch.no_grad():
+        t_wav, _, _ = tcasc.ddsp_model(tu, tf, tv, infer=True)
+    t_mel = np.asarray(mel_x.extract(jnp.asarray(t_wav.numpy())))
+    with PatchedNoise(randn=init_noise), torch.no_grad():
+        t_sampled = tcasc.reflow_model(
+            torch.from_numpy(t_mel), gt_spec=torch.from_numpy(t_mel),
+            infer=True, infer_step=20, method="euler", t_start=0.7,
+            use_tqdm=False,
+        ).numpy()
+
+    ddsp = CombSubSuperFast(sampling_rate=sr, block_size=hop, win_length=win,
+                            n_unit=n_unit, n_spk=1)
+    o_wav, _, _ = ddsp.apply(
+        {"params": our_params["ddsp_model"]}, jnp.asarray(units),
+        jnp.asarray(f0), jnp.asarray(volume), infer=True,
+        noise=jnp.asarray(ddsp_noise),
+    )
+    o_wav = np.asarray(o_wav)
+    report.add("reflow/ddsp_wav", snr_db(t_wav.numpy(), o_wav),
+               BOUNDS_DB["ddsp_wav"])
+    o_mel = np.asarray(mel_x.extract(jnp.asarray(o_wav)))
+    report.add("reflow/ddsp_mel", snr_db(t_mel, o_mel),
+               BOUNDS_DB["ddsp_mel"])
+
+    rf = RectifiedFlow(
+        NaiveV2Diff(mel_channels=m, dim=64, num_layers=3, condition_dim=m,
+                    use_mlp=False),
+        out_dims=m,
+    )
+    o_sampled = np.asarray(rf.apply(
+        {"params": {"velocity_fn": our_params["velocity_fn"]}},
+        jnp.asarray(o_mel), gt_spec=jnp.asarray(o_mel), infer=True,
+        infer_step=20, sampler="euler", t_start=0.7,
+        key=jax.random.PRNGKey(0),
+        init_noise=jnp.asarray(init_noise[:, 0].transpose(0, 2, 1)),
+    ))
+    report.add("reflow/sampled_mel", snr_db(t_sampled, o_sampled),
+               BOUNDS_DB["sampled_mel"])
+
+
+def check_unit2mel(ref, report, seconds):
+    """main_diff.py pure-diffusion model ('Diffusion' = Unit2Mel,
+    diffusion/vocoder.py:171-218): embeds -> GaussianDiffusion(WaveNet),
+    shallow start from a provided gt mel."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from ddsp_svc_tpu.models.cascade import Unit2Mel
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    sr, hop, n_unit, m, hid, layers, chans = 44100, 512, 64, 32, 48, 4, 48
+    args_cfg = DotDict({
+        "data": {"sampling_rate": sr, "block_size": hop},
+        "model": {"type": "Diffusion", "n_spk": 2, "n_layers": layers,
+                  "n_chans": chans, "n_hidden": hid, "out_dims": m},
+    })
+    torch.manual_seed(9)
+    tmod = ref.diff_vocoder.Unit2Mel(
+        n_unit, 2, False, m, n_layers=layers, n_chans=chans, n_hidden=hid,
+    ).eval()
+    our_params = _convert_torch(tmod, args_cfg)
+    t, units, f0, volume = _seeded_inputs(seconds, sr, hop, n_unit, seed=10)
+    rng = np.random.default_rng(299)
+    gt_spec = (-4.0 + 2.0 * rng.standard_normal((1, t, m))).astype(np.float32)
+    init_noise = rng.standard_normal((1, 1, m, t)).astype(np.float32)
+
+    with PatchedNoise(randn_like=init_noise), torch.no_grad():
+        t_sampled = tmod(
+            torch.from_numpy(units), torch.from_numpy(f0),
+            torch.from_numpy(volume),
+            spk_id=torch.LongTensor([[1]]),
+            gt_spec=torch.from_numpy(gt_spec), infer=True, infer_speedup=10,
+            method="dpm-solver", k_step=100, use_tqdm=False,
+        ).numpy()
+
+    fmod = Unit2Mel(n_unit, 2, False, m, n_layers=layers, n_chans=chans,
+                    n_hidden=hid)
+    o_sampled = np.asarray(fmod.apply(
+        {"params": our_params},
+        jnp.asarray(units), jnp.asarray(f0), jnp.asarray(volume),
+        spk_id=jnp.array([[1]], jnp.int32),
+        gt_spec=jnp.asarray(gt_spec), infer=True, infer_speedup=10,
+        sampler="dpm-solver", k_step=100, key=jax.random.PRNGKey(0),
+        init_noise=jnp.asarray(init_noise[:, 0].transpose(0, 2, 1)),
+    ))
+    report.add("unit2mel/sampled_mel", snr_db(t_sampled, o_sampled),
+               BOUNDS_DB["sampled_mel"])
+
+
+def _check_legacy(ref, report, seconds, which):
+    """main.py legacy DDSP synths (Sins / CombSub, PCmer decoder,
+    ddsp/vocoder.py:532-611 / :788-862) through convert_reference_model."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from ddsp_svc_tpu.models.ddsp import CombSub, Sins
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    sr, hop, n_unit = 16000, 64, 32
+    n_harm, n_allpass, n_noise = 24, 16, 16
+    t = max(16, int(seconds * sr) // hop)
+    args_cfg = DotDict({
+        "data": {"sampling_rate": sr, "block_size": hop},
+        "model": {"type": {"sins": "Sins", "combsub": "CombSub"}[which]},
+    })
+    torch.manual_seed({"sins": 4, "combsub": 5}[which])
+    if which == "sins":
+        tm = ref.vocoder.Sins(sr, hop, n_harm, n_allpass, n_noise, n_unit,
+                              n_spk=1).eval()
+        fm = Sins(sampling_rate=sr, block_size=hop, n_harmonics=n_harm,
+                  n_mag_allpass=n_allpass, n_mag_noise=n_noise,
+                  n_unit=n_unit, n_spk=1)
+    else:
+        tm = ref.vocoder.CombSub(sr, hop, n_allpass, n_harm, n_noise,
+                                 n_unit, n_spk=1).eval()
+        fm = CombSub(sampling_rate=sr, block_size=hop,
+                     n_mag_allpass=n_allpass, n_mag_harmonic=n_harm,
+                     n_mag_noise=n_noise, n_unit=n_unit, n_spk=1)
+    params, buffers = _convert_torch(tm, args_cfg)
+    _, units, f0, volume = _seeded_inputs(
+        seconds, sr, hop, n_unit, seed={"sins": 4, "combsub": 5}[which])
+    rng = np.random.default_rng(399)
+    noise = rng.random((1, t * hop)).astype(np.float32)
+
+    with PatchedNoise(rand_like=noise), torch.no_grad():
+        t_wav, _, _ = tm(
+            torch.from_numpy(units), torch.from_numpy(f0),
+            torch.from_numpy(volume), infer=True,
+        )
+    import jax
+
+    o_wav, _, _ = fm.apply(
+        {"params": params, "buffers": buffers},
+        jnp.asarray(units), jnp.asarray(f0), jnp.asarray(volume),
+        infer=True, noise=jnp.asarray(noise * 2.0 - 1.0),
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    report.add(f"{which}/wav", snr_db(t_wav.numpy(), np.asarray(o_wav)),
+               BOUNDS_DB["ddsp_wav"])
+
+
+FAMILY_CHECKS = {
+    "diffusion_fast": check_diffusion_fast,
+    "reflow": check_reflow,
+    "unit2mel": check_unit2mel,
+    "sins": lambda ref, rep, s: _check_legacy(ref, rep, s, "sins"),
+    "combsub": lambda ref, rep, s: _check_legacy(ref, rep, s, "combsub"),
+}
+
+
+def self_check(seconds: float, families=None) -> int:
+    print("verify_parity --self-check: reference torch modules at seeded "
+          "random init -> convert/ -> per-stage SNR")
+    ref = import_reference()
+    report = Report()
+    for fam in families or FAMILY_CHECKS:
+        print(f"-- family: {fam}")
+        FAMILY_CHECKS[fam](ref, report, seconds)
     print("self-check:", "PASS" if report.ok else "FAIL")
     return 0 if report.ok else 1
 
@@ -422,6 +630,9 @@ def real_weights(cmd) -> int:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--self-check", action="store_true")
+    p.add_argument("--families", default=None,
+                   help="comma list of self-check families (default all): "
+                        + ",".join(FAMILY_CHECKS))
     p.add_argument("--seconds", type=float, default=0.5)
     p.add_argument("--model")
     p.add_argument("--config")
@@ -438,7 +649,13 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     if cmd.self_check:
-        return self_check(cmd.seconds)
+        fams = None
+        if cmd.families:
+            fams = [f.strip() for f in cmd.families.split(",") if f.strip()]
+            unknown = set(fams) - set(FAMILY_CHECKS)
+            if unknown:
+                p.error(f"unknown families: {sorted(unknown)}")
+        return self_check(cmd.seconds, fams)
     if not (cmd.model and cmd.config and cmd.wav):
         p.error("--model/--config/--wav required (or --self-check)")
     return real_weights(cmd)

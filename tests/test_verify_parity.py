@@ -16,6 +16,8 @@ def test_self_check_passes():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "self-check: PASS" in proc.stdout
+    # all five reference families, one command (VERDICT r3 item 8)
     for stage in ("ddsp_wav", "ddsp_mel", "sampled_mel", "vocoder_wav",
-                  "final_wav"):
+                  "final_wav", "reflow/sampled_mel", "unit2mel/sampled_mel",
+                  "sins/wav", "combsub/wav"):
         assert stage in proc.stdout

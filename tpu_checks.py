@@ -559,19 +559,19 @@ def check_batcher_pipelined():
 def check_encoder_batched():
     """BatchedEncoder on the real chip: a zero-padded batch row's units must
     match the solo encode of the unpadded request (masked HuBERT forward,
-    features/hubert.py) at the production encoder size (contentvec768l12)."""
+    features/hubert.py) at the production encoder size (contentvec768l12).
+
+    Two precision regimes, because the delta's ROOT CAUSE is precision, not
+    masking (CPU f32 agrees to ~1e-6): at the TPU's default matmul precision
+    the MXU's bf16-pass rounding is shape-dependent, so the padded bucket
+    shape rounds differently from the solo shape through the 12 layers
+    (~7.5e-3 rel measured).  With `jax.default_matmul_precision('highest')`
+    both shapes use full-f32 passes and must agree at reduction-noise level
+    — that field is the masking-exactness gate (<=1e-4, VERDICT r3 item 4)."""
     from ddsp_svc_tpu.features.hubert import UnitsEncoder
     from ddsp_svc_tpu.infer.enc_batcher import BatchedEncoder
 
     sr, hop = 44100, 512
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        enc = UnitsEncoder("contentvec768l12")
-    dev = jax.devices()[0]
-    enc.variables = jax.tree.map(
-        lambda a: jax.device_put(np.asarray(a), dev), dict(enc.variables)
-    )
-
     rng = np.random.default_rng(7)
     lengths = [int(0.8 * sr), int(1.4 * sr)]
     audio = [
@@ -580,32 +580,61 @@ def check_encoder_batched():
         for n in lengths
     ]
     bucket = lengths[-1] // hop + 1
-    eng = BatchedEncoder(enc, frame_buckets=(bucket,), max_batch=2,
-                         max_wait_ms=1000.0)
+
+    def run_regime():
+        # fresh encoder + engine per regime: their jits trace (and bake the
+        # ambient matmul precision) on first call
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            enc = UnitsEncoder("contentvec768l12")
+        dev = jax.devices()[0]
+        enc.variables = jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a), dev), dict(enc.variables)
+        )
+        eng = BatchedEncoder(enc, frame_buckets=(bucket,), max_batch=2,
+                             max_wait_ms=1000.0)
+        try:
+            import threading
+
+            results = [None, None]
+
+            def run(i):
+                results[i] = _fetch(eng.encode(audio[i], sr, hop))
+
+            threads = [threading.Thread(target=run, args=(i,))
+                       for i in (0, 1)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            stats = eng.stats()
+        finally:
+            eng.close()
+        worst = 0.0
+        for i, a in enumerate(audio):
+            ref = _fetch(enc.encode(jnp.asarray(a)[None], sr, hop))
+            denom = max(float(np.abs(ref).max()), 1e-9)
+            worst = max(worst,
+                        float(np.abs(results[i] - ref).max()) / denom)
+        return worst, stats["batches"]
+
+    worst_default, batches = run_regime()
+    # NOT the `jax.default_matmul_precision(...)` context manager: that is
+    # thread-local, and the BatchedEncoder compiles its forward in its own
+    # worker thread (which would silently stay at default precision while
+    # the solo side compiled at highest — measured exactly that skew:
+    # 1.5e-2 'highest' vs 7.5e-3 default). The config.update form is
+    # process-global and reaches the worker thread.
+    jax.config.update("jax_default_matmul_precision", "highest")
     try:
-        import threading
-
-        results = [None, None]
-
-        def run(i):
-            results[i] = _fetch(eng.encode(audio[i], sr, hop))
-
-        threads = [threading.Thread(target=run, args=(i,)) for i in (0, 1)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        stats = eng.stats()
+        worst_highest, _ = run_regime()
     finally:
-        eng.close()
-
-    worst = 0.0
-    for i, a in enumerate(audio):
-        ref = _fetch(enc.encode(jnp.asarray(a)[None], sr, hop))
-        denom = max(float(np.abs(ref).max()), 1e-9)
-        worst = max(worst, float(np.abs(results[i] - ref).max()) / denom)
-    return {"ok": bool(worst < 1e-2 and stats["batches"] == 1),
-            "max_rel_err": worst, "batches": stats["batches"]}
+        jax.config.update("jax_default_matmul_precision", None)
+    return {"ok": bool(worst_highest < 1e-4 and worst_default < 2e-2
+                       and batches == 1),
+            "max_rel_err_highest": worst_highest,
+            "max_rel_err_default_precision": worst_default,
+            "batches": batches}
 
 def check_cascade_bf16_quality():
     """DiffusionFast cascade bf16 activations vs f32: refined-mel SNR (the
@@ -715,12 +744,29 @@ def main(names=None):
     except Exception:
         results = {}
     for name in names or list(CHECKS):
-        try:
-            out = CHECKS[name]()
-            out["platform"] = jax.devices()[0].platform
-            out["measured_at_unix"] = time.time()
-        except Exception as e:
-            out = {"ok": False, "error": str(e)[:200]}
+        # transient tunnel failures (remote_compile HTTP 500, UNIMPLEMENTED
+        # d2h) recover within minutes — retry the whole check before
+        # recording a failure (round-3's device_yin was recorded failed on
+        # a single 500 that a retry would have cleared)
+        for attempt in range(3):
+            try:
+                out = CHECKS[name]()
+                out["platform"] = jax.devices()[0].platform
+                out["measured_at_unix"] = time.time()
+                break
+            except Exception as e:
+                out = {"ok": False, "error": str(e)[:300]}
+                msg = str(e)
+                transient = any(s in msg for s in (
+                    "remote_compile", "UNIMPLEMENTED", "INTERNAL",
+                    "DEADLINE_EXCEEDED", "UNAVAILABLE"))
+                if not transient or attempt == 2:
+                    break
+                wait = 60.0 * (attempt + 1)
+                print(f" [!] {name} transient failure (attempt "
+                      f"{attempt + 1}/3), retrying in {wait:.0f}s: "
+                      f"{msg[:120]}", flush=True)
+                time.sleep(wait)
         results[name] = out
         with open(RESULTS, "w") as f:
             json.dump(results, f, indent=1, default=lambda o: (
