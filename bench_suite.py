@@ -491,6 +491,122 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
     }
 
 
+def bench_serving_soak(seconds=None, max_batch=8, n_clients=12,
+                       buckets=(256, 512), max_signatures=4):
+    """Sustained mixed-signature load (VERDICT r3 item 6): closed-loop
+    client threads submit varying (bucket, sampler-signature) requests to
+    the flagship batcher for SOAK_SECONDS (default 600 on hardware),
+    recording req/s, p50/p99 latency, RSS growth, and compile-cache size —
+    the long-running flask_api.py deployment model the fuzz tests don't
+    cover."""
+    import threading
+
+    from ddsp_svc_tpu.infer.batcher import BatchedSynth
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+
+    if seconds is None:
+        seconds = float(os.environ.get("SOAK_SECONDS", "600"))
+
+    def rss_mb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+        return 0.0
+
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=2)
+    with _cpu():
+        variables = jax.jit(lambda: model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        ))()
+    params = _put(dict(variables))["params"]
+
+    rng = np.random.default_rng(0)
+    req_pool = []
+    for i in range(32):
+        t = int(rng.choice(buckets)) - int(rng.integers(0, 64))
+        units = rng.standard_normal((t, N_UNIT)).astype(np.float32)
+        f0 = (220.0 * np.exp(0.1 * rng.standard_normal((t, 1)))).astype(
+            np.float32)
+        vol = 0.5 * np.ones((t, 1), np.float32)
+        req_pool.append((units, f0, vol, int(rng.integers(1, 3))))
+
+    eng = BatchedSynth(model, params, buckets=buckets, max_batch=max_batch,
+                       max_wait_ms=10.0, transfer="mulaw",
+                       pipeline_depth=3)
+    lat_lock = threading.Lock()
+    latencies = []  # (t_done, seconds)
+    errors = []
+    stop = threading.Event()
+    try:
+        # warm every bucket (compile outside the measured window)
+        for t_warm in buckets:
+            u = np.zeros((t_warm, N_UNIT), np.float32)
+            eng.infer(u, 220.0 * np.ones((t_warm, 1), np.float32),
+                      0.5 * np.ones((t_warm, 1), np.float32), spk_id=1,
+                      key=jax.random.PRNGKey(0))
+        rss_start = rss_mb()
+        t_end = time.time() + seconds
+
+        def client(cid):
+            crng = np.random.default_rng(cid)
+            while not stop.is_set() and time.time() < t_end:
+                u, f, v, spk = req_pool[int(crng.integers(0, len(req_pool)))]
+                t0 = time.perf_counter()
+                try:
+                    eng.infer(u, f, v, spk_id=spk,
+                              key=jax.random.PRNGKey(int(crng.integers(1e9))))
+                except Exception as e:
+                    errors.append(e)
+                    stop.set()
+                    return
+                dt = time.perf_counter() - t0
+                with lat_lock:
+                    latencies.append((time.time(), dt))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        t_start = time.time()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.time() - t_start
+        rss_end = rss_mb()
+        stats = eng.stats()
+    finally:
+        stop.set()
+        eng.close()
+    if errors:
+        raise errors[0]
+
+    lat = sorted(latencies)
+    mid = lat[len(lat) // 2][0]
+    first = np.array([d for ts, d in lat if ts <= mid])
+    second = np.array([d for ts, d in lat if ts > mid])
+    p99_first = float(np.percentile(first, 99)) if len(first) else 0.0
+    p99_second = float(np.percentile(second, 99)) if len(second) else 0.0
+    drift = (p99_second / p99_first - 1.0) if p99_first else 0.0
+    all_lat = np.array([d for _, d in lat])
+    return {
+        "metric": "serving_soak_req_per_s",
+        "value": round(len(lat) / wall, 2),
+        "unit": "requests_per_second_sustained",
+        "soak_seconds": round(wall, 1),
+        "requests": len(lat),
+        "p50_ms": round(1000 * float(np.percentile(all_lat, 50)), 1),
+        "p99_ms": round(1000 * float(np.percentile(all_lat, 99)), 1),
+        "p99_drift_first_to_second_half": round(drift, 4),
+        "p99_drift_within_bound_0p2": bool(abs(drift) < 0.2),
+        "rss_start_mb": round(rss_start, 1),
+        "rss_end_mb": round(rss_end, 1),
+        "compiled_signatures": stats["compiled_signatures"],
+        "vs_baseline": None,
+    }
+
+
 def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
                             transfer=None, transfer_in="f32",
                             device_stage=True, pipeline_depth=1,
@@ -988,6 +1104,16 @@ DICT_CONFIGS = {
                                         pipeline_depth=3, device_f0=True),
         "serving_diffusion_devf0_mulaw_f16in_pipelined_throughput_rtf_44k1",
         "aggregate_x_realtime_per_chip"),
+    # batched device front-end (r4): --device_f0 + --batch_encoder fuse
+    # the vmapped YIN INTO the batched masked encode — pitch + units for a
+    # whole batch is ONE device program (the 16 x ~30 ms of serial B=1
+    # front-end programs were the measured binder, PERF.md r4)
+    "serving_diffusion_batchfe": (
+        lambda: bench_serving_diffusion(transfer="mulaw", transfer_in="f16",
+                                        pipeline_depth=3, device_f0=True,
+                                        batch_encoder=True),
+        "serving_diffusion_devf0_bencoder_mulaw_f16in_pipelined_throughput_rtf_44k1",
+        "aggregate_x_realtime_per_chip"),
     # + the units encoder batched across requests (one masked HuBERT
     # dispatch per batch instead of one per request)
     "serving_diffusion_bencoder": (
@@ -1002,6 +1128,11 @@ DICT_CONFIGS = {
                                         pipeline_depth=3),
         "serving_diffusion_hoststage_mulaw_f16in_pipelined_throughput_rtf_44k1",
         "aggregate_x_realtime_per_chip"),
+    # sustained mixed-signature load; SOAK_SECONDS env sets the window
+    # (default 600 s — the long-running flask_api deployment model)
+    "serving_soak": (lambda: bench_serving_soak(),
+                     "serving_soak_req_per_s",
+                     "requests_per_second_sustained"),
     "train": (lambda: bench_train(), "train_rtf_44k1",
               "audio_seconds_trained_per_wall_second_per_chip"),
     "train_diffusion": (lambda: bench_train_diffusion(),
@@ -1100,13 +1231,50 @@ def run_scaling(dp_list=(1, 2, 4, 8), per_dev_batch=8, seconds=2.0,
         per_chip = audio_s_per_step / step_s / dp
         if base_per_chip is None:
             base_per_chip = per_chip
+
+        # SAME-RESOURCE CONTROL (meaningful efficiency on a virtual mesh):
+        # the naive column divides by the dp=1 per-chip number, which on N
+        # virtual devices sharing one host conflates partitioning overhead
+        # with plain core oversubscription (dp8 on a 4-core host collapses
+        # to 0.18 "efficiency" with zero information content). The control
+        # runs the SAME global batch as ONE unsharded program on the same
+        # host: identical FLOPs, identical cores — so
+        # control_step / dp_step isolates what partitioning itself costs
+        # (collectives + SPMD program overhead). On real chips the naive
+        # column is the right one; here the control column is.
+        ctrl_s = None
+        if dp > 1:
+            batch1 = {k: jax.device_put(v, devices[0])
+                      for k, v in {
+                          "units": units, "f0": f0, "volume": volume,
+                          "spk_id": spk + 1, "audio": audio}.items()}
+            state1 = jax.tree.map(
+                lambda a: jax.device_put(a, devices[0])
+                if hasattr(a, "dtype") else a,
+                create_train_state(model, variables["params"]),
+            )
+            state1, m1 = step_fn(state1, batch1, jax.random.PRNGKey(2))
+            _sync(m1["loss"])
+            ctimes = []
+            for i in range(timing_steps):
+                t0 = time.perf_counter()
+                state1, m1 = step_fn(state1, batch1,
+                                     jax.random.PRNGKey(3 + i))
+                _sync(m1["loss"])
+                ctimes.append(time.perf_counter() - t0)
+            ctrl_s = float(np.median(ctimes))
+
         line = {
             "dp": dp,
             "platform": platform,
             "global_batch": b,
             "audio_s_per_s_per_chip": round(per_chip, 2),
-            "scaling_efficiency": round(per_chip / base_per_chip, 4),
+            "scaling_efficiency_naive": round(per_chip / base_per_chip, 4),
             "step_ms": round(1000 * step_s, 2),
+            "control_same_batch_1dev_step_ms": (
+                round(1000 * ctrl_s, 2) if ctrl_s else None),
+            "efficiency_vs_same_resource_control": (
+                round(ctrl_s / step_s, 4) if ctrl_s else 1.0),
             "allreduce_mb_compiled": round(ar_bytes / 1e6, 3),
             "allreduce_mb_predicted": round(
                 param_bytes / 1e6 if dp > 1 else 0.0, 3
@@ -1116,6 +1284,46 @@ def run_scaling(dp_list=(1, 2, 4, 8), per_dev_batch=8, seconds=2.0,
         results[f"dp{dp}_{platform}"] = line
         _save_results(out_path, results)
         print(json.dumps(line), flush=True)
+
+    # written pod extrapolation: what >=85 % requires on real hardware,
+    # from the compiled collective bytes + the measured on-chip step time
+    train_row = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SUITE.json")) as f:
+            train_row = json.load(f).get("train")
+    except Exception:
+        pass
+    step_ms_chip = None
+    if train_row and train_row.get("steps_per_s"):
+        step_ms_chip = 1000.0 / float(train_row["steps_per_s"])
+    ar_mb = results.get(f"dp{max(dp_list)}_{platform}", {}).get(
+        "allreduce_mb_compiled", round(param_bytes / 1e6, 3))
+    # v5e: 4 ICI links/chip at ~45 GB/s each way (2D torus). Bidirectional
+    # ring all-reduce moves 2*(dp-1)/dp*bytes per chip, split over links.
+    ici_gbs = 45.0
+    ar_ms = 2.0 * ar_mb / 1e3 / ici_gbs * 1000.0  # large-dp limit, 1 link
+    results["v5e_pod_extrapolation"] = {
+        "allreduce_mb_per_step_compiled": ar_mb,
+        "ici_assumed_gb_s_per_link": ici_gbs,
+        "allreduce_ms_large_dp_single_link_bound": round(ar_ms, 3),
+        "measured_onchip_step_ms": (round(step_ms_chip, 2)
+                                    if step_ms_chip else None),
+        "predicted_dp_efficiency": (
+            round(step_ms_chip / (step_ms_chip + ar_ms), 4)
+            if step_ms_chip else None),
+        "note": ("flagship grads are ~12.3 MB/step (compiled HLO); on v5e "
+                 "ICI the all-reduce is <=~0.55 ms even single-link, vs "
+                 "the measured ~29 ms on-chip step -> ~98 % dp efficiency "
+                 "without overlap. >=85 % holds until step time drops "
+                 "below ~3 ms (10x today's) or grads grow ~10x; DCN "
+                 "crosses once per step at the reduction-tree top "
+                 "(multi-host, SCALING.md)."),
+        "measured_at_unix": time.time(),
+    }
+    _save_results(out_path, results)
+    print(json.dumps({"v5e_pod_extrapolation":
+                      results["v5e_pod_extrapolation"]}), flush=True)
 
 
 def run_cost_analysis(names=None):

@@ -163,6 +163,7 @@ class BatchedSynth:
         self._n_batches = 0
         self._n_rows = 0  # real rows across batches (occupancy numerator)
         self._latencies_ms: list[float] = []  # ring, newest-last
+        self._batch_trace: list[dict] = []  # per-batch wall breakdown ring
         self.pipeline_depth = max(1, int(pipeline_depth))
         self._deliver_q = None
         self._delivery = None
@@ -207,12 +208,26 @@ class BatchedSynth:
             self.device_stage and self.mesh is None
             and is_dev(units) and is_dev(f0) and is_dev(volume)
         )
+        # pad to the bucket HERE, in the submitting thread: staging work
+        # (and its async-dispatch enqueue cost on a tunneled backend) runs
+        # in parallel across client threads instead of serializing in the
+        # worker's batch-formation critical path
         if not on_device:
             if any(is_dev(a) for a in (units, f0, volume)):
                 jax.effects_barrier()  # axon: a fetch needs a barrier first
-            units = np.asarray(units, np.float32)
-            f0 = np.asarray(f0, np.float32)
-            volume = np.asarray(volume, np.float32)
+            in_dtype = np.float16 if self.transfer_in == "f16" else np.float32
+            u = np.zeros((bucket, units.shape[1]), in_dtype)
+            u[:t] = np.asarray(units, np.float32)
+            f = np.full((bucket, 1), 220.0, np.float32)
+            f[:t] = np.asarray(f0, np.float32)
+            v = np.zeros((bucket, 1), np.float32)
+            v[:t] = np.asarray(volume, np.float32)
+            units, f0, volume = u, f, v
+        else:
+            pad = ((0, bucket - t), (0, 0))
+            units = jnp.pad(units.astype(jnp.float32), pad)
+            f0 = jnp.pad(f0.astype(jnp.float32), pad, constant_values=220.0)
+            volume = jnp.pad(volume.astype(jnp.float32), pad)
         req = _Request(
             units, f0, volume, int(spk_id), key, t, bucket, sig,
             on_device=on_device,
@@ -259,6 +274,25 @@ class BatchedSynth:
                            jnp.asarray(vol), spk_id=1,
                            key=jax.random.PRNGKey(0), sig=sig,
                            record_stats=False)
+            # right-sized batches (_batch_slots): each pow-2 row count is
+            # its own compiled shape — warm them all (both input dtypes
+            # that staging can produce) so load spikes never hit a compile
+            sizes = sorted({self._batch_slots(k)
+                            for k in range(1, self.max_batch + 1)} - {1})
+            in_dtypes = [np.float32]
+            if self.transfer_in == "f16":
+                in_dtypes.append(np.float16)
+            fn = self._fn(bucket, sig)
+            for n in sizes:
+                for dt in in_dtypes:
+                    fn(self.params,
+                       jnp.asarray(np.zeros((n, bucket, n_unit), dt)),
+                       jnp.asarray(np.full((n, bucket, 1), 220.0,
+                                           np.float32)),
+                       jnp.asarray(np.zeros((n, bucket, 1), np.float32)),
+                       jnp.ones((n, 1), jnp.int32),
+                       jnp.stack([jax.random.PRNGKey(0)] * n))
+            jax.effects_barrier()
 
     def stats(self) -> dict:
         """Serving counters for monitoring endpoints: request/error/batch
@@ -286,6 +320,7 @@ class BatchedSynth:
             "max_batch": self.max_batch,
             "pipeline_depth": self.pipeline_depth,
             "compiled_signatures": len(self._jit),
+            "recent_batches": list(self._batch_trace[-16:]),
         }
 
     def close(self):
@@ -436,7 +471,7 @@ class BatchedSynth:
             if not batch:
                 continue
             try:
-                self._run(batch)
+                self._run(batch, time.monotonic())
             except Exception as e:  # deliver the failure to every caller
                 for r in batch:
                     r.error = e
@@ -453,67 +488,102 @@ class BatchedSynth:
             keys.append(jax.random.PRNGKey(0))
         return jnp.asarray(spk), jnp.stack(keys)
 
-    def _dispatch(self, out, batch: list[_Request]):
+    def _dispatch(self, out, batch: list[_Request], trace: dict | None = None):
         if self._deliver_q is not None:
             # async dispatch done; the delivery thread barriers + fetches
             # while this worker collects and dispatches the next batch
-            self._deliver_q.put((out, batch))
+            self._deliver_q.put((out, batch, trace))
         else:
-            self._finish(out, batch)
+            self._finish(out, batch, trace)
 
-    def _run(self, batch: list[_Request]):
+    def _batch_slots(self, n_real: int) -> int:
+        """Padded row count for a batch: the mesh path keeps the full
+        max_batch (sharding divisibility); otherwise the next power of two
+        >= n_real. Before round 4 every batch padded to max_batch, so a
+        0.6-occupancy load synthesized 1/0.6 = 1.67x dummy-row compute —
+        right-sizing erases that at the cost of log2(max_batch) compiled
+        shapes per (bucket, sig), all covered by warmup()."""
+        if self.mesh is not None:
+            return self.max_batch
+        return min(self.max_batch, 1 << max(0, (n_real - 1).bit_length()))
+
+    def _run(self, batch: list[_Request], t_formed: float | None = None):
+        t_formed = t_formed if t_formed is not None else time.monotonic()
         bucket = batch[0].bucket
-        n = self.max_batch
+        n = self._batch_slots(len(batch))
         c = batch[0].units.shape[1]
         if batch[0].on_device:
-            return self._run_device(batch, bucket, n, c)
+            return self._run_device(batch, bucket, n, c, t_formed)
+        # rows arrive bucket-padded from infer(); stack + dummy-fill only
         in_dtype = np.float16 if self.transfer_in == "f16" else np.float32
         units = np.zeros((n, bucket, c), in_dtype)
         f0 = np.full((n, bucket, 1), 220.0, np.float32)
         volume = np.zeros((n, bucket, 1), np.float32)
         for i, r in enumerate(batch):
-            units[i, : r.n_frames] = r.units
-            f0[i, : r.n_frames] = r.f0
-            volume[i, : r.n_frames] = r.volume
+            units[i] = r.units
+            f0[i] = r.f0
+            volume[i] = r.volume
         spk, keys = self._spk_keys(batch, n)
+        t_staged = time.monotonic()
         out = self._fn(bucket, batch[0].sig)(
             self.params, jnp.asarray(units), jnp.asarray(f0),
             jnp.asarray(volume), spk, keys,
         )
-        self._dispatch(out, batch)
+        self._dispatch(out, batch,
+                       {"formed": t_formed, "staged": t_staged,
+                        "dispatched": time.monotonic(), "slots": n})
 
-    def _run_device(self, batch: list[_Request], bucket: int, n: int, c: int):
-        """Device-resident staging: pad + stack requests with async jnp ops
-        (no host barrier/fetch/re-upload). transfer_in codecs don't apply —
-        the inputs never cross the wire; outputs still ride self.transfer."""
-        def pad_rows(get, fill, width):
-            rows = [
-                jnp.pad(
-                    get(r).astype(jnp.float32),
-                    ((0, bucket - r.n_frames), (0, 0)),
-                    constant_values=fill,
-                )
-                for r in batch
-            ]
+    def _run_device(self, batch: list[_Request], bucket: int, n: int, c: int,
+                    t_formed: float | None = None):
+        """Device-resident staging: rows arrive bucket-padded (async jnp
+        pads enqueued by each submitting thread); the worker only stacks —
+        3 enqueues per batch instead of ~3 per request. transfer_in codecs
+        don't apply (inputs never cross the wire); outputs ride
+        self.transfer."""
+        def stack(get, fill, width):
+            rows = [get(r) for r in batch]
             while len(rows) < n:
                 rows.append(jnp.full((bucket, width), fill, jnp.float32))
             return jnp.stack(rows)
 
-        units = pad_rows(lambda r: r.units, 0.0, c)
-        f0 = pad_rows(lambda r: r.f0, 220.0, 1)
-        volume = pad_rows(lambda r: r.volume, 0.0, 1)
+        t_formed = t_formed if t_formed is not None else time.monotonic()
+        units = stack(lambda r: r.units, 0.0, c)
+        f0 = stack(lambda r: r.f0, 220.0, 1)
+        volume = stack(lambda r: r.volume, 0.0, 1)
         spk, keys = self._spk_keys(batch, n)
+        t_staged = time.monotonic()
         out = self._fn(bucket, batch[0].sig)(
             self.params, units, f0, volume, spk, keys,
         )
-        self._dispatch(out, batch)
+        self._dispatch(out, batch,
+                       {"formed": t_formed, "staged": t_staged,
+                        "dispatched": time.monotonic(), "slots": n})
 
-    def _finish(self, out, batch: list[_Request]):
+    def _finish(self, out, batch: list[_Request], trace: dict | None = None):
         jax.effects_barrier()
+        t_barrier = time.monotonic()
         out = np.asarray(out)
+        t_fetched = time.monotonic()
         with self._stats_lock:
             self._n_batches += 1
             self._n_rows += len(batch)
+            if trace is not None:
+                # per-batch wall breakdown (stats()['recent_batches']):
+                # stage = worker staging enqueues, dispatch = jit call,
+                # barrier = wait for device compute (incl. anything else
+                # enqueued — axon's barrier is global), fetch = d2h bytes
+                self._batch_trace.append({
+                    "rows": len(batch), "slots": trace["slots"],
+                    "stage_ms": round(1e3 * (trace["staged"]
+                                             - trace["formed"]), 1),
+                    "dispatch_ms": round(1e3 * (trace["dispatched"]
+                                                - trace["staged"]), 1),
+                    "barrier_ms": round(1e3 * (t_barrier
+                                               - trace["dispatched"]), 1),
+                    "fetch_ms": round(1e3 * (t_fetched - t_barrier), 1),
+                })
+                if len(self._batch_trace) > 64:
+                    del self._batch_trace[:-64]
         if self.transfer == "i16":
             out = out.astype(np.float32) / 32767.0
         elif self.transfer == "mulaw":
@@ -528,9 +598,9 @@ class BatchedSynth:
             item = self._deliver_q.get()
             if item is None:
                 return
-            out, batch = item
+            out, batch, trace = item
             try:
-                self._finish(out, batch)
+                self._finish(out, batch, trace)
             except Exception as e:  # a failed fetch fails only its batch
                 for r in batch:
                     r.error = e

@@ -44,6 +44,7 @@ class _EncRequest:
     index: np.ndarray  # per-request synth-grid gather index
     done: threading.Event = field(default_factory=threading.Event)
     result: object = None  # (1, t, C) device array
+    result_f0: object = None  # (1, T_bucket, 1) device array (with_f0 mode)
     error: Exception | None = None
 
     @property
@@ -64,11 +65,24 @@ class BatchedEncoder:
         frame_buckets: tuple[int, ...] = (128, 256, 512, 1024),
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
+        with_f0: bool = False,
+        f0_min: float = 50.0,
+        f0_max: float = 1100.0,
     ):
+        """``with_f0``: fuse a vmapped on-device YIN
+        (features/yin_jax.py) into the same batched dispatch — the whole
+        per-request device front-end (pitch + units) becomes ONE program
+        per batch. Measured motivation (PERF.md r4): at B=1 each YIN is
+        ~10-20 ms and each encode ~17 ms of serial device time, so 16
+        concurrent requests spend ~480 ms of chip time on front-end
+        programs alone; the batched fusion amortizes both."""
         self.enc = units_encoder
         self.frame_buckets = tuple(sorted(frame_buckets))
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        self.with_f0 = bool(with_f0)
+        self.f0_min, self.f0_max = float(f0_min), float(f0_max)
+        self._solo_f0_fns: dict = {}
         self._fns: dict = {}  # (bucket_len, sample_rate) -> jitted fn
         self._q: queue.Queue = queue.Queue()
         self._pending: list[_EncRequest] = []
@@ -111,6 +125,56 @@ class BatchedEncoder:
             raise req.error
         return req.result
 
+    def encode_with_f0(self, audio, sample_rate: int, hop_size: int):
+        """audio (L,) host float -> (units (1, t, C), f0 (1, T_bucket, 1)),
+        both device-resident, computed in ONE batched dispatch (requires
+        ``with_f0=True``). The f0 row covers the padded bucket — slice to
+        the request's frame count; values match the solo device-YIN
+        (make_pipeline_f0_fn) for every valid frame: YIN is frame-local
+        and the zero-padded tail is unvoiced, so the per-row unvoiced
+        interpolation sees the same voiced support."""
+        if not self.with_f0:
+            raise RuntimeError("BatchedEncoder built without with_f0")
+        if isinstance(audio, jnp.ndarray) and not isinstance(audio, np.ndarray):
+            jax.effects_barrier()
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        t = audio.shape[0] // hop_size + 1
+        bucket = None
+        for b in self.frame_buckets:
+            if t <= b:
+                bucket = b
+                break
+        if bucket is None or self._stop:
+            units = self.enc.encode(jnp.asarray(audio)[None], sample_rate,
+                                    hop_size)
+            f0 = self._solo_f0(audio, sample_rate, hop_size)
+            return units, f0
+        req = _EncRequest(
+            audio, sample_rate, hop_size, bucket * hop_size,
+            self.enc.align_index(audio.shape[0], sample_rate, hop_size),
+        )
+        self._q.put(req)
+        while not req.done.wait(timeout=1.0):
+            if self._stop and not req.done.is_set():
+                raise RuntimeError("BatchedEncoder closed")
+        with self._stats_lock:
+            self._n_requests += 1
+        if req.error is not None:
+            raise req.error
+        return req.result, req.result_f0
+
+    def _solo_f0(self, audio: np.ndarray, sample_rate: int, hop_size: int):
+        from ..features.yin_jax import make_pipeline_f0_fn
+
+        key = (audio.shape[0], sample_rate, hop_size)
+        fn = self._solo_f0_fns.get(key)
+        if fn is None:
+            fn = jax.jit(make_pipeline_f0_fn(
+                audio.shape[0], sample_rate, hop_size,
+                self.f0_min, self.f0_max))
+            self._solo_f0_fns[key] = fn
+        return fn(jnp.asarray(audio))[None, :, None]
+
     def warmup(self, sample_rate: int, hop_size: int) -> None:
         """Compile each bucket's batched graph before traffic arrives."""
         for b in self.frame_buckets:
@@ -147,12 +211,24 @@ class BatchedEncoder:
             r.done.set()
 
     # ---- internals ------------------------------------------------------
-    def _fn(self, bucket_len: int, sample_rate: int):
-        key = (bucket_len, sample_rate)
+    def _fn(self, bucket_len: int, sample_rate: int, hop_size: int):
+        key = (bucket_len, sample_rate, hop_size)
         fn = self._fns.get(key)
         if fn is None:
-            fn = jax.jit(self.enc.make_batched_encode_fn(sample_rate,
-                                                         bucket_len))
+            enc_fn = self.enc.make_batched_encode_fn(sample_rate, bucket_len)
+            if self.with_f0:
+                from ..features.yin_jax import make_pipeline_f0_fn
+
+                yin = make_pipeline_f0_fn(bucket_len, sample_rate, hop_size,
+                                          self.f0_min, self.f0_max)
+
+                def fused(variables, audio, valid):
+                    return (enc_fn(variables, audio, valid),
+                            jax.vmap(yin)(audio))
+
+                fn = jax.jit(fused)
+            else:
+                fn = jax.jit(enc_fn)
             self._fns[key] = fn
         return fn
 
@@ -201,16 +277,17 @@ class BatchedEncoder:
                     r.done.set()
 
     def _run(self, batch: list[_EncRequest]):
-        bucket_len, sample_rate, _hop = batch[0].group
+        bucket_len, sample_rate, hop = batch[0].group
         n = self.max_batch
         audio = np.zeros((n, bucket_len), np.float32)
         valid = np.full((n,), bucket_len, np.int32)  # dummy rows: full length
         for i, r in enumerate(batch):
             audio[i, : r.audio.shape[0]] = r.audio
             valid[i] = r.audio.shape[0]
-        units = self._fn(bucket_len, sample_rate)(
+        out = self._fn(bucket_len, sample_rate, hop)(
             self.enc.variables, jnp.asarray(audio), jnp.asarray(valid)
         )
+        units, f0b = out if self.with_f0 else (out, None)
         with self._stats_lock:
             self._n_batches += 1
             self._n_rows += len(batch)
@@ -218,4 +295,6 @@ class BatchedEncoder:
             # async device gather: result rows stay on device for the
             # synthesis batcher's device staging
             r.result = jnp.take(units[i], jnp.asarray(r.index), axis=0)[None]
+            if f0b is not None:
+                r.result_f0 = f0b[i][None, :, None]
             r.done.set()

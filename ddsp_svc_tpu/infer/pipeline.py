@@ -141,6 +141,12 @@ class SvcPipeline:
             self.enc_batcher = BatchedEncoder(
                 self.units_encoder, frame_buckets=buckets,
                 max_batch=max_batch, max_wait_ms=max_wait_ms,
+                # --device_f0 + --batch_encoder compose: the vmapped YIN
+                # fuses into the same batched dispatch, so the whole
+                # per-request device front-end (pitch + units) is ONE
+                # program per batch (PERF.md r4 attribution)
+                with_f0=self.device_f0, f0_min=self.f0_min,
+                f0_max=self.f0_max,
             )
         if self.family == "ddsp":
             self.batcher = BatchedSynth(
@@ -386,7 +392,16 @@ class SvcPipeline:
         # does no pitch work at all. The enhancer consumes the f0 track
         # after synthesis, so it keeps the standalone-dispatch form.
         fold_f0 = self.device_f0 and fuse_encoder and self.enhancer is None
-        if fold_f0:
+        # batched front-end: device_f0 + BatchedEncoder(with_f0) — f0 comes
+        # out of the SAME batched dispatch as the units (one program per
+        # batch for the whole front-end)
+        batch_fe = (
+            self.device_f0 and not fuse_encoder
+            and self.enc_batcher is not None
+            and getattr(self.enc_batcher, "with_f0", False)
+            and start_frame_f0 == 0
+        )
+        if fold_f0 or batch_fe:
             f0 = None
         elif self.device_f0:
             # jitted YIN on the accelerator (features/yin_jax.py): the f0
@@ -441,7 +456,13 @@ class SvcPipeline:
             t = audio_j.shape[-1] // hop + 1  # encode()'s frame contract
         else:
             enc_batcher = self.enc_batcher
-            if enc_batcher is not None:
+            if enc_batcher is not None and batch_fe:
+                # one batched dispatch for the whole front-end: masked
+                # units encode + vmapped YIN (enc_batcher.encode_with_f0)
+                units, f0 = enc_batcher.encode_with_f0(
+                    audio, sample_rate, hop)
+                f0 = f0 * 2 ** (key_shift / 12.0)
+            elif enc_batcher is not None:
                 # batched masked encode (exact vs solo); result is device-
                 # resident and feeds the synth batcher's device staging
                 units = enc_batcher.encode(audio, sample_rate, hop)

@@ -144,3 +144,53 @@ def test_batched_encoder_close_fails_pending():
     b.close()
     out = b.encode(np.zeros(1000, np.float32), 16000, 320)  # falls back solo
     assert out.shape[1] == 1000 // 320 + 1
+
+
+def test_batched_encoder_with_f0():
+    """with_f0 mode: the fused batched dispatch's per-row YIN must match
+    the solo device-YIN (make_pipeline_f0_fn) on every valid frame — YIN
+    is frame-local and padded tails are unvoiced, so batching must not
+    change a request's pitch track (PERF.md r4 batched front-end)."""
+    from ddsp_svc_tpu.features.yin_jax import make_pipeline_f0_fn
+    from ddsp_svc_tpu.infer.enc_batcher import BatchedEncoder
+
+    enc = _tiny_encoder()
+    sr, hop = 16000, 320
+    b = BatchedEncoder(enc, frame_buckets=(32,), max_batch=2,
+                       max_wait_ms=200.0, with_f0=True, f0_min=65.0,
+                       f0_max=800.0)
+    try:
+        rng = np.random.default_rng(3)
+        lengths = [6000, 9000]
+        audio = []
+        for i, n in enumerate(lengths):
+            t_ax = np.arange(n) / sr
+            a = (0.4 * np.sin(2 * np.pi * (170.0 + 40 * i) * t_ax)
+                 + 0.01 * rng.standard_normal(n)).astype(np.float32)
+            a[: n // 8] = 0.0  # unvoiced head exercises the interpolation
+            audio.append(a)
+        results = [None] * len(audio)
+
+        def run(i):
+            results[i] = b.encode_with_f0(audio[i], sr, hop)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(audio))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert b.stats()["batches"] == 1  # both rode one fused dispatch
+        for i, a in enumerate(audio):
+            units, f0 = results[i]
+            t_req = a.shape[0] // hop + 1
+            solo_units = np.asarray(enc.encode(jnp.asarray(a[None]), sr, hop))
+            np.testing.assert_allclose(np.asarray(units), solo_units,
+                                       rtol=0, atol=1e-5)
+            solo_f0 = np.asarray(jax.jit(make_pipeline_f0_fn(
+                a.shape[0], sr, hop, 65.0, 800.0))(jnp.asarray(a)))
+            got = np.asarray(f0)[0, :t_req, 0]
+            np.testing.assert_allclose(got, solo_f0[:t_req], rtol=1e-4,
+                                       atol=1e-3)
+    finally:
+        b.close()
