@@ -424,10 +424,14 @@ def bench_serving(n_requests=16, t=480, bucket=512, max_batch=8,
                            transfer=transfer, transfer_in=transfer_in,
                            pipeline_depth=pipeline_depth)
         try:
-            # warm (compile) with retries: the tunnel fails in waves
+            # warm (compile) with retries: the tunnel fails in waves.
+            # warmup() covers every right-sized pow-2 batch shape — without
+            # it the measured window pays minutes-long remote compiles the
+            # first time a 2/4/8-slot batch forms (the r4 1.25x artifact).
             last = None
             for attempt in range(5):
                 try:
+                    eng.warmup(N_UNIT)
                     eng.infer(*reqs[0][:3], spk_id=1, key=reqs[0][3])
                     break
                 except Exception as e:
@@ -541,12 +545,9 @@ def bench_serving_soak(seconds=None, max_batch=8, n_clients=12,
     errors = []
     stop = threading.Event()
     try:
-        # warm every bucket (compile outside the measured window)
-        for t_warm in buckets:
-            u = np.zeros((t_warm, N_UNIT), np.float32)
-            eng.infer(u, 220.0 * np.ones((t_warm, 1), np.float32),
-                      0.5 * np.ones((t_warm, 1), np.float32), spk_id=1,
-                      key=jax.random.PRNGKey(0))
+        # warm every bucket + every right-sized pow-2 batch shape
+        # (compile outside the measured window)
+        eng.warmup(N_UNIT)
         rss_start = rss_mb()
         t_end = time.time() + seconds
 
@@ -670,10 +671,16 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
     ]
     audio_s = n / SR
     try:
-        # warm (compile) with retries
+        # warm (compile) with retries: warmup_batching covers every bucket,
+        # every right-sized pow-2 batch shape, AND the batched front-end
+        # graph (enc_batcher) — one solo infer only compiles the 1-slot
+        # shape, so without this the measured window paid minutes-long
+        # remote compiles when 2/4/8-slot batches formed (the r4 1.25x
+        # artifact)
         last = None
         for attempt in range(5):
             try:
+                pipeline.warmup_batching()
                 pipeline.infer(reqs[0], SR, spk_id=1, k_step=100, speedup=10,
                                method="dpm-solver")
                 break

@@ -280,7 +280,12 @@ class BatchedSynth:
             sizes = sorted({self._batch_slots(k)
                             for k in range(1, self.max_batch + 1)} - {1})
             in_dtypes = [np.float32]
-            if self.transfer_in == "f16":
+            if self.transfer_in == "f16" and not (
+                    self.device_stage and self.mesh is None):
+                # f16 staging is only reachable when requests arrive as
+                # host arrays; a device-staging server stacks device f32
+                # rows, so warming the f16 shapes would compile graphs
+                # traffic can never hit (minutes each over the tunnel)
                 in_dtypes.append(np.float16)
             fn = self._fn(bucket, sig)
             for n in sizes:

@@ -176,10 +176,21 @@ class BatchedEncoder:
         return fn(jnp.asarray(audio))[None, :, None]
 
     def warmup(self, sample_rate: int, hop_size: int) -> None:
-        """Compile each bucket's batched graph before traffic arrives."""
+        """Compile each bucket's batched graph before traffic arrives —
+        every right-sized pow-2 row count (see _batch_slots), so a load
+        spike never pays a compile inside the serving window."""
         for b in self.frame_buckets:
             n = (b - 1) * hop_size
             self.encode(np.zeros(n, np.float32), sample_rate, hop_size)
+            bucket_len = b * hop_size
+            sizes = sorted({self._batch_slots(k)
+                            for k in range(1, self.max_batch + 1)})
+            fn = self._fn(bucket_len, sample_rate, hop_size)
+            for rows in sizes:
+                fn(self.enc.variables,
+                   jnp.zeros((rows, bucket_len), jnp.float32),
+                   jnp.full((rows,), bucket_len, jnp.int32))
+            jax.effects_barrier()
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -276,9 +287,16 @@ class BatchedEncoder:
                     r.error = e
                     r.done.set()
 
+    def _batch_slots(self, n_real: int) -> int:
+        """Padded row count: next power of two >= n_real (same rationale
+        as BatchedSynth._batch_slots — full-width padding synthesized
+        1/occupancy x dummy front-end compute, and the fused YIN makes a
+        dummy row as expensive as a real one)."""
+        return min(self.max_batch, 1 << max(0, (n_real - 1).bit_length()))
+
     def _run(self, batch: list[_EncRequest]):
         bucket_len, sample_rate, hop = batch[0].group
-        n = self.max_batch
+        n = self._batch_slots(len(batch))
         audio = np.zeros((n, bucket_len), np.float32)
         valid = np.full((n,), bucket_len, np.int32)  # dummy rows: full length
         for i, r in enumerate(batch):

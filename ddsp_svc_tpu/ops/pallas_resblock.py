@@ -170,26 +170,46 @@ def _rb_group_kernel(geom: _GroupGeom, x_ref, xn_ref, w_ref, b_ref, o_ref):
     z0 = z0.astype(jnp.float32)
     blk = pl.program_id(1)
 
-    def masked(t, g):
-        # zero rows outside the utterance == torch's per-conv zero padding
-        rows = jax.lax.broadcasted_iota(jnp.int32, (t.shape[0], 1), 0)
-        rows = rows + (blk * geom.bl - geom.h_l + g)
-        return jnp.where((rows >= 0) & (rows < geom.ls), t, jnp.zeros_like(t))
+    # Row-validity vector, built ONCE per block (r4): the per-conv mask
+    # used to be a fresh iota + 2 compares + select over the full tile —
+    # ~5 VPU sweeps per conv × 18 convs that serialize against the MXU
+    # chain. One precomputed {0,1} column reduces each conv's mask to a
+    # single broadcast multiply.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (geom.bl + h, 1), 0)
+    rows = rows + (blk * geom.bl - geom.h_l)
+    valid = jnp.where(
+        (rows >= 0) & (rows < geom.ls),
+        jnp.ones((geom.bl + h, 1), jnp.float32),
+        jnp.zeros((geom.bl + h, 1), jnp.float32),
+    )
 
-    def conv(t, g, c: _ConvGeom):
-        n_out = t.shape[0] - c.shrink
+    def lm(t, g):
+        # leaky_relu as maximum (slope < 1 ⇒ max(x, 0.1x) == leaky(x)):
+        # 2 VPU ops instead of compare+mul+select, then the utterance
+        # zero-pad mask as one multiply (torch pads each conv input with
+        # zeros on the full utterance; rows outside [0, ls) go to 0).
+        t = jnp.maximum(t, LRELU_SLOPE * t)
+        return t * jax.lax.slice_in_dim(valid, g, g + t.shape[0])
+
+    def conv(tc, g, c: _ConvGeom):
+        # tc: pre-cast (weight-dtype) masked activation
+        n_out = tc.shape[0] - c.shrink
         acc = jnp.broadcast_to(
             b_ref[c.bidx][None, :].astype(jnp.float32), (n_out, geom.pc)
         )
         for ti, off in enumerate(c.offsets):
             acc = acc + jax.lax.dot_general(
-                t[off : off + n_out].astype(w_ref.dtype),
+                tc[off : off + n_out],
                 w_ref[c.w0 + ti],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         return acc, g + c.lead
 
+    # the first conv of EVERY resblock consumes the same lm(z0, 0) — hoist
+    # it (and its weight-dtype cast, which is per-conv-not-per-band here:
+    # casting inside the band loop re-swept the tile S times)
+    z0c = lm(z0, 0).astype(w_ref.dtype)
     total = None
     for rb in geom.rbs:
         z, g = z0, 0
@@ -197,8 +217,9 @@ def _rb_group_kernel(geom: _GroupGeom, x_ref, xn_ref, w_ref, b_ref, o_ref):
             x_res, g_res = z, g
             t = z
             for ci in (0, 1):
-                t = masked(_leaky(t), g)
-                t, g = conv(t, g, rb.convs[pair * 2 + ci])
+                tc = z0c if (pair == 0 and ci == 0) else (
+                    lm(t, g).astype(w_ref.dtype))
+                t, g = conv(tc, g, rb.convs[pair * 2 + ci])
             z = t + jax.lax.slice_in_dim(x_res, g - g_res, g - g_res + t.shape[0])
         start = geom.h_l - rb.lead_total
         crop = jax.lax.slice_in_dim(z, start, start + geom.bl)
