@@ -164,6 +164,11 @@ class BatchedSynth:
         self._n_rows = 0  # real rows across batches (occupancy numerator)
         self._latencies_ms: list[float] = []  # ring, newest-last
         self._batch_trace: list[dict] = []  # per-batch wall breakdown ring
+        # dummy-row PRNG key, built ONCE on the host backend: a fresh
+        # PRNGKey per batch would be one more remote enqueue on the
+        # tunneled backend's contended submission path
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            self._dummy_key = jax.random.PRNGKey(0)
         self.pipeline_depth = max(1, int(pipeline_depth))
         self._deliver_q = None
         self._delivery = None
@@ -180,8 +185,9 @@ class BatchedSynth:
 
     # ---- public ---------------------------------------------------------
     def infer(self, units, f0, volume, spk_id: int, key,
-              sig: tuple = (), record_stats: bool = True) -> np.ndarray:
-        """units (T, C), f0/volume (T, 1) -> audio (T * hop,). Blocking.
+              sig: tuple = (), record_stats: bool = True,
+              n_frames: int | None = None) -> np.ndarray:
+        """units (T, C), f0/volume (T, 1) -> audio (t * hop,). Blocking.
 
         ``sig``: hashable static sampler signature (ignored for ddsp
         synths); requests batch only with same-(bucket, sig) peers.
@@ -193,20 +199,29 @@ class BatchedSynth:
         features were just computed on device (the pipeline's units
         encoder) skip a per-request effects_barrier + d2h fetch + re-upload
         (a full pipeline flush each; the dominant serial cost of the
-        full-stack serving path, bench_serving_diffusion)."""
-        t = units.shape[0]
+        full-stack serving path, bench_serving_diffusion).
+
+        ``n_frames``: the request's REAL frame count when the rows arrive
+        already bucket-padded (the fused front-end, enc_batcher
+        encode_with_f0, pads in-graph with this engine's convention —
+        units 0 / f0 220 — so the submit path does zero device ops).
+        ``volume`` may stay a host array alongside device units/f0: it is
+        padded host-side and uploaded as part of the worker's single
+        stack enqueue."""
+        rows = units.shape[0]
+        t = int(n_frames) if n_frames is not None else rows
         bucket = self._bucket_for(t)
 
         def is_dev(a):
             return isinstance(a, jnp.ndarray) and not isinstance(a, np.ndarray)
 
-        # device staging needs ALL three feature arrays device-resident, the
-        # flag on, and no mesh (the sharded path is validated with host
-        # staging; eagerly-staged single-device arrays would fight the
-        # pjit's in_shardings)
+        # device staging needs units/f0 device-resident, the flag on, and
+        # no mesh (the sharded path is validated with host staging;
+        # eagerly-staged single-device arrays would fight the pjit's
+        # in_shardings)
         on_device = (
             self.device_stage and self.mesh is None
-            and is_dev(units) and is_dev(f0) and is_dev(volume)
+            and is_dev(units) and is_dev(f0)
         )
         # pad to the bucket HERE, in the submitting thread: staging work
         # (and its async-dispatch enqueue cost on a tunneled backend) runs
@@ -217,17 +232,34 @@ class BatchedSynth:
                 jax.effects_barrier()  # axon: a fetch needs a barrier first
             in_dtype = np.float16 if self.transfer_in == "f16" else np.float32
             u = np.zeros((bucket, units.shape[1]), in_dtype)
-            u[:t] = np.asarray(units, np.float32)
+            u[:rows] = np.asarray(units, np.float32)
             f = np.full((bucket, 1), 220.0, np.float32)
-            f[:t] = np.asarray(f0, np.float32)
+            f[:rows] = np.asarray(f0, np.float32)
             v = np.zeros((bucket, 1), np.float32)
-            v[:t] = np.asarray(volume, np.float32)
+            vol = np.asarray(volume, np.float32)
+            v[: vol.shape[0]] = vol
             units, f0, volume = u, f, v
         else:
-            pad = ((0, bucket - t), (0, 0))
-            units = jnp.pad(units.astype(jnp.float32), pad)
-            f0 = jnp.pad(f0.astype(jnp.float32), pad, constant_values=220.0)
-            volume = jnp.pad(volume.astype(jnp.float32), pad)
+            if rows < bucket:
+                pad = ((0, bucket - rows), (0, 0))
+                units = jnp.pad(units.astype(jnp.float32), pad)
+                f0 = jnp.pad(f0.astype(jnp.float32), pad,
+                             constant_values=220.0)
+            else:  # pre-padded by the fused front-end: no ops to enqueue
+                units = units.astype(jnp.float32)
+                f0 = f0.astype(jnp.float32)
+            if is_dev(volume):
+                if volume.shape[0] < bucket:
+                    volume = jnp.pad(
+                        volume.astype(jnp.float32),
+                        ((0, bucket - volume.shape[0]), (0, 0)))
+                else:
+                    volume = volume.astype(jnp.float32)
+            else:  # host volume rides the worker's stack enqueue
+                v = np.zeros((bucket, 1), np.float32)
+                vol = np.asarray(volume, np.float32)
+                v[: vol.shape[0]] = vol
+                volume = v
         req = _Request(
             units, f0, volume, int(spk_id), key, t, bucket, sig,
             on_device=on_device,
@@ -490,7 +522,7 @@ class BatchedSynth:
             spk[i, 0] = r.spk_id
             keys.append(r.key)
         while len(keys) < n:  # dummy rows
-            keys.append(jax.random.PRNGKey(0))
+            keys.append(self._dummy_key)
         return jnp.asarray(spk), jnp.stack(keys)
 
     def _dispatch(self, out, batch: list[_Request], trace: dict | None = None):

@@ -42,9 +42,11 @@ class _EncRequest:
     hop_size: int
     bucket_len: int  # padded sample count (group key)
     index: np.ndarray  # per-request synth-grid gather index
+    want_f0: bool = False  # encode_with_f0 request (bucket-length contract)
+    shift: float = 0.0  # keyshift semitones, applied to f0 in-graph
     done: threading.Event = field(default_factory=threading.Event)
-    result: object = None  # (1, t, C) device array
-    result_f0: object = None  # (1, T_bucket, 1) device array (with_f0 mode)
+    result: object = None  # (1, t, C) or (1, b, C) device array
+    result_f0: object = None  # (1, b, 1) device array (want_f0 mode)
     error: Exception | None = None
 
     @property
@@ -125,14 +127,24 @@ class BatchedEncoder:
             raise req.error
         return req.result
 
-    def encode_with_f0(self, audio, sample_rate: int, hop_size: int):
-        """audio (L,) host float -> (units (1, t, C), f0 (1, T_bucket, 1)),
-        both device-resident, computed in ONE batched dispatch (requires
-        ``with_f0=True``). The f0 row covers the padded bucket — slice to
-        the request's frame count; values match the solo device-YIN
-        (make_pipeline_f0_fn) for every valid frame: YIN is frame-local
-        and the zero-padded tail is unvoiced, so the per-row unvoiced
-        interpolation sees the same voiced support."""
+    def encode_with_f0(self, audio, sample_rate: int, hop_size: int,
+                       shift: float = 0.0):
+        """audio (L,) host float -> (units (1, b, C), f0 (1, b, 1)), both
+        device-resident, bucket-length (b = frame bucket), computed in ONE
+        batched dispatch (requires ``with_f0=True``).
+
+        The keyshift multiply, the synth-grid gather, AND the synthesis
+        batcher's padding convention (units 0 / f0 220 beyond the
+        request's frames) all happen inside the fused graph, so the
+        submitting thread performs ZERO per-request device ops — measured
+        motivation (PERF.md r4): under concurrency, per-request eager
+        enqueues serialize on the tunneled backend's submission path and
+        stall the batch dispatch by seconds. The result rows feed
+        BatchedSynth.infer(..., n_frames=t) unchanged. Valid frames match
+        the solo device-YIN (make_pipeline_f0_fn): YIN is frame-local and
+        the zero-padded tail is unvoiced, so the per-row unvoiced
+        interpolation sees the same voiced support. Requests longer than
+        the largest bucket fall back to solo dispatches (t-length rows)."""
         if not self.with_f0:
             raise RuntimeError("BatchedEncoder built without with_f0")
         if isinstance(audio, jnp.ndarray) and not isinstance(audio, np.ndarray):
@@ -147,11 +159,13 @@ class BatchedEncoder:
         if bucket is None or self._stop:
             units = self.enc.encode(jnp.asarray(audio)[None], sample_rate,
                                     hop_size)
-            f0 = self._solo_f0(audio, sample_rate, hop_size)
+            f0 = self._solo_f0(audio, sample_rate, hop_size, shift)
             return units, f0
+        idx = self.enc.align_index(audio.shape[0], sample_rate, hop_size)
+        idx = np.pad(idx, (0, bucket - idx.shape[0]), mode="edge")
         req = _EncRequest(
-            audio, sample_rate, hop_size, bucket * hop_size,
-            self.enc.align_index(audio.shape[0], sample_rate, hop_size),
+            audio, sample_rate, hop_size, bucket * hop_size, idx,
+            want_f0=True, shift=float(shift),
         )
         self._q.put(req)
         while not req.done.wait(timeout=1.0):
@@ -163,7 +177,8 @@ class BatchedEncoder:
             raise req.error
         return req.result, req.result_f0
 
-    def _solo_f0(self, audio: np.ndarray, sample_rate: int, hop_size: int):
+    def _solo_f0(self, audio: np.ndarray, sample_rate: int, hop_size: int,
+                 shift: float = 0.0):
         from ..features.yin_jax import make_pipeline_f0_fn
 
         key = (audio.shape[0], sample_rate, hop_size)
@@ -173,7 +188,10 @@ class BatchedEncoder:
                 audio.shape[0], sample_rate, hop_size,
                 self.f0_min, self.f0_max))
             self._solo_f0_fns[key] = fn
-        return fn(jnp.asarray(audio))[None, :, None]
+        f0 = fn(jnp.asarray(audio))[None, :, None]
+        if shift:
+            f0 = f0 * float(2.0 ** (shift / 12.0))
+        return f0
 
     def warmup(self, sample_rate: int, hop_size: int) -> None:
         """Compile each bucket's batched graph before traffic arrives —
@@ -187,9 +205,14 @@ class BatchedEncoder:
                             for k in range(1, self.max_batch + 1)})
             fn = self._fn(bucket_len, sample_rate, hop_size)
             for rows in sizes:
-                fn(self.enc.variables,
-                   jnp.zeros((rows, bucket_len), jnp.float32),
-                   jnp.full((rows,), bucket_len, jnp.int32))
+                args = [self.enc.variables,
+                        jnp.zeros((rows, bucket_len), jnp.float32),
+                        jnp.full((rows,), bucket_len, jnp.int32)]
+                if self.with_f0:
+                    args += [jnp.zeros((rows, b), jnp.int32),
+                             jnp.zeros((rows,), jnp.float32),
+                             jnp.full((rows,), b, jnp.int32)]
+                fn(*args)
             jax.effects_barrier()
 
     def stats(self) -> dict:
@@ -232,10 +255,27 @@ class BatchedEncoder:
 
                 yin = make_pipeline_f0_fn(bucket_len, sample_rate, hop_size,
                                           self.f0_min, self.f0_max)
+                b_frames = bucket_len // hop_size  # synth frame bucket
 
-                def fused(variables, audio, valid):
-                    return (enc_fn(variables, audio, valid),
-                            jax.vmap(yin)(audio))
+                def fused(variables, audio, valid, index, shift, tframes):
+                    """One program for the whole batch front-end: masked
+                    units encode + vmapped YIN + keyshift + synth-grid
+                    gather + the synthesis batcher's padding convention
+                    (units 0 / f0 220 beyond each row's tframes). Returns
+                    (units_enc (B, t_enc, C) for plain encode() rows,
+                    units_g (B, b, C), f0 (B, b))."""
+                    units = enc_fn(variables, audio, valid)
+                    f0 = jax.vmap(yin)(audio)[:, :b_frames]
+                    f0 = f0 * (2.0 ** (shift / 12.0))[:, None]
+                    ug = jnp.take_along_axis(units, index[..., None], axis=1)
+                    live = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (index.shape[0], b_frames), 1
+                        ) < tframes[:, None]
+                    )
+                    ug = jnp.where(live[..., None], ug, 0.0)
+                    f0 = jnp.where(live, f0, 220.0)
+                    return units, ug, f0
 
                 fn = jax.jit(fused)
             else:
@@ -302,17 +342,37 @@ class BatchedEncoder:
         for i, r in enumerate(batch):
             audio[i, : r.audio.shape[0]] = r.audio
             valid[i] = r.audio.shape[0]
-        out = self._fn(bucket_len, sample_rate, hop)(
-            self.enc.variables, jnp.asarray(audio), jnp.asarray(valid)
-        )
-        units, f0b = out if self.with_f0 else (out, None)
+        if self.with_f0:
+            b_frames = bucket_len // hop
+            index = np.zeros((n, b_frames), np.int32)
+            shift = np.zeros((n,), np.float32)
+            tframes = np.full((n,), b_frames, np.int32)
+            for i, r in enumerate(batch):
+                if r.want_f0:
+                    index[i] = r.index
+                    shift[i] = r.shift
+                    tframes[i] = r.audio.shape[0] // hop + 1
+            units, units_g, f0b = self._fn(bucket_len, sample_rate, hop)(
+                self.enc.variables, jnp.asarray(audio), jnp.asarray(valid),
+                jnp.asarray(index), jnp.asarray(shift), jnp.asarray(tframes),
+            )
+        else:
+            units = self._fn(bucket_len, sample_rate, hop)(
+                self.enc.variables, jnp.asarray(audio), jnp.asarray(valid)
+            )
+            units_g = f0b = None
         with self._stats_lock:
             self._n_batches += 1
             self._n_rows += len(batch)
         for i, r in enumerate(batch):
-            # async device gather: result rows stay on device for the
-            # synthesis batcher's device staging
-            r.result = jnp.take(units[i], jnp.asarray(r.index), axis=0)[None]
-            if f0b is not None:
+            if r.want_f0:
+                # bucket-length rows, already gathered/padded in-graph:
+                # the ONLY per-request device ops are these two row views
+                r.result = units_g[i][None]
                 r.result_f0 = f0b[i][None, :, None]
+            else:
+                # async device gather: result rows stay on device for the
+                # synthesis batcher's device staging
+                r.result = jnp.take(units[i], jnp.asarray(r.index),
+                                    axis=0)[None]
             r.done.set()

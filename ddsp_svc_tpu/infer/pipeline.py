@@ -89,7 +89,13 @@ class SvcPipeline:
                 vc.get("type", "nsf-hifigan"), vc.get("ckpt"),
                 dtype=jnp.bfloat16 if vocoder_bf16 else None,
             )
-        self._key = jax.random.PRNGKey(0)
+        # per-request PRNG state lives on the HOST backend: an eager
+        # random.split on the accelerator is one more remote enqueue per
+        # request on the tunneled backend's contended submission path; the
+        # key uploads as part of the worker's single stack enqueue instead
+        self._cpu_dev = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(self._cpu_dev):
+            self._key = jax.random.PRNGKey(0)
         self._key_lock = threading.Lock()  # infer() is called from server threads
         # jit cache per static signature: realtime feeds fixed-context
         # blocks, so after the first block every call hits a compiled
@@ -131,11 +137,17 @@ class SvcPipeline:
         if self.enc_batcher is not None:
             self.enc_batcher.close()
             self.enc_batcher = None
-        if batch_encoder and hasattr(self.units_encoder,
-                                     "make_batched_encode_fn"):
+        if (batch_encoder or self.device_f0) and hasattr(
+                self.units_encoder, "make_batched_encode_fn"):
             # batch the units encoder across requests too (exact masked
             # forward, infer/enc_batcher.py) — full-stack serving's
-            # remaining per-request device dispatch
+            # remaining per-request device dispatch.
+            # device_f0 + batching ALWAYS takes this fused front-end:
+            # a per-request solo device-YIN chain under concurrency
+            # floods the async submission path (measured r4: 12-15 s
+            # dispatch stalls, 3x aggregate vs 87x fused — the host-f0
+            # path only survives because its ~30 ms of host FFT work
+            # staggers the client threads)
             from .enc_batcher import BatchedEncoder
 
             self.enc_batcher = BatchedEncoder(
@@ -423,8 +435,11 @@ class SvcPipeline:
             f0 = self._f0_extractor(sample_rate, hop).extract(
                 audio, uv_interp=True, silence_front=silence_front
             )
-            f0 = jnp.asarray(f0, jnp.float32)[None, :, None]
-            f0 = f0 * 2 ** (key_shift / 12.0)
+            # stays a HOST array: it uploads as part of the consuming
+            # dispatch (direct path) or the worker's stack enqueue
+            # (batched path) — not as its own per-request remote op
+            f0 = np.asarray(f0, np.float32)[None, :, None]
+            f0 = f0 * np.float32(2 ** (key_shift / 12.0))
 
         vx = VolumeExtractor(hop)
         volume = vx.extract(audio)
@@ -448,28 +463,37 @@ class SvcPipeline:
                 args.data.block_size,
             )[..., 0]
 
-        volume_j = jnp.asarray(volume, jnp.float32)[None, :, None]
-
-        audio_j = jnp.asarray(audio, jnp.float32)[None, :]
+        # host arrays throughout the staging path (same rationale as f0:
+        # uploads ride the consuming dispatch, not per-request ops)
+        volume_j = np.asarray(volume, np.float32)[None, :, None]
+        n_samples = int(np.shape(audio)[-1])
+        audio_j = np.asarray(audio, np.float32).reshape(1, -1)
         if fuse_encoder:
             units = None
-            t = audio_j.shape[-1] // hop + 1  # encode()'s frame contract
+            t = n_samples // hop + 1  # encode()'s frame contract
         else:
             enc_batcher = self.enc_batcher
             if enc_batcher is not None and batch_fe:
                 # one batched dispatch for the whole front-end: masked
-                # units encode + vmapped YIN (enc_batcher.encode_with_f0)
+                # units encode + vmapped YIN + keyshift + synth-grid
+                # gather + batch-padding convention, all in-graph
+                # (enc_batcher.encode_with_f0) — the submit thread does
+                # zero device ops. Rows come back BUCKET-length; the
+                # real frame count t is computed host-side and travels
+                # as batcher.infer(..., n_frames=t).
                 units, f0 = enc_batcher.encode_with_f0(
-                    audio, sample_rate, hop)
-                f0 = f0 * 2 ** (key_shift / 12.0)
+                    audio, sample_rate, hop, key_shift)
+                t = n_samples // hop + 1
             elif enc_batcher is not None:
                 # batched masked encode (exact vs solo); result is device-
                 # resident and feeds the synth batcher's device staging
                 units = enc_batcher.encode(audio, sample_rate, hop)
+                t = units.shape[1]
             else:
-                units = self.units_encoder.encode(audio_j, sample_rate, hop)
-            t = units.shape[1]
-        if f0 is not None:
+                units = self.units_encoder.encode(
+                    jnp.asarray(audio_j), sample_rate, hop)
+                t = units.shape[1]
+        if f0 is not None and not batch_fe:
             f0 = f0[:, :t]
         volume_j = volume_j[:, :t]
 
@@ -495,8 +519,9 @@ class SvcPipeline:
             t = t - start_frame
 
         with self._key_lock:
-            self._key, sub = jax.random.split(self._key)
-        spk = jnp.array([[spk_id]], jnp.int32)
+            with jax.default_device(self._cpu_dev):  # host-backend split
+                self._key, sub = jax.random.split(self._key)
+        spk = np.array([[spk_id]], np.int32)
         common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
         mask_done = False
         if self.family == "ddsp":
@@ -506,7 +531,7 @@ class SvcPipeline:
                     # than fail the request (jit's own shape cache applies)
                     out = self._ddsp_forward_masked()(
                         self.variables["params"], units, f0, volume_j, spk,
-                        sub, jnp.asarray(frame_mask, jnp.float32),
+                        sub, np.asarray(frame_mask, np.float32),
                     )
                     mask_done = True
                 elif batcher is not None:
@@ -516,6 +541,7 @@ class SvcPipeline:
                     # was the dominant serial cost of full-stack serving)
                     out = batcher.infer(
                         units[0], f0[0], volume_j[0], spk_id, sub,
+                        n_frames=t,
                     )[None, :]
                 elif fuse_encoder:
                     out = self._ddsp_forward_enc_masked(
@@ -526,13 +552,13 @@ class SvcPipeline:
                         self.units_encoder.variables, audio_j,
                         jnp.float32(key_shift) if fold_f0 else f0,
                         volume_j, spk, sub,
-                        jnp.asarray(frame_mask, jnp.float32),
+                        np.asarray(frame_mask, np.float32),
                     )
                     mask_done = True
                 else:
                     out = self._ddsp_forward_masked()(
                         self.variables["params"], units, f0, volume_j, spk,
-                        sub, jnp.asarray(frame_mask, jnp.float32),
+                        sub, np.asarray(frame_mask, np.float32),
                     )
                     mask_done = True
             else:  # rare path: mixture dict is per-call, keep it eager
@@ -552,6 +578,7 @@ class SvcPipeline:
                 # device-resident submit (no per-request barrier/fetch)
                 out = batcher.infer(
                     units[0], f0[0], volume_j[0], spk_id, sub, sig=sig,
+                    n_frames=t,
                 )[None, :]
                 out_sr = self.vocoder.vocoder_sample_rate
                 if use_silence and start_frame > 0:
@@ -656,7 +683,7 @@ class SvcPipeline:
                     audio_j if fuse_encoder else units,
                     jnp.float32(key_shift) if fold_f0 else f0,
                     volume_j, spk, sub,
-                    jnp.asarray(frame_mask, jnp.float32),
+                    np.asarray(frame_mask, np.float32),
                 )
                 out_sr = self.vocoder.vocoder_sample_rate
                 if self.enhancer is None:
@@ -692,6 +719,8 @@ class SvcPipeline:
             mask = upsampled_mask(on_host=False)
             out = out * mask[:, : out.shape[-1]]
         if self.enhancer is not None:
+            if batch_fe:  # bucket-length fused-front-end f0: crop for the
+                f0 = f0[:, :t]  # enhancer's frame-aligned consumption
             out, out_sr = self.enhancer.enhance(
                 out, args.data.sampling_rate, f0, args.data.block_size,
                 adaptive_key=enhancer_adaptive_key, silence_front=silence_front,

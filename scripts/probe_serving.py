@@ -1,0 +1,138 @@
+"""Hardware probe for full-stack serving: runs the bench_serving_diffusion
+flow (device_f0, codecs, pipelining) once warm + once measured and prints
+the batcher's per-batch wall breakdown (stats()['recent_batches']) plus
+front-end timing — to attribute a degraded aggregate to staging vs device
+compute (barrier) vs d2h (fetch) vs batch formation.
+
+Usage: /opt/venv/bin/python scripts/probe_serving.py [--batch_encoder]
+"""
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+import bench_suite as bs  # noqa: E402  (reuses SR/HOP/model builders)
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    batch_encoder = "--batch_encoder" in sys.argv
+    max_batch = 8
+    n_requests = 16
+    max_wait_ms = 30.0
+    for a in sys.argv[1:]:
+        if a.startswith("--max_batch="):
+            max_batch = int(a.split("=")[1])
+        elif a.startswith("--n_requests="):
+            n_requests = int(a.split("=")[1])
+        elif a.startswith("--wait="):
+            max_wait_ms = float(a.split("=")[1])
+    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+    from ddsp_svc_tpu.models.cascade import Unit2WavFast
+    from ddsp_svc_tpu.features.hubert import UnitsEncoder
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    SR, HOP, WIN, N_UNIT, M = bs.SR, bs.HOP, bs.WIN, bs.N_UNIT, bs.M
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": N_UNIT,
+                 "encoder": "contentvec768l12",
+                 "encoder_sample_rate": 16000, "encoder_hop_size": 320},
+        "model": {"type": "DiffusionFast", "win_length": WIN, "n_spk": 1,
+                  "n_layers": 6, "n_chans": 512, "k_step_max": 100,
+                  "out_dims": M},
+        "vocoder": {"type": "nsf-hifigan", "ckpt": None},
+        "enhancer": None,
+    })
+    model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
+                        n_chans=512, k_step_max=100)
+    with bs._cpu():
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+            gt_spec=jnp.zeros((1, 16, M)), infer=True, k_step=100,
+            infer_speedup=10, sampler="dpm-solver",
+            key=jax.random.PRNGKey(3),
+        )
+        enc = UnitsEncoder("contentvec768l12")
+    variables = bs._put(dict(variables))
+    enc.variables = bs._put(dict(enc.variables))
+    pipeline = SvcPipeline.from_parts(model, variables, args, enc,
+                                      device_f0=True)
+    pipeline.vocoder.params = bs._put(pipeline.vocoder.params)
+
+    seconds = 5.0
+    bucket = int(seconds * SR) // HOP + 1
+    batcher = pipeline.enable_batching(
+        buckets=(bucket,), max_batch=max_batch, max_wait_ms=max_wait_ms,
+        transfer="mulaw", transfer_in="f16", device_stage=True,
+        pipeline_depth=3, batch_encoder=batch_encoder,
+        k_step=100, speedup=10, method="dpm-solver",
+    )
+    rng = np.random.default_rng(0)
+    n = int(seconds * SR)
+    t_ax = np.arange(n) / SR
+    reqs = [(0.3 * np.sin(2 * np.pi * (180.0 + 7 * i) * t_ax)
+             + 0.01 * rng.standard_normal(n)).astype(np.float32)
+            for i in range(n_requests)]
+    audio_s = n / SR
+
+    t0 = time.time()
+    pipeline.warmup_batching()
+    print(f"warmup_batching: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    pipeline.infer(reqs[0], SR, spk_id=1, k_step=100, speedup=10,
+                   method="dpm-solver")
+    print(f"solo warm infer: {time.time()-t0:.1f}s", flush=True)
+
+    for rep in range(2):
+        errors = []
+        lat = []
+
+        def run_one(a):
+            t1 = time.perf_counter()
+            try:
+                pipeline.infer(a, SR, spk_id=1, k_step=100, speedup=10,
+                               method="dpm-solver")
+                lat.append(time.perf_counter() - t1)
+            except Exception as e:
+                errors.append(e)
+
+        start = time.perf_counter()
+        threads = [threading.Thread(target=run_one, args=(a,))
+                   for a in reqs]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.perf_counter() - start
+        if errors:
+            raise errors[0]
+        agg = n_requests * audio_s / wall
+        st = batcher.stats()
+        print(json.dumps({
+            "rep": rep, "aggregate_x": round(agg, 1),
+            "wall_s": round(wall, 2),
+            "lat_mean_s": round(float(np.mean(lat)), 2),
+            "occupancy": st.get("mean_batch_occupancy"),
+            "batches": st.get("batches"),
+        }), flush=True)
+        for b in st.get("recent_batches", []):
+            print("  batch:", json.dumps(b), flush=True)
+        if pipeline.enc_batcher is not None:
+            print("enc stats:", json.dumps(pipeline.enc_batcher.stats()),
+                  flush=True)
+    batcher.close()
+    if pipeline.enc_batcher is not None:
+        pipeline.enc_batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -150,18 +150,23 @@ def test_batched_encoder_with_f0():
     """with_f0 mode: the fused batched dispatch's per-row YIN must match
     the solo device-YIN (make_pipeline_f0_fn) on every valid frame — YIN
     is frame-local and padded tails are unvoiced, so batching must not
-    change a request's pitch track (PERF.md r4 batched front-end)."""
+    change a request's pitch track. The r4 contract is bucket-length rows
+    with the synthesis batcher's padding convention computed IN-GRAPH
+    (units 0 / f0 220 beyond each request's frames, keyshift folded in),
+    so the submitting thread does zero per-request device ops."""
     from ddsp_svc_tpu.features.yin_jax import make_pipeline_f0_fn
     from ddsp_svc_tpu.infer.enc_batcher import BatchedEncoder
 
     enc = _tiny_encoder()
     sr, hop = 16000, 320
-    b = BatchedEncoder(enc, frame_buckets=(32,), max_batch=2,
+    bucket = 32
+    b = BatchedEncoder(enc, frame_buckets=(bucket,), max_batch=2,
                        max_wait_ms=200.0, with_f0=True, f0_min=65.0,
                        f0_max=800.0)
     try:
         rng = np.random.default_rng(3)
         lengths = [6000, 9000]
+        shifts = [0.0, 3.0]  # second request keyshifted in-graph
         audio = []
         for i, n in enumerate(lengths):
             t_ax = np.arange(n) / sr
@@ -172,7 +177,7 @@ def test_batched_encoder_with_f0():
         results = [None] * len(audio)
 
         def run(i):
-            results[i] = b.encode_with_f0(audio[i], sr, hop)
+            results[i] = b.encode_with_f0(audio[i], sr, hop, shifts[i])
 
         threads = [threading.Thread(target=run, args=(i,))
                    for i in range(len(audio))]
@@ -184,13 +189,19 @@ def test_batched_encoder_with_f0():
         for i, a in enumerate(audio):
             units, f0 = results[i]
             t_req = a.shape[0] // hop + 1
+            assert units.shape == (1, bucket, 16)  # bucket-length contract
+            assert f0.shape == (1, bucket, 1)
             solo_units = np.asarray(enc.encode(jnp.asarray(a[None]), sr, hop))
-            np.testing.assert_allclose(np.asarray(units), solo_units,
-                                       rtol=0, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(units)[0, :t_req],
+                                       solo_units[0], rtol=0, atol=1e-5)
+            # padded region carries the synthesis batcher's convention
+            np.testing.assert_array_equal(np.asarray(units)[0, t_req:], 0.0)
+            np.testing.assert_allclose(np.asarray(f0)[0, t_req:, 0], 220.0)
             solo_f0 = np.asarray(jax.jit(make_pipeline_f0_fn(
                 a.shape[0], sr, hop, 65.0, 800.0))(jnp.asarray(a)))
             got = np.asarray(f0)[0, :t_req, 0]
-            np.testing.assert_allclose(got, solo_f0[:t_req], rtol=1e-4,
-                                       atol=1e-3)
+            np.testing.assert_allclose(
+                got, solo_f0[:t_req] * 2.0 ** (shifts[i] / 12.0),
+                rtol=1e-4, atol=1e-3)
     finally:
         b.close()
