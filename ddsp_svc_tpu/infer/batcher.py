@@ -164,11 +164,13 @@ class BatchedSynth:
         self._n_rows = 0  # real rows across batches (occupancy numerator)
         self._latencies_ms: list[float] = []  # ring, newest-last
         self._batch_trace: list[dict] = []  # per-batch wall breakdown ring
-        # dummy-row PRNG key, built ONCE on the host backend: a fresh
-        # PRNGKey per batch would be one more remote enqueue on the
-        # tunneled backend's contended submission path
+        # dummy-row PRNG key, built ONCE on the host backend and held as
+        # an UNCOMMITTED numpy array: a fresh PRNGKey per batch would be
+        # one more remote enqueue on the contended submission path, and a
+        # device-committed one would fork the consuming jit's
+        # executable-cache entry away from the one warmup compiled
         with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            self._dummy_key = jax.random.PRNGKey(0)
+            self._dummy_key = np.asarray(jax.random.PRNGKey(0))
         self.pipeline_depth = max(1, int(pipeline_depth))
         self._deliver_q = None
         self._delivery = None
@@ -296,7 +298,7 @@ class BatchedSynth:
             units = np.zeros((t, n_unit), np.float32)
             f0 = np.full((t, 1), 220.0, np.float32)
             vol = np.zeros((t, 1), np.float32)
-            self.infer(units, f0, vol, spk_id=1, key=jax.random.PRNGKey(0),
+            self.infer(units, f0, vol, spk_id=1, key=self._dummy_key,
                        sig=sig, record_stats=False)
             if self.device_stage:
                 # live pipeline requests submit DEVICE arrays (f32), a
@@ -304,7 +306,7 @@ class BatchedSynth:
                 # too, or the first real request pays the compile
                 self.infer(jnp.asarray(units), jnp.asarray(f0),
                            jnp.asarray(vol), spk_id=1,
-                           key=jax.random.PRNGKey(0), sig=sig,
+                           key=self._dummy_key, sig=sig,
                            record_stats=False)
             # right-sized batches (_batch_slots): each pow-2 row count is
             # its own compiled shape — warm them all (both input dtypes
@@ -322,13 +324,16 @@ class BatchedSynth:
             fn = self._fn(bucket, sig)
             for n in sizes:
                 for dt in in_dtypes:
+                    # keys built exactly like _spk_keys (one stack of
+                    # host keys, committed to the accelerator) so warmup
+                    # and live traffic share ONE executable-cache entry
                     fn(self.params,
                        jnp.asarray(np.zeros((n, bucket, n_unit), dt)),
                        jnp.asarray(np.full((n, bucket, 1), 220.0,
                                            np.float32)),
                        jnp.asarray(np.zeros((n, bucket, 1), np.float32)),
                        jnp.ones((n, 1), jnp.int32),
-                       jnp.stack([jax.random.PRNGKey(0)] * n))
+                       jnp.stack([self._dummy_key] * n))
             jax.effects_barrier()
 
     def stats(self) -> dict:

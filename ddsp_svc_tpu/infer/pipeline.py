@@ -219,10 +219,21 @@ class SvcPipeline:
         )
         return self.batcher
 
-    def warmup_batching(self) -> None:
+    def warmup_batching(self, traffic_drill: bool = True,
+                        **infer_kwargs) -> None:
         """Precompile every batching bucket (cli/api --warmup): runs one
         dummy request per bucket under the enable-time default signature, so
-        the first live request never pays a compile."""
+        the first live request never pays a compile.
+
+        ``traffic_drill``: additionally push ``max_batch`` CONCURRENT
+        dummy requests through the full ``infer()`` chain (front-end +
+        batcher + codecs). Measured r4: even with every executable
+        compiled, the first concurrent window after startup pays one-time
+        costs the per-graph warmup can't reach (first execution of the
+        full chain under load; 5-9 s dispatch/fetch stalls on the first
+        few batches) — a single drill absorbs them before live traffic.
+        ``infer_kwargs`` are forwarded (sampler settings for non-default
+        signatures)."""
         if self.batcher is None:
             raise RuntimeError("enable_batching() first")
         sig = ()
@@ -235,6 +246,32 @@ class SvcPipeline:
                 int(self.args.data.sampling_rate),
                 int(self.args.data.block_size),
             )
+        if traffic_drill:
+            if not infer_kwargs and sig:
+                # drive the drill under the ADMITTED signature (a novel
+                # default would burn a max_signatures slot + compiles)
+                name_map = {"infer_speedup": "speedup", "sampler": "method"}
+                infer_kwargs = {name_map.get(k, k): v for k, v in sig}
+            sr = int(self.args.data.sampling_rate)
+            hop = int(self.args.data.block_size)
+            n = (min(self.batcher.buckets) - 1) * hop
+            audio = np.zeros(n, np.float32)
+            errs = []
+
+            def one():
+                try:
+                    self.infer(audio, sr, spk_id=1, **infer_kwargs)
+                except Exception as e:  # pragma: no cover - surface below
+                    errs.append(e)
+
+            threads = [threading.Thread(target=one)
+                       for _ in range(self.batcher.max_batch)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            if errs:
+                raise errs[0]
 
     @staticmethod
     def _static_sig(sampler_kwargs) -> tuple:
@@ -521,6 +558,11 @@ class SvcPipeline:
         with self._key_lock:
             with jax.default_device(self._cpu_dev):  # host-backend split
                 self._key, sub = jax.random.split(self._key)
+        # uncommitted host array: a CPU-COMMITTED key would give the
+        # consuming jit a different (device-keyed) executable-cache entry
+        # than its warmup compiled — measured as a ~20 s first-traffic
+        # retrace+load stall inside the serving window
+        sub = np.asarray(sub)
         spk = np.array([[spk_id]], np.int32)
         common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
         mask_done = False
