@@ -611,7 +611,9 @@ def bench_serving_soak(seconds=None, max_batch=8, n_clients=12,
 def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
                             transfer=None, transfer_in="f32",
                             device_stage=True, pipeline_depth=1,
-                            batch_encoder=False, device_f0=False):
+                            batch_encoder=False, device_f0=False,
+                            vocoder_bf16=False, max_wait_ms=30.0,
+                            audio_in="f32", name_suffix=""):
     """Full-stack serving for the heavy family: concurrent audio requests
     through SvcPipeline (host YIN f0 + volume + units) into the batcher's
     vmapped cascade+vocoder graph — the aggregate a DiffusionFast
@@ -651,14 +653,15 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
     variables = _put(dict(variables))
     enc.variables = _put(dict(enc.variables))
     pipeline = SvcPipeline.from_parts(model, variables, args, enc,
-                                      device_f0=device_f0)
+                                      device_f0=device_f0,
+                                      vocoder_bf16=vocoder_bf16)
     pipeline.vocoder.params = _put(pipeline.vocoder.params)
     bucket = int(seconds * SR) // HOP + 1  # one bucket fits each request
     batcher = pipeline.enable_batching(
-        buckets=(bucket,), max_batch=max_batch, max_wait_ms=30.0,
+        buckets=(bucket,), max_batch=max_batch, max_wait_ms=max_wait_ms,
         transfer=transfer, transfer_in=transfer_in,
         device_stage=device_stage, pipeline_depth=pipeline_depth,
-        batch_encoder=batch_encoder,
+        batch_encoder=batch_encoder, audio_in=audio_in,
         k_step=100, speedup=10, method="dpm-solver",
     )
     rng = np.random.default_rng(0)
@@ -728,13 +731,19 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
         name += "_mulaw"
     if transfer_in == "f16":
         name += "_f16in"
+    if audio_in == "i16":
+        name += "_ai16"
+    if vocoder_bf16:
+        name += "_vbf16"
     if pipeline_depth > 1:
         name += "_pipelined"
+    name += name_suffix
     return {
         "metric": f"{name}_throughput_rtf_44k1",
         "value": round(best, 2),
         "unit": "aggregate_x_realtime_per_chip",
         "max_batch": max_batch,
+        "n_requests": n_requests,
         "pipeline_depth": pipeline_depth,
         "vs_baseline": round(best / 200.0, 3),
     }
@@ -1120,6 +1129,18 @@ DICT_CONFIGS = {
                                         pipeline_depth=3, device_f0=True,
                                         batch_encoder=True),
         "serving_diffusion_devf0_bencoder_mulaw_f16in_pipelined_throughput_rtf_44k1",
+        "aggregate_x_realtime_per_chip"),
+    # the full-throttle shipped serving config: fused batched front-end +
+    # bf16 vocoder (quality gated by TPU_CHECKS nsf_bf16_quality) + mb16 +
+    # sustained 48-request load — the headline full-stack number
+    "serving_diffusion_max": (
+        lambda: bench_serving_diffusion(n_requests=48, max_batch=16,
+                                        max_wait_ms=150.0,
+                                        transfer="mulaw", transfer_in="f16",
+                                        pipeline_depth=3, device_f0=True,
+                                        batch_encoder=True, audio_in="i16",
+                                        vocoder_bf16=True),
+        "serving_diffusion_devf0_bencoder_mulaw_f16in_ai16_vbf16_pipelined_throughput_rtf_44k1",
         "aggregate_x_realtime_per_chip"),
     # + the units encoder batched across requests (one masked HuBERT
     # dispatch per batch instead of one per request)

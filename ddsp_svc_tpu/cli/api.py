@@ -267,6 +267,11 @@ def main(argv=None, ready_cb=None):
                         "pitch track becomes an async device dispatch "
                         "instead of ~23 ms of serial host numpy — the "
                         "measured full-stack serving binder (PERF.md)")
+    p.add_argument("--audio_i16", action="store_true",
+                   help="upload each request's audio to the batched "
+                        "front-end as int16 and dequantize in-graph "
+                        "(halves+halves the dominant h2d cost; source "
+                        "audio is 16-bit to begin with)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile every batching bucket before accepting "
                         "traffic (first requests never pay a compile; a "
@@ -299,7 +304,8 @@ def main(argv=None, ready_cb=None):
                                  transfer_in="f16" if cmd.batch_f16_in
                                  else "f32",
                                  pipeline_depth=cmd.batch_pipeline,
-                                 batch_encoder=cmd.batch_encoder)
+                                 batch_encoder=cmd.batch_encoder,
+                                 audio_in="i16" if cmd.audio_i16 else "f32")
         if cmd.warmup:
             print("warming batch buckets ...", flush=True)
             pipeline.warmup_batching()

@@ -70,6 +70,7 @@ class BatchedEncoder:
         with_f0: bool = False,
         f0_min: float = 50.0,
         f0_max: float = 1100.0,
+        transfer_in: str = "f32",
     ):
         """``with_f0``: fuse a vmapped on-device YIN
         (features/yin_jax.py) into the same batched dispatch — the whole
@@ -84,6 +85,15 @@ class BatchedEncoder:
         self.max_wait_s = max_wait_ms / 1000.0
         self.with_f0 = bool(with_f0)
         self.f0_min, self.f0_max = float(f0_min), float(f0_max)
+        # host->device codec for the batch AUDIO matrix — 'f32' or 'i16'
+        # (upload int16, dequantize in-graph). Measured motivation
+        # (PERF.md r4): at mb16 x 5 s requests the f32 audio upload is
+        # ~14 MB/batch, the single largest wire cost of the fused
+        # front-end on a ~30 MB/s tunnel; source audio is 16-bit to begin
+        # with, so the quantization is below the material's own floor.
+        if transfer_in not in ("f32", "i16"):
+            raise ValueError(f"unknown transfer_in codec {transfer_in!r}")
+        self.transfer_in = transfer_in
         self._solo_f0_fns: dict = {}
         self._fns: dict = {}  # (bucket_len, sample_rate) -> jitted fn
         self._q: queue.Queue = queue.Queue()
@@ -204,9 +214,11 @@ class BatchedEncoder:
             sizes = sorted({self._batch_slots(k)
                             for k in range(1, self.max_batch + 1)})
             fn = self._fn(bucket_len, sample_rate, hop_size)
+            wire_dtype = (jnp.int16 if self.transfer_in == "i16"
+                          else jnp.float32)
             for rows in sizes:
                 args = [self.enc.variables,
-                        jnp.zeros((rows, bucket_len), jnp.float32),
+                        jnp.zeros((rows, bucket_len), wire_dtype),
                         jnp.full((rows,), bucket_len, jnp.int32)]
                 if self.with_f0:
                     args += [jnp.zeros((rows, b), jnp.int32),
@@ -250,6 +262,14 @@ class BatchedEncoder:
         fn = self._fns.get(key)
         if fn is None:
             enc_fn = self.enc.make_batched_encode_fn(sample_rate, bucket_len)
+
+            def dequant(audio):
+                # i16 wire codec: dequantize INSIDE the graph (trace-time
+                # dtype dispatch, no extra executable for f32 callers)
+                if audio.dtype == jnp.int16:
+                    return audio.astype(jnp.float32) * (1.0 / 32767.0)
+                return audio
+
             if self.with_f0:
                 from ..features.yin_jax import make_pipeline_f0_fn
 
@@ -258,12 +278,13 @@ class BatchedEncoder:
                 b_frames = bucket_len // hop_size  # synth frame bucket
 
                 def fused(variables, audio, valid, index, shift, tframes):
-                    """One program for the whole batch front-end: masked
-                    units encode + vmapped YIN + keyshift + synth-grid
-                    gather + the synthesis batcher's padding convention
-                    (units 0 / f0 220 beyond each row's tframes). Returns
-                    (units_enc (B, t_enc, C) for plain encode() rows,
-                    units_g (B, b, C), f0 (B, b))."""
+                    """One program for the whole batch front-end: wire
+                    decode + masked units encode + vmapped YIN + keyshift
+                    + synth-grid gather + the synthesis batcher's padding
+                    convention (units 0 / f0 220 beyond each row's
+                    tframes). Returns (units_enc (B, t_enc, C) for plain
+                    encode() rows, units_g (B, b, C), f0 (B, b))."""
+                    audio = dequant(audio)
                     units = enc_fn(variables, audio, valid)
                     f0 = jax.vmap(yin)(audio)[:, :b_frames]
                     f0 = f0 * (2.0 ** (shift / 12.0))[:, None]
@@ -279,7 +300,8 @@ class BatchedEncoder:
 
                 fn = jax.jit(fused)
             else:
-                fn = jax.jit(enc_fn)
+                fn = jax.jit(
+                    lambda v, a, valid: enc_fn(v, dequant(a), valid))
             self._fns[key] = fn
         return fn
 
@@ -337,11 +359,15 @@ class BatchedEncoder:
     def _run(self, batch: list[_EncRequest]):
         bucket_len, sample_rate, hop = batch[0].group
         n = self._batch_slots(len(batch))
-        audio = np.zeros((n, bucket_len), np.float32)
+        in_dtype = np.int16 if self.transfer_in == "i16" else np.float32
+        audio = np.zeros((n, bucket_len), in_dtype)
         valid = np.full((n,), bucket_len, np.int32)  # dummy rows: full length
         for i, r in enumerate(batch):
-            audio[i, : r.audio.shape[0]] = r.audio
-            valid[i] = r.audio.shape[0]
+            a = r.audio
+            if in_dtype == np.int16:
+                a = np.clip(a * 32767.0, -32768, 32767).astype(np.int16)
+            audio[i, : a.shape[0]] = a
+            valid[i] = a.shape[0]
         if self.with_f0:
             b_frames = bucket_len // hop
             index = np.zeros((n, b_frames), np.int32)

@@ -111,6 +111,7 @@ class SvcPipeline:
                         transfer: str | None = None, transfer_in: str = "f32",
                         device_stage: bool = True,
                         pipeline_depth: int = 1, batch_encoder: bool = False,
+                        audio_in: str = "f32",
                         **model_kwargs):
         """Route synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
@@ -159,6 +160,10 @@ class SvcPipeline:
                 # program per batch (PERF.md r4 attribution)
                 with_f0=self.device_f0, f0_min=self.f0_min,
                 f0_max=self.f0_max,
+                # 'i16' halves+halves the dominant h2d cost (the audio
+                # batch matrix) on constrained links; source audio is
+                # 16-bit to begin with
+                transfer_in=audio_in,
             )
         if self.family == "ddsp":
             self.batcher = BatchedSynth(
@@ -443,11 +448,14 @@ class SvcPipeline:
         fold_f0 = self.device_f0 and fuse_encoder and self.enhancer is None
         # batched front-end: device_f0 + BatchedEncoder(with_f0) — f0 comes
         # out of the SAME batched dispatch as the units (one program per
-        # batch for the whole front-end)
+        # batch for the whole front-end). Snapshot the batcher once: a
+        # concurrent close() between this check and the encode call must
+        # not strand the request with f0=None.
+        enc_batcher = self.enc_batcher
         batch_fe = (
             self.device_f0 and not fuse_encoder
-            and self.enc_batcher is not None
-            and getattr(self.enc_batcher, "with_f0", False)
+            and enc_batcher is not None
+            and getattr(enc_batcher, "with_f0", False)
             and start_frame_f0 == 0
         )
         if fold_f0 or batch_fe:
@@ -509,7 +517,6 @@ class SvcPipeline:
             units = None
             t = n_samples // hop + 1  # encode()'s frame contract
         else:
-            enc_batcher = self.enc_batcher
             if enc_batcher is not None and batch_fe:
                 # one batched dispatch for the whole front-end: masked
                 # units encode + vmapped YIN + keyshift + synth-grid

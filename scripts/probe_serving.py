@@ -26,6 +26,7 @@ def main():
     max_batch = 8
     n_requests = 16
     max_wait_ms = 30.0
+    voc_bf16 = "--voc_bf16" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--max_batch="):
             max_batch = int(a.split("=")[1])
@@ -65,7 +66,8 @@ def main():
     variables = bs._put(dict(variables))
     enc.variables = bs._put(dict(enc.variables))
     pipeline = SvcPipeline.from_parts(model, variables, args, enc,
-                                      device_f0=True)
+                                      device_f0=True,
+                                      vocoder_bf16=voc_bf16)
     pipeline.vocoder.params = bs._put(pipeline.vocoder.params)
 
     seconds = 5.0
@@ -74,6 +76,7 @@ def main():
         buckets=(bucket,), max_batch=max_batch, max_wait_ms=max_wait_ms,
         transfer="mulaw", transfer_in="f16", device_stage=True,
         pipeline_depth=3, batch_encoder=batch_encoder,
+        audio_in="i16" if "--audio_i16" in sys.argv else "f32",
         k_step=100, speedup=10, method="dpm-solver",
     )
     rng = np.random.default_rng(0)

@@ -205,3 +205,38 @@ def test_batched_encoder_with_f0():
                 rtol=1e-4, atol=1e-3)
     finally:
         b.close()
+
+
+def test_batched_encoder_audio_i16_codec():
+    """transfer_in='i16': the fused front-end's in-graph dequantize must
+    reproduce the f32 path within 16-bit quantization tolerance — the
+    audio batch matrix is the dominant h2d cost of full-stack serving
+    (PERF.md r4), and source audio is 16-bit to begin with."""
+    from ddsp_svc_tpu.infer.enc_batcher import BatchedEncoder
+
+    enc = _tiny_encoder()
+    sr, hop = 16000, 320
+    rng = np.random.default_rng(7)
+    n = 6000
+    a = (0.4 * np.sin(2 * np.pi * 200 * np.arange(n) / sr)
+         + 0.01 * rng.standard_normal(n)).astype(np.float32)
+    outs = {}
+    for codec in ("f32", "i16"):
+        b = BatchedEncoder(enc, frame_buckets=(32,), max_batch=2,
+                           max_wait_ms=5.0, with_f0=True, f0_min=65.0,
+                           f0_max=800.0, transfer_in=codec)
+        try:
+            outs[codec] = tuple(np.asarray(x)
+                                for x in b.encode_with_f0(a, sr, hop, 0.0))
+        finally:
+            b.close()
+    u32, f32_ = outs["f32"]
+    u16, f16_ = outs["i16"]
+    # unit features: quantization noise floor, far under encoder noise
+    assert float(np.max(np.abs(u16 - u32))) < 2e-2
+    np.testing.assert_allclose(
+        u16, u32, atol=np.maximum(1e-3, 0.05 * np.abs(u32).max()))
+    # pitch: sub-cent agreement
+    voiced = f32_ > 100.0
+    rel = np.abs(f16_[voiced] - f32_[voiced]) / f32_[voiced]
+    assert float(rel.max()) < 1e-3
