@@ -52,7 +52,9 @@ def main():
         "enhancer": None,
     })
     model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
-                        n_chans=512, k_step_max=100)
+                        n_chans=512, k_step_max=100,
+                        dtype=(jnp.bfloat16 if "--cascade_bf16" in sys.argv
+                               else None))
     with bs._cpu():
         variables = model.init(
             {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},

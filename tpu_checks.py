@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
@@ -718,6 +719,78 @@ def check_device_yin():
     }
 
 
+def check_front_fused():
+    """r4 fused serving front-end on hardware: encode_with_f0's ONE
+    program (i16 wire decode + masked HuBERT + vmapped YIN + keyshift +
+    synth-grid gather + batch-padding convention) must reproduce the solo
+    encode + solo device-YIN per request — the path every batched
+    `--device_f0` serving request rides (infer/enc_batcher.py)."""
+    from ddsp_svc_tpu.features.hubert import UnitsEncoder
+    from ddsp_svc_tpu.features.yin_jax import make_pipeline_f0_fn
+    from ddsp_svc_tpu.infer.enc_batcher import BatchedEncoder
+
+    sr, hop = 44100, 512
+    rng = np.random.default_rng(11)
+    lengths = [int(0.9 * sr), int(1.3 * sr)]
+    shifts = [0.0, 2.0]
+    audio = [
+        (0.3 * np.sin(2 * np.pi * (196.0 + 30 * i) * np.arange(n) / sr)
+         + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        for i, n in enumerate(lengths)
+    ]
+    bucket = lengths[-1] // hop + 1
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        enc = UnitsEncoder("contentvec768l12")
+    enc.variables = jax.device_put(enc.variables, jax.devices()[0])
+    eng = BatchedEncoder(enc, frame_buckets=(bucket,), max_batch=2,
+                         max_wait_ms=400.0, with_f0=True, f0_min=50.0,
+                         f0_max=1100.0, transfer_in="i16")
+    try:
+        results = [None, None]
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i, eng.encode_with_f0(audio[i], sr, hop, shifts[i])))
+            for i in range(2)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        max_rel_u, max_cents = 0.0, 0.0
+        for i, a in enumerate(audio):
+            t_req = a.shape[0] // hop + 1
+            units = _fetch(results[i][0])[0, :t_req]
+            f0 = _fetch(results[i][1])[0, :t_req, 0]
+            # solo with the same i16 quantization (isolates fusion from
+            # the codec, whose own delta check_encoder-style tests carry)
+            a16 = (np.clip(a * 32767.0, -32768, 32767).astype(np.int16)
+                   .astype(np.float32) / 32767.0)
+            solo_u = _fetch(enc.encode(
+                jnp.asarray(a16)[None], sr, hop))[0]
+            solo_f = _fetch(jax.jit(make_pipeline_f0_fn(
+                len(a16), sr, hop, 50.0, 1100.0))(jnp.asarray(a16)))
+            solo_f = solo_f * 2.0 ** (shifts[i] / 12.0)
+            rel = np.abs(units - solo_u) / (np.abs(solo_u).max() + 1e-9)
+            max_rel_u = max(max_rel_u, float(rel.max()))
+            cents = np.abs(1200.0 * np.log2(
+                np.maximum(f0, 1e-6) / np.maximum(solo_f[:t_req], 1e-6)))
+            max_cents = max(max_cents, float(cents.max()))
+        batched_once = eng.stats()["batches"] == 1
+    finally:
+        eng.close()
+    # default matmul precision: the MXU's shape-dependent bf16-pass
+    # rounding bounds units agreement (same mechanism encoder_batched
+    # documents); pitch must be sub-cent
+    return {
+        "ok": bool(max_rel_u < 2e-2 and max_cents < 1.0 and batched_once),
+        "max_rel_units_vs_solo": round(max_rel_u, 6),
+        "max_cents_vs_solo": round(max_cents, 4),
+        "one_fused_dispatch": batched_once,
+    }
+
+
 CHECKS = {
     "pallas_combtooth": check_pallas_combtooth,
     "pallas_oscillator": check_pallas_oscillator,
@@ -734,6 +807,7 @@ CHECKS = {
     "encoder_batched": check_encoder_batched,
     "cascade_bf16_quality": check_cascade_bf16_quality,
     "device_yin": check_device_yin,
+    "front_fused": check_front_fused,
 }
 
 
