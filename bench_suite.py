@@ -557,8 +557,12 @@ def bench_serving_soak(seconds=None, max_batch=8, n_clients=12,
                 u, f, v, spk = req_pool[int(crng.integers(0, len(req_pool)))]
                 t0 = time.perf_counter()
                 try:
+                    # raw host key (== PRNGKey(s) layout): a fresh EAGER
+                    # device key per request would be one remote array
+                    # allocation each — 14k5 of them over a 10-min soak
                     eng.infer(u, f, v, spk_id=spk,
-                              key=jax.random.PRNGKey(int(crng.integers(1e9))))
+                              key=np.array([0, crng.integers(2**31)],
+                                           np.uint32))
                 except Exception as e:
                     errors.append(e)
                     stop.set()
@@ -1134,8 +1138,8 @@ DICT_CONFIGS = {
     # bf16 vocoder (quality gated by TPU_CHECKS nsf_bf16_quality) + mb16 +
     # sustained 48-request load — the headline full-stack number
     "serving_diffusion_max": (
-        lambda: bench_serving_diffusion(n_requests=48, max_batch=16,
-                                        max_wait_ms=150.0,
+        lambda: bench_serving_diffusion(n_requests=64, max_batch=16,
+                                        max_wait_ms=200.0,
                                         transfer="mulaw", transfer_in="f16",
                                         pipeline_depth=3, device_f0=True,
                                         batch_encoder=True, audio_in="i16",

@@ -13,6 +13,11 @@ masked out.
 Determinism: the exciter noise is drawn per request from its key at the
 bucket length (vmapped fold-in), so a request's output is independent of
 which other requests share its batch — asserted by tests/test_batcher.py.
+Since r4's right-sized batches (_batch_slots) the guarantee is exact up
+to slot-shape numerics: a request's padded SLOT count follows how its
+batch formed, and XLA tiles different batch shapes with ulp-level
+differences — bit-exact whenever compositions match, ≤~1e-4 rel
+otherwise (the same order as XLA's own eager-vs-jit lowering variance).
 """
 from __future__ import annotations
 

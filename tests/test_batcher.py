@@ -585,7 +585,13 @@ def test_pipelined_matches_serial(synth):
     serial = run_all(1)
     pipelined = run_all(3)
     for a, b in zip(serial, pipelined):
-        np.testing.assert_array_equal(a, b)
+        # per-request noise is key-derived (exact across runs), but since
+        # r4's right-sized batches a request's SLOT-count depends on how
+        # the batch formed, and XLA tiles different batch shapes with
+        # ulp-level numeric differences — so cross-run agreement is at
+        # slot-shape-numerics tolerance, not bitwise (bitwise holds
+        # whenever compositions match; see test_request_independent_*)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
 
 
 def test_pipelined_close_drains_in_flight(synth):

@@ -74,9 +74,12 @@ def test_serving_soak_stability():
                 u, f, v, spk = req_pool[int(crng.integers(0, len(req_pool)))]
                 t0 = time.perf_counter()
                 try:
+                    # raw host key (PRNGKey layout) — an eager device key
+                    # per request would be one remote allocation each on
+                    # a tunneled backend (the r4 soak's RSS-growth cause)
                     eng.infer(u, f, v, spk_id=spk,
-                              key=jax.random.PRNGKey(
-                                  int(crng.integers(1e9))))
+                              key=np.array([0, crng.integers(2**31)],
+                                           np.uint32))
                 except Exception as e:
                     errors.append(e)
                     stop.set()
