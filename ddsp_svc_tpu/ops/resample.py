@@ -63,15 +63,40 @@ def resample(
         orig_freq, new_freq, lowpass_filter_width, rolloff
     )
     b, length = waveform.shape
-    x = jnp.pad(waveform, ((0, 0), (width, width + orig)))[:, None, :]  # (B,1,Lp)
-    # conv with stride=orig: output (B, new, ceil-ish length)
-    y = jax.lax.conv_general_dilated(
-        x,
-        jnp.asarray(kernels),  # (new, 1, K)
-        window_strides=(orig,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )  # (B, new, L//orig + 1)
-    y = y.transpose(0, 2, 1).reshape(b, -1)
+    # Block-matmul polyphase (r4): the direct form is a stride-`orig`
+    # conv with C_in=1 and a (2*width+orig)-tap kernel — a shape whose
+    # lowering quality is backend-dependent (C_in=1 convs don't map to a
+    # matmul directly). Output frame i reads the input window starting at
+    # i*orig - width; the window spans at most ceil((2w+orig)/orig)+1
+    # consecutive orig-sample blocks, so splitting the kernel at block
+    # boundaries turns the whole op into that many dense
+    # (frames, orig) @ (orig, new) matmuls — identical math (the kernel
+    # is just zero-extended), guaranteed-MXU-shaped contraction. On the
+    # tunneled v5e both forms measure at the RTT floor (~26 ms B=16x5s,
+    # compute ≪ dispatch); the matmul form is kept for lowering
+    # robustness, with parity pinned by the torchaudio tests.
+    k_len = kernels.shape[-1]  # 2*width + orig
+    # left-shift embedded in the kernel: pad the signal left by exactly
+    # one block and move the (block - width % block) offset into K
+    lead = (-width) % orig
+    n_lead = (width + lead) // orig  # whole blocks of left padding
+    k_pad = lead + k_len
+    n_blocks_k = -(-k_pad // orig)
+    kk = np.zeros((new, n_blocks_k * orig), np.float32)
+    kk[:, lead:lead + k_len] = kernels[:, 0, :]
+    # (n_blocks_k, orig, new): per consecutive input block, its matmul
+    k_split = jnp.asarray(
+        kk.reshape(new, n_blocks_k, orig).transpose(1, 2, 0))
+    frames = length // orig + 1  # matches VALID conv frame count
+    pad_r = (frames - 1 + n_blocks_k) * orig - (n_lead * orig + length)
+    xp = jnp.pad(waveform, ((0, 0), (n_lead * orig, max(0, pad_r))))
+    xb = xp.reshape(b, -1, orig)  # (B, nb, orig) non-overlapping blocks
+    y = None
+    for c in range(n_blocks_k):
+        part = jnp.einsum(
+            "bfo,on->bfn", jax.lax.slice_in_dim(xb, c, c + frames, axis=1),
+            k_split[c])
+        y = part if y is None else y + part
+    y = y.reshape(b, -1)  # (B, frames*new) interleaved phases
     target_length = int(math.ceil(new * length / orig))
     return y[:, :target_length]
