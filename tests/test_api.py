@@ -357,3 +357,65 @@ def test_stream_mode_diffusion_family(tmp_path):
         assert np.isfinite(data.astype(np.float64)).all()
     finally:
         srv.shutdown()
+
+
+def test_fused_front_end_serving_e2e():
+    """The r4 headline serving composition over real HTTP: --device_f0 +
+    batching auto-fuses the front-end (one program per batch: i16 wire
+    decode + masked encode + vmapped YIN + keyshift + gather + padding
+    convention), requests ride bucket-length rows with n_frames, and the
+    response audio has the request's length (cli/api --device_f0
+    --batch_encoder --audio_i16 path, PERF.md r4)."""
+    from http.server import ThreadingHTTPServer
+
+    from test_hubert_batched import _tiny_encoder
+
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": 16,
+                 "encoder_sample_rate": 16000, "encoder_hop_size": 320},
+        "model": {"type": "CombSubSuperFast", "win_length": WIN, "n_spk": 4},
+        "enhancer": None,
+    })
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=16, n_spk=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 16, 16)), 220.0 * jnp.ones((1, 16, 1)),
+        jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+    )
+    pipeline = SvcPipeline.from_parts(model, variables, args,
+                                      _tiny_encoder(), device_f0=True)
+    batcher = pipeline.enable_batching(
+        buckets=(64,), max_batch=2, max_wait_ms=20.0, audio_in="i16")
+    assert pipeline.enc_batcher is not None  # auto-created for device_f0
+    assert pipeline.enc_batcher.with_f0
+    assert pipeline.enc_batcher.transfer_in == "i16"
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(pipeline, {}))
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        results = [None] * 3
+
+        def worker(i):
+            results[i] = _post_voice(base, _wav_bytes(freq=200.0 + 30 * i),
+                                     pitch=float(i), spk=1 + i % 2)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(3)]
+        for w in threads:
+            w.start()
+        for w in threads:
+            w.join()
+        n_in = len(np.frombuffer(_wav_bytes()[44:], np.int16))
+        for status, payload, _ in results:
+            assert status == 200
+            _, data = wavfile.read(io.BytesIO(payload))
+            assert abs(len(data) - n_in) <= HOP  # request-length output
+            assert np.any(data != 0)
+        st = pipeline.enc_batcher.stats()
+        assert st["requests"] == 3 and st["batches"] >= 1
+    finally:
+        srv.shutdown()
+        batcher.close()
+        pipeline.enc_batcher.close()
