@@ -702,3 +702,27 @@ def test_pipeline_silence_front_skips_vocoding(tmp_path):
     assert out2.shape == audio.shape
     assert np.abs(out2[: 8 * HOP]).max() == 0.0
     assert np.abs(out2[8 * HOP :]).max() > 0.0
+
+
+def test_batch_slots_right_sizing():
+    """_batch_slots: next pow-2 >= real rows, capped at max_batch; the
+    mesh path keeps full width (sharding divisibility). Every size the
+    collector can produce must be warmed by warmup() (r4: an unwarmed
+    slot shape = a minutes-long remote compile inside the serving
+    window)."""
+    from ddsp_svc_tpu.infer.batcher import BatchedSynth
+
+    eng = BatchedSynth.__new__(BatchedSynth)
+    eng.mesh = None
+    eng.max_batch = 8
+    got = {n: eng._batch_slots(n) for n in range(1, 9)}
+    assert got == {1: 1, 2: 2, 3: 4, 4: 4, 5: 8, 6: 8, 7: 8, 8: 8}
+    eng.max_batch = 6  # non-pow2 cap still never exceeds max_batch
+    assert [eng._batch_slots(n) for n in (5, 6)] == [6, 6]
+
+    class _M:  # mesh path: full width always
+        pass
+
+    eng.mesh = _M()
+    eng.max_batch = 8
+    assert [eng._batch_slots(n) for n in (1, 3, 8)] == [8, 8, 8]
