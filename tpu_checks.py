@@ -791,6 +791,92 @@ def check_front_fused():
     }
 
 
+def check_serving_chain_quality():
+    """End-to-end quality of the 203x serving path on hardware: the same
+    request through (a) the direct unbatched pipeline (one fused f32
+    graph, f32 d2h) and (b) the full shipped serving composition
+    (--device_f0 + --batch_encoder + --audio_i16 + --batch_f16_in +
+    --batch_mulaw + voc_bf16, the serving_diffusion_max config) must
+    agree to the codec ladder's own floor — the mu-law output companding
+    (~38 dB on speech-scale signals) dominates, so the bound is SNR
+    > 25 dB. Closes the question 'does the fast path sound the same'."""
+    from ddsp_svc_tpu.features.hubert import UnitsEncoder
+    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+    from ddsp_svc_tpu.models.cascade import Unit2WavFast
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    sr, hop, win, n_unit, m = 44100, 512, 2048, 768, 128
+    args = DotDict({
+        "data": {"sampling_rate": sr, "block_size": hop,
+                 "encoder_out_channels": n_unit,
+                 "encoder": "contentvec768l12",
+                 "encoder_sample_rate": 16000, "encoder_hop_size": 320},
+        "model": {"type": "DiffusionFast", "win_length": win, "n_spk": 1,
+                  "n_layers": 6, "n_chans": 512, "k_step_max": 100,
+                  "out_dims": m},
+        "vocoder": {"type": "nsf-hifigan", "ckpt": None},
+        "enhancer": None,
+    })
+    model = Unit2WavFast(sr, hop, win, n_unit, 1, out_dims=m, n_layers=6,
+                         n_chans=512, k_step_max=100)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+            gt_spec=jnp.zeros((1, 16, m)), infer=True, k_step=100,
+            infer_speedup=10, sampler="dpm-solver",
+            key=jax.random.PRNGKey(3),
+        )
+        enc = UnitsEncoder("contentvec768l12")
+    dev = jax.devices()[0]
+    variables = jax.tree.map(
+        lambda a: jax.device_put(np.asarray(a), dev), dict(variables))
+    enc.variables = jax.tree.map(
+        lambda a: jax.device_put(np.asarray(a), dev), dict(enc.variables))
+
+    n = int(2.0 * sr)
+    t_ax = np.arange(n) / sr
+    f_inst = 196.0 * (1 + 0.02 * np.sin(2 * np.pi * 5 * t_ax))
+    audio = (0.3 * np.sin(2 * np.pi * np.cumsum(f_inst) / sr)
+             + 0.005 * np.random.default_rng(3).standard_normal(n)
+             ).astype(np.float32)
+
+    def build(vbf16):
+        p = SvcPipeline.from_parts(model, variables, args, enc,
+                                   device_f0=True, vocoder_bf16=vbf16)
+        p.vocoder.params = jax.tree.map(
+            lambda a: jax.device_put(np.asarray(a), dev), p.vocoder.params)
+        return p
+
+    kw = dict(spk_id=1, k_step=100, speedup=10, method="dpm-solver")
+    # (a) direct path: fused one-graph forward, f32 everything
+    pd = build(False)
+    pd._key = jax.random.PRNGKey(7)
+    ref, _ = pd.infer(audio, sr, **kw)
+    # (b) the shipped serving composition
+    ps = build(True)
+    bucket = n // hop + 2
+    batcher = ps.enable_batching(
+        buckets=(bucket,), max_batch=2, max_wait_ms=5.0, transfer="mulaw",
+        transfer_in="f16", pipeline_depth=2, batch_encoder=True,
+        audio_in="i16", k_step=100, speedup=10, method="dpm-solver",
+    )
+    try:
+        ps._key = jax.random.PRNGKey(7)
+        got, _ = ps.infer(audio, sr, **kw)
+    finally:
+        batcher.close()
+        ps.enc_batcher.close()
+    ln = min(len(ref), len(got))
+    ref, got = ref[:ln], got[:ln]
+    snr = float(10.0 * np.log10(
+        float((ref ** 2).sum())
+        / max(float(((got - ref) ** 2).sum()), 1e-20)))
+    return {"ok": bool(snr > 25.0), "snr_db_served_vs_direct": round(snr, 2)}
+
+
 CHECKS = {
     "pallas_combtooth": check_pallas_combtooth,
     "pallas_oscillator": check_pallas_oscillator,
@@ -808,6 +894,7 @@ CHECKS = {
     "cascade_bf16_quality": check_cascade_bf16_quality,
     "device_yin": check_device_yin,
     "front_fused": check_front_fused,
+    "serving_chain_quality": check_serving_chain_quality,
 }
 
 
