@@ -622,23 +622,19 @@ def bench_serving_soak(seconds=None, max_batch=8, n_clients=12,
     }
 
 
-def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
-                            transfer=None, transfer_in="f32",
-                            device_stage=True, pipeline_depth=1,
-                            batch_encoder=False, device_f0=False,
-                            vocoder_bf16=False, max_wait_ms=30.0,
-                            audio_in="f32", name_suffix=""):
-    """Full-stack serving for the heavy family: concurrent audio requests
-    through SvcPipeline (host YIN f0 + volume + units) into the batcher's
-    vmapped cascade+vocoder graph — the aggregate a DiffusionFast
-    flask_api_diff deployment actually delivers, front-end included.
-    The vocoder rides the fused Pallas resblocks (auto on TPU)."""
-    import threading
-
+def make_diffusion_serving_pipeline(device_f0=False, vocoder_bf16=False,
+                                    put=None):
+    """The production-scale DiffusionFast serving rig, shared by
+    bench_serving_diffusion, scripts/probe_serving.py,
+    scripts/probe_batchgraph.py and tpu_checks.check_serving_chain_quality
+    (one definition — a config drift between the bench and its probes or
+    quality checks would make them measure different systems)."""
+    from ddsp_svc_tpu.features.hubert import UnitsEncoder
     from ddsp_svc_tpu.infer.pipeline import SvcPipeline
     from ddsp_svc_tpu.models.cascade import Unit2WavFast
     from ddsp_svc_tpu.utils.config import DotDict
 
+    put = put if put is not None else _put
     args = DotDict({
         "data": {"sampling_rate": SR, "block_size": HOP,
                  "encoder_out_channels": N_UNIT,
@@ -652,24 +648,40 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
     })
     model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
                          n_chans=512, k_step_max=100)
-    from ddsp_svc_tpu.features.hubert import UnitsEncoder
-
     with _cpu():
-        tu = jnp.zeros((1, 16, N_UNIT))
         variables = model.init(
             {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
-            tu, 220.0 * jnp.ones((1, 16, 1)), jnp.ones((1, 16, 1)),
+            jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)),
             spk_id=jnp.ones((1, 1), jnp.int32), gt_spec=jnp.zeros((1, 16, M)),
             infer=True, k_step=100, infer_speedup=10, sampler="dpm-solver",
             key=jax.random.PRNGKey(3),
         )
         enc = UnitsEncoder("contentvec768l12")
-    variables = _put(dict(variables))
-    enc.variables = _put(dict(enc.variables))
+    variables = put(dict(variables))
+    enc.variables = put(dict(enc.variables))
     pipeline = SvcPipeline.from_parts(model, variables, args, enc,
                                       device_f0=device_f0,
                                       vocoder_bf16=vocoder_bf16)
-    pipeline.vocoder.params = _put(pipeline.vocoder.params)
+    pipeline.vocoder.params = put(pipeline.vocoder.params)
+    return pipeline
+
+
+def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
+                            transfer=None, transfer_in="f32",
+                            device_stage=True, pipeline_depth=1,
+                            batch_encoder=False, device_f0=False,
+                            vocoder_bf16=False, max_wait_ms=30.0,
+                            audio_in="f32", name_suffix=""):
+    """Full-stack serving for the heavy family: concurrent audio requests
+    through SvcPipeline (host YIN f0 + volume + units) into the batcher's
+    vmapped cascade+vocoder graph — the aggregate a DiffusionFast
+    flask_api_diff deployment actually delivers, front-end included.
+    The vocoder rides the fused Pallas resblocks (auto on TPU)."""
+    import threading
+
+    pipeline = make_diffusion_serving_pipeline(device_f0=device_f0,
+                                               vocoder_bf16=vocoder_bf16)
     bucket = int(seconds * SR) // HOP + 1  # one bucket fits each request
     batcher = pipeline.enable_batching(
         buckets=(bucket,), max_batch=max_batch, max_wait_ms=max_wait_ms,

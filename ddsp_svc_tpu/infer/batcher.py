@@ -167,6 +167,7 @@ class BatchedSynth:
         self._n_errors = 0
         self._n_batches = 0
         self._n_rows = 0  # real rows across batches (occupancy numerator)
+        self._n_slots = 0  # dispatched (right-sized) slots across batches
         self._latencies_ms: list[float] = []  # ring, newest-last
         self._batch_trace: list[dict] = []  # per-batch wall breakdown ring
         # dummy-row PRNG key, built ONCE on the host backend and held as
@@ -319,12 +320,12 @@ class BatchedSynth:
             sizes = sorted({self._batch_slots(k)
                             for k in range(1, self.max_batch + 1)} - {1})
             in_dtypes = [np.float32]
-            if self.transfer_in == "f16" and not (
-                    self.device_stage and self.mesh is None):
-                # f16 staging is only reachable when requests arrive as
-                # host arrays; a device-staging server stacks device f32
-                # rows, so warming the f16 shapes would compile graphs
-                # traffic can never hit (minutes each over the tunnel)
+            if self.transfer_in == "f16":
+                # host-array clients stage f16 even on a device-staging
+                # server (on_device needs actual device arrays, not the
+                # flag), so their batch shapes must be warm too — an
+                # unwarmed slot shape is a minutes-long remote compile
+                # inside the serving window
                 in_dtypes.append(np.float16)
             fn = self._fn(bucket, sig)
             for n in sizes:
@@ -341,14 +342,29 @@ class BatchedSynth:
                        jnp.stack([self._dummy_key] * n))
             jax.effects_barrier()
 
+    def reset_stats(self) -> None:
+        """Zero the serving counters/latency ring — called after the
+        warmup traffic drill so its (deliberate) first-window stalls
+        don't sit in /stats as multi-second p99s for traffic that never
+        happened."""
+        with self._stats_lock:
+            self._n_requests = 0
+            self._n_errors = 0
+            self._n_batches = 0
+            self._n_rows = 0
+            self._n_slots = 0
+            self._latencies_ms.clear()
+            self._batch_trace.clear()
+
     def stats(self) -> dict:
         """Serving counters for monitoring endpoints: request/error/batch
-        totals, mean batch occupancy (real rows / max_batch slots), queue
+        totals, mean batch occupancy (real rows / dispatched slots), queue
         depth, and latency percentiles over the last 512 requests."""
         with self._stats_lock:
             lat = sorted(self._latencies_ms)
             n_req, n_err = self._n_requests, self._n_errors
             n_b, n_rows = self._n_batches, self._n_rows
+            n_slots = self._n_slots
         pct = (lambda p: round(lat[min(len(lat) - 1,
                                        int(p * len(lat)))], 2)) if lat else (
             lambda p: None)
@@ -356,7 +372,15 @@ class BatchedSynth:
             "requests": n_req,
             "errors": n_err,
             "batches": n_b,
+            # real rows / dispatched slots: with right-sized batches this
+            # is the dummy-row-waste ratio (1.0 = zero waste); the old
+            # /max_batch denominator is kept as mean_batch_fill (how full
+            # batches form vs the cap — the max_wait/max_batch tuning
+            # signal)
             "mean_batch_occupancy": (
+                round(n_rows / max(n_slots, 1), 4) if n_b else None
+            ),
+            "mean_batch_fill": (
                 round(n_rows / (n_b * self.max_batch), 4) if n_b else None
             ),
             "queue_depth": self._q.qsize() + len(self._pending),
@@ -614,6 +638,8 @@ class BatchedSynth:
         with self._stats_lock:
             self._n_batches += 1
             self._n_rows += len(batch)
+            self._n_slots += (trace["slots"] if trace is not None
+                              else len(batch))
             if trace is not None:
                 # per-batch wall breakdown (stats()['recent_batches']):
                 # stage = worker staging enqueues, dispatch = jit call,

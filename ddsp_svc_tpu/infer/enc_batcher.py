@@ -103,6 +103,7 @@ class BatchedEncoder:
         self._n_requests = 0
         self._n_batches = 0
         self._n_rows = 0
+        self._n_slots = 0
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -229,11 +230,17 @@ class BatchedEncoder:
 
     def stats(self) -> dict:
         with self._stats_lock:
-            n_req, n_b, n_rows = self._n_requests, self._n_batches, self._n_rows
+            n_req, n_b = self._n_requests, self._n_batches
+            n_rows, n_slots = self._n_rows, self._n_slots
         return {
             "requests": n_req,
             "batches": n_b,
+            # rows / dispatched (right-sized) slots = dummy-row waste;
+            # fill = rows / max_batch capacity (formation tuning signal)
             "mean_batch_occupancy": (
+                round(n_rows / max(n_slots, 1), 4) if n_b else None
+            ),
+            "mean_batch_fill": (
                 round(n_rows / (n_b * self.max_batch), 4) if n_b else None
             ),
             "compiled_signatures": len(self._fns),
@@ -365,7 +372,7 @@ class BatchedEncoder:
         for i, r in enumerate(batch):
             a = r.audio
             if in_dtype == np.int16:
-                a = np.clip(a * 32767.0, -32768, 32767).astype(np.int16)
+                a = np.clip(np.rint(a * 32767.0), -32768, 32767).astype(np.int16)
             audio[i, : a.shape[0]] = a
             valid[i] = a.shape[0]
         if self.with_f0:
@@ -390,6 +397,7 @@ class BatchedEncoder:
         with self._stats_lock:
             self._n_batches += 1
             self._n_rows += len(batch)
+            self._n_slots += n
         for i, r in enumerate(batch):
             if r.want_f0:
                 # bucket-length rows, already gathered/padded in-graph:

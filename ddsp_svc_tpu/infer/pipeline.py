@@ -277,6 +277,9 @@ class SvcPipeline:
                 th.join()
             if errs:
                 raise errs[0]
+            # the drill's (deliberate) startup stalls must not sit in
+            # /stats as p99s for traffic that never happened
+            self.batcher.reset_stats()
 
     @staticmethod
     def _static_sig(sampler_kwargs) -> tuple:
@@ -457,6 +460,9 @@ class SvcPipeline:
             and enc_batcher is not None
             and getattr(enc_batcher, "with_f0", False)
             and start_frame_f0 == 0
+            # spk-mix requests run the eager direct path, which consumes
+            # t-length rows — keep them on the solo front-end
+            and spk_mix_dict is None
         )
         if fold_f0 or batch_fe:
             f0 = None
@@ -572,6 +578,17 @@ class SvcPipeline:
         sub = np.asarray(sub)
         spk = np.array([[spk_id]], np.int32)
         common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
+
+        def crop_fe_rows():
+            # bucket-length fused-front-end rows about to run a DIRECT
+            # path (non-admitted sampler signature, or a batcher closed
+            # mid-request): crop to the request's frames so they line up
+            # with the t-length volume (two eager slices on a rare path)
+            nonlocal units, f0
+            if batch_fe and units is not None and units.shape[1] > t:
+                units = units[:, :t]
+                f0 = f0[:, :t]
+
         mask_done = False
         if self.family == "ddsp":
             if spk_mix_dict is None:
@@ -605,6 +622,7 @@ class SvcPipeline:
                     )
                     mask_done = True
                 else:
+                    crop_fe_rows()
                     out = self._ddsp_forward_masked()(
                         self.variables["params"], units, f0, volume_j, spk,
                         sub, np.asarray(frame_mask, np.float32),
@@ -640,6 +658,7 @@ class SvcPipeline:
                 mask = upsampled_mask(on_host=True)
                 out = out * mask[:, : out.shape[-1]]
                 return out[0], out_sr
+            crop_fe_rows()
             if spk_mix_dict is None:
                 # ONE jitted graph for the whole block: cascade -> prefix
                 # crop -> NSF-HiFiGAN -> silence re-pad -> volume mask.

@@ -34,43 +34,9 @@ def main():
             n_requests = int(a.split("=")[1])
         elif a.startswith("--wait="):
             max_wait_ms = float(a.split("=")[1])
-    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
-    from ddsp_svc_tpu.models.cascade import Unit2WavFast
-    from ddsp_svc_tpu.features.hubert import UnitsEncoder
-    from ddsp_svc_tpu.utils.config import DotDict
-
-    SR, HOP, WIN, N_UNIT, M = bs.SR, bs.HOP, bs.WIN, bs.N_UNIT, bs.M
-    args = DotDict({
-        "data": {"sampling_rate": SR, "block_size": HOP,
-                 "encoder_out_channels": N_UNIT,
-                 "encoder": "contentvec768l12",
-                 "encoder_sample_rate": 16000, "encoder_hop_size": 320},
-        "model": {"type": "DiffusionFast", "win_length": WIN, "n_spk": 1,
-                  "n_layers": 6, "n_chans": 512, "k_step_max": 100,
-                  "out_dims": M},
-        "vocoder": {"type": "nsf-hifigan", "ckpt": None},
-        "enhancer": None,
-    })
-    model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
-                        n_chans=512, k_step_max=100,
-                        dtype=(jnp.bfloat16 if "--cascade_bf16" in sys.argv
-                               else None))
-    with bs._cpu():
-        variables = model.init(
-            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
-            jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
-            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
-            gt_spec=jnp.zeros((1, 16, M)), infer=True, k_step=100,
-            infer_speedup=10, sampler="dpm-solver",
-            key=jax.random.PRNGKey(3),
-        )
-        enc = UnitsEncoder("contentvec768l12")
-    variables = bs._put(dict(variables))
-    enc.variables = bs._put(dict(enc.variables))
-    pipeline = SvcPipeline.from_parts(model, variables, args, enc,
-                                      device_f0=True,
-                                      vocoder_bf16=voc_bf16)
-    pipeline.vocoder.params = bs._put(pipeline.vocoder.params)
+    SR, HOP = bs.SR, bs.HOP
+    pipeline = bs.make_diffusion_serving_pipeline(
+        device_f0=True, vocoder_bf16=voc_bf16)
 
     seconds = 5.0
     bucket = int(seconds * SR) // HOP + 1

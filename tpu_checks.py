@@ -765,7 +765,8 @@ def check_front_fused():
             f0 = _fetch(results[i][1])[0, :t_req, 0]
             # solo with the same i16 quantization (isolates fusion from
             # the codec, whose own delta check_encoder-style tests carry)
-            a16 = (np.clip(a * 32767.0, -32768, 32767).astype(np.int16)
+            a16 = (np.clip(np.rint(a * 32767.0), -32768, 32767)
+                   .astype(np.int16)
                    .astype(np.float32) / 32767.0)
             solo_u = _fetch(enc.encode(
                 jnp.asarray(a16)[None], sr, hop))[0]
@@ -800,41 +801,14 @@ def check_serving_chain_quality():
     agree to the codec ladder's own floor — the mu-law output companding
     (~38 dB on speech-scale signals) dominates, so the bound is SNR
     > 25 dB. Closes the question 'does the fast path sound the same'."""
-    from ddsp_svc_tpu.features.hubert import UnitsEncoder
-    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
-    from ddsp_svc_tpu.models.cascade import Unit2WavFast
-    from ddsp_svc_tpu.utils.config import DotDict
+    import bench_suite as bs
 
-    sr, hop, win, n_unit, m = 44100, 512, 2048, 768, 128
-    args = DotDict({
-        "data": {"sampling_rate": sr, "block_size": hop,
-                 "encoder_out_channels": n_unit,
-                 "encoder": "contentvec768l12",
-                 "encoder_sample_rate": 16000, "encoder_hop_size": 320},
-        "model": {"type": "DiffusionFast", "win_length": win, "n_spk": 1,
-                  "n_layers": 6, "n_chans": 512, "k_step_max": 100,
-                  "out_dims": m},
-        "vocoder": {"type": "nsf-hifigan", "ckpt": None},
-        "enhancer": None,
-    })
-    model = Unit2WavFast(sr, hop, win, n_unit, 1, out_dims=m, n_layers=6,
-                         n_chans=512, k_step_max=100)
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        variables = model.init(
-            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
-            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
-            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
-            gt_spec=jnp.zeros((1, 16, m)), infer=True, k_step=100,
-            infer_speedup=10, sampler="dpm-solver",
-            key=jax.random.PRNGKey(3),
-        )
-        enc = UnitsEncoder("contentvec768l12")
-    dev = jax.devices()[0]
-    variables = jax.tree.map(
-        lambda a: jax.device_put(np.asarray(a), dev), dict(variables))
-    enc.variables = jax.tree.map(
-        lambda a: jax.device_put(np.asarray(a), dev), dict(enc.variables))
+    sr, hop = bs.SR, bs.HOP
+
+    def build(vbf16):
+        # the SAME rig the bench and probes use (one definition)
+        return bs.make_diffusion_serving_pipeline(device_f0=True,
+                                                  vocoder_bf16=vbf16)
 
     n = int(2.0 * sr)
     t_ax = np.arange(n) / sr
@@ -843,17 +817,19 @@ def check_serving_chain_quality():
              + 0.005 * np.random.default_rng(3).standard_normal(n)
              ).astype(np.float32)
 
-    def build(vbf16):
-        p = SvcPipeline.from_parts(model, variables, args, enc,
-                                   device_f0=True, vocoder_bf16=vbf16)
-        p.vocoder.params = jax.tree.map(
-            lambda a: jax.device_put(np.asarray(a), dev), p.vocoder.params)
-        return p
-
     kw = dict(spk_id=1, k_step=100, speedup=10, method="dpm-solver")
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    def seed(pipe):
+        # seed on the HOST backend: a device-committed key would make the
+        # pipeline's CPU-context split run on the accelerator and its
+        # np.asarray fetch hit the unbarriered-d2h hazard
+        with jax.default_device(cpu):
+            pipe._key = jax.random.PRNGKey(7)
+
     # (a) direct path: fused one-graph forward, f32 everything
     pd = build(False)
-    pd._key = jax.random.PRNGKey(7)
+    seed(pd)
     ref, _ = pd.infer(audio, sr, **kw)
     # (b) the shipped serving composition
     ps = build(True)
@@ -864,7 +840,7 @@ def check_serving_chain_quality():
         audio_in="i16", k_step=100, speedup=10, method="dpm-solver",
     )
     try:
-        ps._key = jax.random.PRNGKey(7)
+        seed(ps)
         got, _ = ps.infer(audio, sr, **kw)
     finally:
         batcher.close()
