@@ -623,39 +623,47 @@ def bench_serving_soak(seconds=None, max_batch=8, n_clients=12,
 
 
 def make_diffusion_serving_pipeline(device_f0=False, vocoder_bf16=False,
-                                    put=None):
-    """The production-scale DiffusionFast serving rig, shared by
-    bench_serving_diffusion, scripts/probe_serving.py,
-    scripts/probe_batchgraph.py and tpu_checks.check_serving_chain_quality
-    (one definition — a config drift between the bench and its probes or
-    quality checks would make them measure different systems)."""
+                                    put=None, family="diffusion"):
+    """The production-scale heavy-family serving rig (DiffusionFast or
+    RectifiedFlow), shared by bench_serving_diffusion,
+    scripts/probe_serving.py, scripts/probe_batchgraph.py and
+    tpu_checks.check_serving_chain_quality (one definition — a config
+    drift between the bench and its probes or quality checks would make
+    them measure different systems)."""
     from ddsp_svc_tpu.features.hubert import UnitsEncoder
     from ddsp_svc_tpu.infer.pipeline import SvcPipeline
-    from ddsp_svc_tpu.models.cascade import Unit2WavFast
+    from ddsp_svc_tpu.models.cascade import ReflowUnit2Wav, Unit2WavFast
     from ddsp_svc_tpu.utils.config import DotDict
 
     put = put if put is not None else _put
+    mtype = "DiffusionFast" if family == "diffusion" else "RectifiedFlow"
     args = DotDict({
         "data": {"sampling_rate": SR, "block_size": HOP,
                  "encoder_out_channels": N_UNIT,
                  "encoder": "contentvec768l12",
                  "encoder_sample_rate": 16000, "encoder_hop_size": 320},
-        "model": {"type": "DiffusionFast", "win_length": WIN, "n_spk": 1,
+        "model": {"type": mtype, "win_length": WIN, "n_spk": 1,
                   "n_layers": 6, "n_chans": 512, "k_step_max": 100,
-                  "out_dims": M},
+                  "out_dims": M, "t_start": 0.7},
         "vocoder": {"type": "nsf-hifigan", "ckpt": None},
         "enhancer": None,
     })
-    model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
-                         n_chans=512, k_step_max=100)
     with _cpu():
+        if family == "diffusion":
+            model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M,
+                                 n_layers=6, n_chans=512, k_step_max=100)
+            init_kw = dict(k_step=100, infer_speedup=10,
+                           sampler="dpm-solver")
+        else:
+            model = ReflowUnit2Wav(SR, HOP, WIN, N_UNIT, 1, out_dims=M,
+                                   n_layers=6, n_chans=512)
+            init_kw = dict(infer_step=20, sampler="euler", t_start=0.7)
         variables = model.init(
             {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
             jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
             jnp.ones((1, 16, 1)),
             spk_id=jnp.ones((1, 1), jnp.int32), gt_spec=jnp.zeros((1, 16, M)),
-            infer=True, k_step=100, infer_speedup=10, sampler="dpm-solver",
-            key=jax.random.PRNGKey(3),
+            infer=True, key=jax.random.PRNGKey(3), **init_kw,
         )
         enc = UnitsEncoder("contentvec768l12")
     variables = put(dict(variables))
@@ -672,7 +680,8 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
                             device_stage=True, pipeline_depth=1,
                             batch_encoder=False, device_f0=False,
                             vocoder_bf16=False, max_wait_ms=30.0,
-                            audio_in="f32", name_suffix=""):
+                            audio_in="f32", family="diffusion",
+                            name_suffix=""):
     """Full-stack serving for the heavy family: concurrent audio requests
     through SvcPipeline (host YIN f0 + volume + units) into the batcher's
     vmapped cascade+vocoder graph — the aggregate a DiffusionFast
@@ -681,14 +690,18 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
     import threading
 
     pipeline = make_diffusion_serving_pipeline(device_f0=device_f0,
-                                               vocoder_bf16=vocoder_bf16)
+                                               vocoder_bf16=vocoder_bf16,
+                                               family=family)
+    req_kw = (dict(k_step=100, speedup=10, method="dpm-solver")
+              if family == "diffusion"
+              else dict(infer_step=20, method="euler", t_start=0.7))
     bucket = int(seconds * SR) // HOP + 1  # one bucket fits each request
     batcher = pipeline.enable_batching(
         buckets=(bucket,), max_batch=max_batch, max_wait_ms=max_wait_ms,
         transfer=transfer, transfer_in=transfer_in,
         device_stage=device_stage, pipeline_depth=pipeline_depth,
         batch_encoder=batch_encoder, audio_in=audio_in,
-        k_step=100, speedup=10, method="dpm-solver",
+        **req_kw,
     )
     rng = np.random.default_rng(0)
     n = int(seconds * SR)
@@ -710,8 +723,7 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
         for attempt in range(5):
             try:
                 pipeline.warmup_batching()
-                pipeline.infer(reqs[0], SR, spk_id=1, k_step=100, speedup=10,
-                               method="dpm-solver")
+                pipeline.infer(reqs[0], SR, spk_id=1, **req_kw)
                 break
             except Exception as e:
                 last = e
@@ -724,8 +736,7 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
 
             def run_one(a):
                 try:
-                    pipeline.infer(a, SR, spk_id=1, k_step=100, speedup=10,
-                                   method="dpm-solver")
+                    pipeline.infer(a, SR, spk_id=1, **req_kw)
                 except Exception as e:
                     errors.append(e)
 
@@ -746,7 +757,7 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
         if pipeline.enc_batcher is not None:
             pipeline.enc_batcher.close()
             pipeline.enc_batcher = None
-    name = "serving_diffusion"
+    name = f"serving_{family}"
     if not device_stage:
         name += "_hoststage"
     if device_f0:
@@ -1192,6 +1203,17 @@ DICT_CONFIGS = {
                                         device_stage=False,
                                         pipeline_depth=3),
         "serving_diffusion_hoststage_mulaw_f16in_pipelined_throughput_rtf_44k1",
+        "aggregate_x_realtime_per_chip"),
+    # the OTHER heavy family through the same shipped serving composition
+    # (flask_api contract with reflow per-request sampler fields)
+    "serving_reflow_max": (
+        lambda: bench_serving_diffusion(n_requests=64, max_batch=16,
+                                        max_wait_ms=200.0,
+                                        transfer="mulaw", transfer_in="f16",
+                                        pipeline_depth=3, device_f0=True,
+                                        batch_encoder=True, audio_in="i16",
+                                        vocoder_bf16=True, family="reflow"),
+        "serving_reflow_devf0_bencoder_mulaw_f16in_ai16_vbf16_pipelined_throughput_rtf_44k1",
         "aggregate_x_realtime_per_chip"),
     # sustained mixed-signature load; SOAK_SECONDS env sets the window
     # (default 600 s — the long-running flask_api deployment model)
