@@ -83,13 +83,18 @@ def main(argv=None):
 
     t_ex = ds.crop_frames
     disc_cfg = None
-    if args.vocoder and (args.vocoder.discriminator_periods
-                         or args.vocoder.msd_scales):
+    # explicit falsy values are CONFIG, not absence: periods [] must mean
+    # "no MPD" and msd_scales 0 "no MSD", so gate on `is not None` rather
+    # than truthiness (ADVICE r4)
+    periods_cfg = args.vocoder.discriminator_periods if args.vocoder else None
+    msd_cfg = args.vocoder.msd_scales if args.vocoder else None
+    if periods_cfg is not None or msd_cfg is not None:
         from ..train.vocoder_solver import Discriminators
 
         disc_cfg = Discriminators(
-            periods=tuple(args.vocoder.discriminator_periods or (2, 3, 5, 7, 11)),
-            msd_scales=int(args.vocoder.msd_scales or 3),
+            periods=tuple((2, 3, 5, 7, 11) if periods_cfg is None
+                          else periods_cfg),
+            msd_scales=3 if msd_cfg is None else int(msd_cfg),
         )
     state_g, state_d, disc = init_vocoder_training(
         gen,

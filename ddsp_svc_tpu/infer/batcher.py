@@ -219,6 +219,15 @@ class BatchedSynth:
         rows = units.shape[0]
         t = int(n_frames) if n_frames is not None else rows
         bucket = self._bucket_for(t)
+        if n_frames is not None and rows > bucket:
+            # a front-end whose frame buckets disagree with this engine's
+            # would stack an oversized row and poison its whole batch —
+            # fail just this request with an actionable message (ADVICE r4)
+            raise ValueError(
+                f"pre-padded rows {rows} exceed the bucket {bucket} for "
+                f"n_frames={t}: the front-end's frame_buckets must match "
+                "the synthesis buckets"
+            )
 
         def is_dev(a):
             return isinstance(a, jnp.ndarray) and not isinstance(a, np.ndarray)

@@ -192,14 +192,27 @@ class BatchedEncoder:
                  shift: float = 0.0):
         from ..features.yin_jax import make_pipeline_f0_fn
 
+        t = audio.shape[0] // hop_size + 1
+        # over-bucket solo requests pad up to a coarse length grid (~0.5 s)
+        # so a stream of varying lengths shares a handful of compiled
+        # lengths instead of one minutes-long remote compile each (ADVICE
+        # r4). Zero-padding is f0-exact for the first t frames: YIN is
+        # frame-local and the padded tail is unvoiced, so the voiced
+        # support of the unvoiced-fill interpolation is unchanged.
+        grid = max(hop_size, (sample_rate // (2 * hop_size)) * hop_size)
+        padded_len = -(-audio.shape[0] // grid) * grid
+        if padded_len > audio.shape[0]:
+            audio = np.pad(audio, (0, padded_len - audio.shape[0]))
         key = (audio.shape[0], sample_rate, hop_size)
-        fn = self._solo_f0_fns.get(key)
+        fn = self._solo_f0_fns.pop(key, None)
         if fn is None:
             fn = jax.jit(make_pipeline_f0_fn(
                 audio.shape[0], sample_rate, hop_size,
                 self.f0_min, self.f0_max))
-            self._solo_f0_fns[key] = fn
-        f0 = fn(jnp.asarray(audio))[None, :, None]
+        self._solo_f0_fns[key] = fn  # re-insert: newest-last (LRU order)
+        while len(self._solo_f0_fns) > 8:
+            self._solo_f0_fns.pop(next(iter(self._solo_f0_fns)))
+        f0 = fn(jnp.asarray(audio))[None, :t, None]
         if shift:
             f0 = f0 * float(2.0 ** (shift / 12.0))
         return f0

@@ -137,3 +137,38 @@ def test_resample_sine_preservation():
     err = y[0, seg] - ref[seg]
     snr = 10 * np.log10(np.mean(ref[seg] ** 2) / np.mean(err**2))
     assert snr > 40.0, snr
+
+
+def test_resample_block_matmul_vs_direct_conv():
+    """Regression pin for the r4 block-matmul polyphase rewrite (ADVICE r4):
+    resample() must equal the direct torchaudio formulation — pad
+    (width, width + orig), stride-`orig` conv with the (new, kernel_len)
+    phase bank, interleave, crop to ceil(new*L/orig) — across rate pairs
+    and odd lengths."""
+    import math
+
+    from ddsp_svc_tpu.ops.resample import _sinc_resample_kernel
+
+    def direct(x, orig_freq, new_freq):
+        kernels, width, orig, new = _sinc_resample_kernel(orig_freq, new_freq)
+        k = kernels[:, 0, :].astype(np.float64)  # (new, kernel_len)
+        b, length = x.shape
+        xp = np.pad(x.astype(np.float64), ((0, 0), (width, width + orig)))
+        frames = length // orig + 1
+        out = np.zeros((b, frames, new))
+        for f in range(frames):
+            out[:, f] = xp[:, f * orig:f * orig + k.shape[1]] @ k.T
+        y = out.reshape(b, -1)
+        return y[:, : int(math.ceil(new * length / orig))]
+
+    rng = np.random.default_rng(11)
+    for sr_in, sr_out in [(44100, 16000), (16000, 44100), (44100, 48000),
+                          (32000, 16000), (24000, 44100)]:
+        for length in (4096, 4410 + 7):
+            x = rng.standard_normal((2, length)).astype(np.float32)
+            got = np.asarray(resample_audio(jnp.asarray(x), sr_in, sr_out))
+            want = direct(x, sr_in, sr_out)
+            assert got.shape == want.shape, (sr_in, sr_out, length)
+            denom = np.max(np.abs(want)) or 1.0
+            rel = np.max(np.abs(got - want)) / denom
+            assert rel < 1e-5, (sr_in, sr_out, length, rel)
