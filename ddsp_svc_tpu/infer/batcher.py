@@ -545,17 +545,39 @@ class BatchedSynth:
                 self._pending.append(r)
         return batch
 
+    def _chunks(self, batch: list[_Request]) -> list[list[_Request]]:
+        """Deadline-aware slot sizing (VERDICT r4 item 2): when the wait
+        deadline expires with a partial batch, dispatching the largest
+        power-of-two prefix plus a right-sized remainder can beat padding
+        the whole batch up — e.g. 9 rows cost 8+1=9 slots instead of 16.
+        Split only when it saves ≥2 dummy slots (an extra dispatch is
+        ~1-5 ms of submit work; a dummy slot is ~10-15 ms of batch
+        compute at production sizes). The mesh path keeps one full-width
+        batch (sharding divisibility)."""
+        n = len(batch)
+        if self.mesh is not None or n < 3:
+            return [batch]
+        slots = self._batch_slots(n)
+        big = 1 << (n.bit_length() - 1)  # largest pow2 <= n
+        if big == n or slots - n < 2:
+            return [batch]
+        rest = batch[big:]
+        if big + self._batch_slots(len(rest)) > slots - 2:
+            return [batch]
+        return [batch[:big], rest]
+
     def _loop(self):
         while not self._stop:
             batch = self._collect()
             if not batch:
                 continue
-            try:
-                self._run(batch, time.monotonic())
-            except Exception as e:  # deliver the failure to every caller
-                for r in batch:
-                    r.error = e
-                    r.done.set()
+            for chunk in self._chunks(batch):
+                try:
+                    self._run(chunk, time.monotonic())
+                except Exception as e:  # deliver the failure to every caller
+                    for r in chunk:
+                        r.error = e
+                        r.done.set()
 
     def _spk_keys(self, batch: list[_Request], n: int):
         """Shared dummy-row scaffolding of both staging paths."""

@@ -104,6 +104,7 @@ class BatchedEncoder:
         self._n_batches = 0
         self._n_rows = 0
         self._n_slots = 0
+        self._batch_trace: list[dict] = []  # per-batch wall breakdown ring
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -124,9 +125,12 @@ class BatchedEncoder:
         if bucket is None or self._stop:
             return self.enc.encode(jnp.asarray(audio)[None], sample_rate,
                                    hop_size)
+        idx = self.enc.align_index(audio.shape[0], sample_rate, hop_size)
+        if self.transfer_in == "i16":  # see encode_with_f0
+            audio = np.clip(np.rint(audio * 32767.0), -32768,
+                            32767).astype(np.int16)
         req = _EncRequest(
-            audio, sample_rate, hop_size, bucket * hop_size,
-            self.enc.align_index(audio.shape[0], sample_rate, hop_size),
+            audio, sample_rate, hop_size, bucket * hop_size, idx,
         )
         self._q.put(req)
         while not req.done.wait(timeout=1.0):
@@ -174,6 +178,12 @@ class BatchedEncoder:
             return units, f0
         idx = self.enc.align_index(audio.shape[0], sample_rate, hop_size)
         idx = np.pad(idx, (0, bucket - idx.shape[0]), mode="edge")
+        if self.transfer_in == "i16":
+            # quantize in the SUBMITTING thread (numpy releases the GIL):
+            # the work runs in parallel across client threads instead of
+            # serializing in the worker's batch-staging critical path
+            audio = np.clip(np.rint(audio * 32767.0), -32768,
+                            32767).astype(np.int16)
         req = _EncRequest(
             audio, sample_rate, hop_size, bucket * hop_size, idx,
             want_f0=True, shift=float(shift),
@@ -241,6 +251,16 @@ class BatchedEncoder:
                 fn(*args)
             jax.effects_barrier()
 
+    def reset_stats(self) -> None:
+        """Zero counters/traces after the warmup traffic drill (same
+        rationale as BatchedSynth.reset_stats)."""
+        with self._stats_lock:
+            self._n_requests = 0
+            self._n_batches = 0
+            self._n_rows = 0
+            self._n_slots = 0
+            self._batch_trace.clear()
+
     def stats(self) -> dict:
         with self._stats_lock:
             n_req, n_b = self._n_requests, self._n_batches
@@ -257,6 +277,7 @@ class BatchedEncoder:
                 round(n_rows / (n_b * self.max_batch), 4) if n_b else None
             ),
             "compiled_signatures": len(self._fns),
+            "recent_batches": list(self._batch_trace[-16:]),
         }
 
     def close(self):
@@ -357,17 +378,36 @@ class BatchedEncoder:
                 self._pending.append(r)
         return batch
 
+    def _chunks(self, batch: list[_EncRequest]) -> list[list[_EncRequest]]:
+        """Deadline-aware slot sizing — same policy as
+        BatchedSynth._chunks: split a deadline-expired partial batch into
+        a pow-2 prefix + right-sized remainder when that saves ≥2 dummy
+        slots (the fused YIN makes a dummy front-end row as expensive as
+        a real one)."""
+        n = len(batch)
+        if n < 3:
+            return [batch]
+        slots = self._batch_slots(n)
+        big = 1 << (n.bit_length() - 1)
+        if big == n or slots - n < 2:
+            return [batch]
+        rest = batch[big:]
+        if big + self._batch_slots(len(rest)) > slots - 2:
+            return [batch]
+        return [batch[:big], rest]
+
     def _loop(self):
         while not self._stop:
             batch = self._collect()
             if not batch:
                 continue
-            try:
-                self._run(batch)
-            except Exception as e:
-                for r in batch:
-                    r.error = e
-                    r.done.set()
+            for chunk in self._chunks(batch):
+                try:
+                    self._run(chunk)
+                except Exception as e:
+                    for r in chunk:
+                        r.error = e
+                        r.done.set()
 
     def _batch_slots(self, n_real: int) -> int:
         """Padded row count: next power of two >= n_real (same rationale
@@ -377,6 +417,7 @@ class BatchedEncoder:
         return min(self.max_batch, 1 << max(0, (n_real - 1).bit_length()))
 
     def _run(self, batch: list[_EncRequest]):
+        t_formed = time.monotonic()
         bucket_len, sample_rate, hop = batch[0].group
         n = self._batch_slots(len(batch))
         in_dtype = np.int16 if self.transfer_in == "i16" else np.float32
@@ -384,7 +425,9 @@ class BatchedEncoder:
         valid = np.full((n,), bucket_len, np.int32)  # dummy rows: full length
         for i, r in enumerate(batch):
             a = r.audio
-            if in_dtype == np.int16:
+            if in_dtype == np.int16 and a.dtype != np.int16:
+                # batched submit paths pre-quantize in the client thread;
+                # this covers direct callers handing float rows
                 a = np.clip(np.rint(a * 32767.0), -32768, 32767).astype(np.int16)
             audio[i, : a.shape[0]] = a
             valid[i] = a.shape[0]
@@ -398,11 +441,13 @@ class BatchedEncoder:
                     index[i] = r.index
                     shift[i] = r.shift
                     tframes[i] = r.audio.shape[0] // hop + 1
+            t_staged = time.monotonic()
             units, units_g, f0b = self._fn(bucket_len, sample_rate, hop)(
                 self.enc.variables, jnp.asarray(audio), jnp.asarray(valid),
                 jnp.asarray(index), jnp.asarray(shift), jnp.asarray(tframes),
             )
         else:
+            t_staged = time.monotonic()
             units = self._fn(bucket_len, sample_rate, hop)(
                 self.enc.variables, jnp.asarray(audio), jnp.asarray(valid)
             )
@@ -411,6 +456,16 @@ class BatchedEncoder:
             self._n_batches += 1
             self._n_rows += len(batch)
             self._n_slots += n
+            # stage = host staging (copies into the batch matrix),
+            # dispatch = jit call (async enqueue; results stay on device,
+            # so there is no barrier/fetch leg here)
+            self._batch_trace.append({
+                "rows": len(batch), "slots": n,
+                "stage_ms": round(1e3 * (t_staged - t_formed), 1),
+                "dispatch_ms": round(1e3 * (time.monotonic() - t_staged), 1),
+            })
+            if len(self._batch_trace) > 64:
+                del self._batch_trace[:-64]
         for i, r in enumerate(batch):
             if r.want_f0:
                 # bucket-length rows, already gathered/padded in-graph:

@@ -280,6 +280,8 @@ class SvcPipeline:
             # the drill's (deliberate) startup stalls must not sit in
             # /stats as p99s for traffic that never happened
             self.batcher.reset_stats()
+            if self.enc_batcher is not None:
+                self.enc_batcher.reset_stats()
 
     @staticmethod
     def _static_sig(sampler_kwargs) -> tuple:

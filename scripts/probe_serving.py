@@ -5,6 +5,8 @@ front-end timing — to attribute a degraded aggregate to staging vs device
 compute (barrier) vs d2h (fetch) vs batch formation.
 
 Usage: /opt/venv/bin/python scripts/probe_serving.py [--batch_encoder]
+    [--family=reflow] [--max_batch=16] [--n_requests=64] [--wait=200]
+    [--voc_bf16] [--audio_i16] [--trunk_bf16]
 """
 import json
 import os
@@ -26,6 +28,7 @@ def main():
     max_batch = 8
     n_requests = 16
     max_wait_ms = 30.0
+    family = "diffusion"
     voc_bf16 = "--voc_bf16" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--max_batch="):
@@ -34,10 +37,15 @@ def main():
             n_requests = int(a.split("=")[1])
         elif a.startswith("--wait="):
             max_wait_ms = float(a.split("=")[1])
+        elif a.startswith("--family="):
+            family = a.split("=")[1]
     SR, HOP = bs.SR, bs.HOP
     pipeline = bs.make_diffusion_serving_pipeline(
-        device_f0=True, vocoder_bf16=voc_bf16)
+        device_f0=True, vocoder_bf16=voc_bf16, family=family)
 
+    req_kw = (dict(k_step=100, speedup=10, method="dpm-solver")
+              if family == "diffusion"
+              else dict(infer_step=20, method="euler", t_start=0.7))
     seconds = 5.0
     bucket = int(seconds * SR) // HOP + 1
     batcher = pipeline.enable_batching(
@@ -45,7 +53,7 @@ def main():
         transfer="mulaw", transfer_in="f16", device_stage=True,
         pipeline_depth=3, batch_encoder=batch_encoder,
         audio_in="i16" if "--audio_i16" in sys.argv else "f32",
-        k_step=100, speedup=10, method="dpm-solver",
+        **req_kw,
     )
     rng = np.random.default_rng(0)
     n = int(seconds * SR)
@@ -59,19 +67,19 @@ def main():
     pipeline.warmup_batching()
     print(f"warmup_batching: {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
-    pipeline.infer(reqs[0], SR, spk_id=1, k_step=100, speedup=10,
-                   method="dpm-solver")
+    pipeline.infer(reqs[0], SR, spk_id=1, **req_kw)
     print(f"solo warm infer: {time.time()-t0:.1f}s", flush=True)
 
     for rep in range(2):
         errors = []
         lat = []
+        submits = []
 
         def run_one(a):
             t1 = time.perf_counter()
+            submits.append(t1)
             try:
-                pipeline.infer(a, SR, spk_id=1, k_step=100, speedup=10,
-                               method="dpm-solver")
+                pipeline.infer(a, SR, spk_id=1, **req_kw)
                 lat.append(time.perf_counter() - t1)
             except Exception as e:
                 errors.append(e)
@@ -89,17 +97,23 @@ def main():
         agg = n_requests * audio_s / wall
         st = batcher.stats()
         print(json.dumps({
-            "rep": rep, "aggregate_x": round(agg, 1),
+            "rep": rep, "family": family, "aggregate_x": round(agg, 1),
             "wall_s": round(wall, 2),
             "lat_mean_s": round(float(np.mean(lat)), 2),
             "occupancy": st.get("mean_batch_occupancy"),
             "batches": st.get("batches"),
+            "client_spread_ms": round(
+                1e3 * (max(submits) - min(submits)), 1),
         }), flush=True)
         for b in st.get("recent_batches", []):
             print("  batch:", json.dumps(b), flush=True)
         if pipeline.enc_batcher is not None:
-            print("enc stats:", json.dumps(pipeline.enc_batcher.stats()),
-                  flush=True)
+            est = pipeline.enc_batcher.stats()
+            print("enc stats:", json.dumps(
+                {k: v for k, v in est.items() if k != "recent_batches"}),
+                flush=True)
+            for b in est.get("recent_batches", []):
+                print("  enc batch:", json.dumps(b), flush=True)
     batcher.close()
     if pipeline.enc_batcher is not None:
         pipeline.enc_batcher.close()
