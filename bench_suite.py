@@ -188,7 +188,7 @@ def bench_nsf(batch=4, seconds=10.0, dtype=None, subpixel=False, fused=False):
 
 
 def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False,
-                   dtype=None, voc_dtype="same"):
+                   dtype=None, voc_dtype="same", trunk_pallas=False):
     """include_vocoder=True measures the FULL main_diff.py chain RTF
     (cascade -> refined mel -> NSF-HiFiGAN audio) — the number a user of
     the reference's offline inference actually experiences; the vocoder
@@ -201,11 +201,13 @@ def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False,
                               hop_length=HOP, fmin=40.0, fmax=16000.0)
     if family == "diffusion":
         model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
-                             n_chans=512, k_step_max=100, dtype=dtype)
+                             n_chans=512, k_step_max=100, dtype=dtype,
+                             trunk_pallas=trunk_pallas)
         kwargs = dict(k_step=100, infer_speedup=10, sampler="dpm-solver")
     else:
         model = ReflowUnit2Wav(SR, HOP, WIN, N_UNIT, 1, out_dims=M, n_layers=6,
-                               n_chans=512, dtype=dtype)
+                               n_chans=512, dtype=dtype,
+                               trunk_pallas=trunk_pallas)
         kwargs = dict(infer_step=20, sampler="euler", t_start=0.7)
     with _cpu():
         tu, tf, tv, ts = make_inputs(1, 16)
@@ -253,7 +255,8 @@ def _bench_cascade(family, batch=8, seconds=10.0, include_vocoder=False,
     return call, batch * t * HOP / SR
 
 
-def bench_realtime_latency(n_blocks=20, device_f0=False):
+def bench_realtime_latency(n_blocks=20, device_f0=False, block_time=0.3,
+                           extra_time=2.0):
     """Full realtime VC block latency (gui.py:152-163 defaults: 0.3 s block,
     2 s extra context): units encoder (contentvec768l12) + YIN f0 + volume +
     flagship CombSubSuperFast + SOLA splice, per RealtimeVC.process_block.
@@ -285,8 +288,8 @@ def bench_realtime_latency(n_blocks=20, device_f0=False):
     enc.variables = _put(dict(enc.variables))
     pipeline = SvcPipeline.from_parts(model, variables, args, enc,
                                       device_f0=device_f0)
-    vc = RealtimeVC(pipeline, sample_rate=SR, block_time=0.3,
-                    crossfade_time=0.04, extra_time=2.0)
+    vc = RealtimeVC(pipeline, sample_rate=SR, block_time=block_time,
+                    crossfade_time=0.04, extra_time=extra_time)
     rng = np.random.default_rng(0)
     t_ax = np.arange(vc.block_frame) / SR
     blocks = [
@@ -302,15 +305,21 @@ def bench_realtime_latency(n_blocks=20, device_f0=False):
         vc.process_block(b)
         lat.append(time.perf_counter() - t0)
     lat_ms = 1000.0 * float(np.mean(lat))
+    budget_ms = 1000.0 * block_time
+    name = "realtime"
+    if device_f0:
+        name += "_devf0"
+    if block_time != 0.3:
+        name += "_lowlat"
     return {
-        "metric": ("realtime_devf0_block_latency_ms" if device_f0
-                   else "realtime_block_latency_ms"),
+        "metric": f"{name}_block_latency_ms",
         "value": round(lat_ms, 2),
-        "unit": "ms_per_300ms_block",
+        "unit": f"ms_per_{int(budget_ms)}ms_block",
+        "block_time_s": block_time,
         "p50_ms": round(1000.0 * float(np.percentile(lat, 50)), 2),
         "p95_ms": round(1000.0 * float(np.percentile(lat, 95)), 2),
         "p99_ms": round(1000.0 * float(np.percentile(lat, 99)), 2),
-        "vs_baseline": round(300.0 / lat_ms, 3),  # x under the block budget
+        "vs_baseline": round(budget_ms / lat_ms, 3),  # x under the budget
     }
 
 
@@ -623,7 +632,8 @@ def bench_serving_soak(seconds=None, max_batch=8, n_clients=12,
 
 
 def make_diffusion_serving_pipeline(device_f0=False, vocoder_bf16=False,
-                                    put=None, family="diffusion"):
+                                    put=None, family="diffusion",
+                                    trunk_pallas=False):
     """The production-scale heavy-family serving rig (DiffusionFast or
     RectifiedFlow), shared by bench_serving_diffusion,
     scripts/probe_serving.py, scripts/probe_batchgraph.py and
@@ -651,12 +661,14 @@ def make_diffusion_serving_pipeline(device_f0=False, vocoder_bf16=False,
     with _cpu():
         if family == "diffusion":
             model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M,
-                                 n_layers=6, n_chans=512, k_step_max=100)
+                                 n_layers=6, n_chans=512, k_step_max=100,
+                                 trunk_pallas=trunk_pallas)
             init_kw = dict(k_step=100, infer_speedup=10,
                            sampler="dpm-solver")
         else:
             model = ReflowUnit2Wav(SR, HOP, WIN, N_UNIT, 1, out_dims=M,
-                                   n_layers=6, n_chans=512)
+                                   n_layers=6, n_chans=512,
+                                   trunk_pallas=trunk_pallas)
             init_kw = dict(infer_step=20, sampler="euler", t_start=0.7)
         variables = model.init(
             {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
@@ -675,13 +687,152 @@ def make_diffusion_serving_pipeline(device_f0=False, vocoder_bf16=False,
     return pipeline
 
 
+def make_ddsp_serving_pipeline(device_f0=False, vocoder_bf16=False,
+                               put=None):
+    """The reference flask_api.py's literal workload at production scale:
+    CombSubSuperFast + NSF-HiFiGAN Enhancer (flask_api.py:83-84,136-142).
+    Shared by bench_serving_ddsp and tpu_checks' ddsp chain-quality gate."""
+    from ddsp_svc_tpu.features.hubert import UnitsEncoder
+    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+    from ddsp_svc_tpu.models.ddsp import CombSubSuperFast
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    put = put if put is not None else _put
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": N_UNIT,
+                 "encoder": "contentvec768l12",
+                 "encoder_sample_rate": 16000, "encoder_hop_size": 320},
+        "model": {"type": "CombSubSuperFast", "win_length": WIN, "n_spk": 1},
+        "enhancer": {"type": "nsf-hifigan", "ckpt": None},
+    })
+    with _cpu():
+        model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=1)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+        )
+        enc = UnitsEncoder("contentvec768l12")
+    variables = put(dict(variables))
+    enc.variables = put(dict(enc.variables))
+    pipeline = SvcPipeline.from_parts(model, variables, args, enc,
+                                      enhance=True, device_f0=device_f0,
+                                      vocoder_bf16=vocoder_bf16)
+    pipeline.enhancer.vocoder.params = put(pipeline.enhancer.vocoder.params)
+    return pipeline
+
+
+def bench_serving_ddsp(n_requests=16, seconds=5.0, max_batch=8,
+                       transfer=None, transfer_in="f32",
+                       device_stage=True, pipeline_depth=1,
+                       batch_encoder=False, device_f0=False,
+                       vocoder_bf16=False, max_wait_ms=30.0,
+                       audio_in="f32", name_suffix=""):
+    """Full-stack ddsp+Enhancer serving: concurrent audio requests through
+    the fused front-end into ONE batched program per batch (synth ->
+    volume mask -> mel -> NSF-HiFiGAN with fused Pallas resblocks) — the
+    aggregate a flask_api.py deployment of the reference's own default
+    chain delivers. The reference serves this strictly one-at-a-time."""
+    import threading
+
+    pipeline = make_ddsp_serving_pipeline(device_f0=device_f0,
+                                          vocoder_bf16=vocoder_bf16)
+    bucket = int(seconds * SR) // HOP + 1
+    batcher = pipeline.enable_batching(
+        buckets=(bucket,), max_batch=max_batch, max_wait_ms=max_wait_ms,
+        transfer=transfer, transfer_in=transfer_in,
+        device_stage=device_stage, pipeline_depth=pipeline_depth,
+        batch_encoder=batch_encoder, audio_in=audio_in,
+    )
+    assert pipeline._enh_in_batch  # the chain must be one program/batch
+    rng = np.random.default_rng(0)
+    n = int(seconds * SR)
+    t_ax = np.arange(n) / SR
+    reqs = [
+        (0.3 * np.sin(2 * np.pi * (180.0 + 7 * i) * t_ax)
+         + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        for i in range(n_requests)
+    ]
+    audio_s = n / SR
+    try:
+        last = None
+        for attempt in range(5):
+            try:
+                pipeline.warmup_batching()
+                pipeline.infer(reqs[0], SR, spk_id=1)
+                break
+            except Exception as e:
+                last = e
+                if attempt == 4:
+                    raise last
+                time.sleep(30)
+        best = 0.0
+        for _ in range(2):
+            errors = []
+
+            def run_one(a):
+                try:
+                    pipeline.infer(a, SR, spk_id=1)
+                except Exception as e:
+                    errors.append(e)
+
+            start = time.perf_counter()
+            threads = [threading.Thread(target=run_one, args=(a,))
+                       for a in reqs]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            if errors:
+                raise errors[0]
+            best = max(best,
+                       n_requests * audio_s / (time.perf_counter() - start))
+    finally:
+        batcher.close()
+        pipeline.batcher = None
+        if pipeline.enc_batcher is not None:
+            pipeline.enc_batcher.close()
+            pipeline.enc_batcher = None
+    name = "serving_ddsp"
+    if device_f0:
+        name += "_devf0"
+    if batch_encoder:
+        name += "_bencoder"
+    if transfer == "mulaw":
+        name += "_mulaw"
+    if transfer_in == "f16":
+        name += "_f16in"
+    if audio_in == "i16":
+        name += "_ai16"
+    if vocoder_bf16:
+        name += "_vbf16"
+    if pipeline_depth > 1:
+        name += "_pipelined"
+    name += name_suffix
+    shipped = device_f0 and batch_encoder and audio_in == "i16"
+    return {
+        "metric": f"{name}_throughput_rtf_44k1",
+        "value": round(best, 2),
+        "unit": "aggregate_x_realtime_per_chip",
+        "max_batch": max_batch,
+        "n_requests": n_requests,
+        "pipeline_depth": pipeline_depth,
+        "x_of_300x_target": round(best / 300.0, 3),
+        "vs_baseline": round(best / 300.0, 3) if shipped else None,
+        **({} if shipped else
+           {"role": "ladder ablation of serving_ddsp_max "
+                    "(the shipped config)"}),
+    }
+
+
 def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
                             transfer=None, transfer_in="f32",
                             device_stage=True, pipeline_depth=1,
                             batch_encoder=False, device_f0=False,
                             vocoder_bf16=False, max_wait_ms=30.0,
                             audio_in="f32", family="diffusion",
-                            name_suffix=""):
+                            trunk_pallas=False, name_suffix=""):
     """Full-stack serving for the heavy family: concurrent audio requests
     through SvcPipeline (host YIN f0 + volume + units) into the batcher's
     vmapped cascade+vocoder graph — the aggregate a DiffusionFast
@@ -691,7 +842,8 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
 
     pipeline = make_diffusion_serving_pipeline(device_f0=device_f0,
                                                vocoder_bf16=vocoder_bf16,
-                                               family=family)
+                                               family=family,
+                                               trunk_pallas=trunk_pallas)
     req_kw = (dict(k_step=100, speedup=10, method="dpm-solver")
               if family == "diffusion"
               else dict(infer_step=20, method="euler", t_start=0.7))
@@ -772,6 +924,8 @@ def bench_serving_diffusion(n_requests=16, seconds=5.0, max_batch=8,
         name += "_ai16"
     if vocoder_bf16:
         name += "_vbf16"
+    if trunk_pallas:
+        name += "_ptrunk"
     if pipeline_depth > 1:
         name += "_pipelined"
     name += name_suffix
@@ -1082,6 +1236,16 @@ CONFIGS = {
     "nsf_bf16_b12": lambda: bench_nsf(batch=12, dtype=jnp.bfloat16),
     "cascade": lambda: _bench_cascade("diffusion"),
     "reflow": lambda: _bench_cascade("reflow"),
+    # fused Pallas conformer-layer trunk (ops/pallas_conformer, r5): the
+    # NaiveV2Diff memory-roofline attack — one VMEM-resident kernel per
+    # layer instead of ~7 HBM passes (the vocoder resblock playbook,
+    # VERDICT r4 item 7)
+    "cascade_fused": lambda: _bench_cascade("diffusion", trunk_pallas=True),
+    "reflow_fused": lambda: _bench_cascade("reflow", trunk_pallas=True),
+    "cascade_fused_bf16": lambda: _bench_cascade(
+        "diffusion", trunk_pallas=True, dtype=jnp.bfloat16),
+    "reflow_fused_bf16": lambda: _bench_cascade(
+        "reflow", trunk_pallas=True, dtype=jnp.bfloat16),
     # bf16 activations (params f32 — the inference analogue of
     # train.amp_dtype; quality gated by TPU_CHECKS.json cascade_bf16_quality)
     "cascade_bf16": lambda: _bench_cascade("diffusion", dtype=jnp.bfloat16),
@@ -1108,6 +1272,12 @@ CONFIGS = {
 DICT_CONFIGS = {
     "realtime": (lambda: bench_realtime_latency(),
                  "realtime_block_latency_ms", "ms_per_300ms_block"),
+    # low-latency tier (VERDICT r4 item 8): the reference GUI slider's
+    # bottom end (gui.py:152-163); full pipeline + device-f0, block 0.15 s
+    "realtime_lowlat": (
+        lambda: bench_realtime_latency(n_blocks=30, device_f0=True,
+                                       block_time=0.15),
+        "realtime_devf0_lowlat_block_latency_ms", "ms_per_150ms_block"),
     # --device_f0: the YIN front-end folded INTO the single jitted block
     # dispatch (features/yin_jax.py) — host does no pitch work at all
     "realtime_devf0": (lambda: bench_realtime_latency(device_f0=True),
@@ -1203,6 +1373,18 @@ DICT_CONFIGS = {
                                         device_stage=False,
                                         pipeline_depth=3),
         "serving_diffusion_hoststage_mulaw_f16in_pipelined_throughput_rtf_44k1",
+        "aggregate_x_realtime_per_chip"),
+    # the reference flask_api.py's LITERAL workload (CombSub + Enhancer,
+    # audio in), full lever ladder — the cheapest chain gets the highest
+    # bar (VERDICT r4 item 3: >=300x target)
+    "serving_ddsp_max": (
+        lambda: bench_serving_ddsp(n_requests=64, max_batch=16,
+                                   max_wait_ms=200.0,
+                                   transfer="mulaw", transfer_in="f16",
+                                   pipeline_depth=3, device_f0=True,
+                                   batch_encoder=True, audio_in="i16",
+                                   vocoder_bf16=True),
+        "serving_ddsp_devf0_bencoder_mulaw_f16in_ai16_vbf16_pipelined_throughput_rtf_44k1",
         "aggregate_x_realtime_per_chip"),
     # the OTHER heavy family through the same shipped serving composition
     # (flask_api contract with reflow per-request sampler fields)

@@ -599,14 +599,19 @@ class BatchedSynth:
             self._finish(out, batch, trace)
 
     def _batch_slots(self, n_real: int) -> int:
-        """Padded row count for a batch: the mesh path keeps the full
-        max_batch (sharding divisibility); otherwise the next power of two
-        >= n_real. Before round 4 every batch padded to max_batch, so a
-        0.6-occupancy load synthesized 1/0.6 = 1.67x dummy-row compute —
-        right-sizing erases that at the cost of log2(max_batch) compiled
-        shapes per (bucket, sig), all covered by warmup()."""
+        """Padded row count for a batch: the next power of two >= n_real.
+        Before round 4 every batch padded to max_batch, so a 0.6-occupancy
+        load synthesized 1/0.6 = 1.67x dummy-row compute — right-sizing
+        erases that at the cost of log2(max_batch) compiled shapes per
+        (bucket, sig), all covered by warmup(). On a mesh (r5) slots stay
+        right-sized but mesh-DIVISIBLE: the smallest pow-2 per-device row
+        count times the mesh size, so sharded serving keeps both the
+        occupancy win and the dp row split."""
         if self.mesh is not None:
-            return self.max_batch
+            m = self.mesh.devices.size
+            per_dev = -(-n_real // m)
+            per_dev = 1 << max(0, (per_dev - 1).bit_length())
+            return min(self.max_batch, m * per_dev)
         return min(self.max_batch, 1 << max(0, (n_real - 1).bit_length()))
 
     def _run(self, batch: list[_Request], t_formed: float | None = None):

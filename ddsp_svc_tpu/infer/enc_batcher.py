@@ -71,6 +71,7 @@ class BatchedEncoder:
         f0_min: float = 50.0,
         f0_max: float = 1100.0,
         transfer_in: str = "f32",
+        mesh=None,
     ):
         """``with_f0``: fuse a vmapped on-device YIN
         (features/yin_jax.py) into the same batched dispatch — the whole
@@ -94,6 +95,23 @@ class BatchedEncoder:
         if transfer_in not in ("f32", "i16"):
             raise ValueError(f"unknown transfer_in codec {transfer_in!r}")
         self.transfer_in = transfer_in
+        # optional 1-axis mesh: the fused front-end program runs SPMD with
+        # batch rows split across devices (encoder weights replicated) —
+        # the dp-serving analogue of BatchedSynth's mesh mode. Slots stay
+        # right-sized but mesh-divisible (_batch_slots).
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            (axis,) = mesh.axis_names
+            if max_batch % mesh.devices.size:
+                raise ValueError(
+                    f"max_batch {max_batch} not divisible by mesh size "
+                    f"{mesh.devices.size}")
+            self._row_sharding = NamedSharding(mesh, P(axis))
+            self._replicated = NamedSharding(mesh, P())
+            self.enc.variables = jax.device_put(self.enc.variables,
+                                                self._replicated)
         self._solo_f0_fns: dict = {}
         self._fns: dict = {}  # (bucket_len, sample_rate) -> jitted fn
         self._q: queue.Queue = queue.Queue()
@@ -339,10 +357,21 @@ class BatchedEncoder:
                     f0 = jnp.where(live, f0, 220.0)
                     return units, ug, f0
 
-                fn = jax.jit(fused)
+                if self.mesh is not None:
+                    rs, rep = self._row_sharding, self._replicated
+                    fn = jax.jit(fused,
+                                 in_shardings=(rep, rs, rs, rs, rs, rs),
+                                 out_shardings=(rs, rs, rs))
+                else:
+                    fn = jax.jit(fused)
             else:
-                fn = jax.jit(
-                    lambda v, a, valid: enc_fn(v, dequant(a), valid))
+                plain = lambda v, a, valid: enc_fn(v, dequant(a), valid)  # noqa: E731
+                if self.mesh is not None:
+                    rs, rep = self._row_sharding, self._replicated
+                    fn = jax.jit(plain, in_shardings=(rep, rs, rs),
+                                 out_shardings=rs)
+                else:
+                    fn = jax.jit(plain)
             self._fns[key] = fn
         return fn
 
@@ -385,7 +414,7 @@ class BatchedEncoder:
         slots (the fused YIN makes a dummy front-end row as expensive as
         a real one)."""
         n = len(batch)
-        if n < 3:
+        if n < 3 or self.mesh is not None:
             return [batch]
         slots = self._batch_slots(n)
         big = 1 << (n.bit_length() - 1)
@@ -413,7 +442,13 @@ class BatchedEncoder:
         """Padded row count: next power of two >= n_real (same rationale
         as BatchedSynth._batch_slots — full-width padding synthesized
         1/occupancy x dummy front-end compute, and the fused YIN makes a
-        dummy row as expensive as a real one)."""
+        dummy row as expensive as a real one). On a mesh: right-sized but
+        mesh-divisible (smallest pow-2 per-device count x mesh size)."""
+        if self.mesh is not None:
+            m = self.mesh.devices.size
+            per_dev = -(-n_real // m)
+            per_dev = 1 << max(0, (per_dev - 1).bit_length())
+            return min(self.max_batch, m * per_dev)
         return min(self.max_batch, 1 << max(0, (n_real - 1).bit_length()))
 
     def _run(self, batch: list[_EncRequest]):

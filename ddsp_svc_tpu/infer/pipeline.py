@@ -79,7 +79,13 @@ class SvcPipeline:
         self.enhancer = None
         self.vocoder = None
         if self.family == "ddsp" and enhance and self.args.enhancer:
-            self.enhancer = Enhancer(self.args.enhancer.type, self.args.enhancer.ckpt)
+            # vocoder_bf16 applies to the enhancer's generator for the
+            # ddsp family (the mel families' Vocoder below uses it the
+            # same way; quality gate: TPU_CHECKS nsf_bf16_quality)
+            self.enhancer = Enhancer(
+                self.args.enhancer.type, self.args.enhancer.ckpt,
+                dtype=jnp.bfloat16 if vocoder_bf16 else None,
+            )
         if self.family != "ddsp":
             vc = self.args.vocoder or {}
             # bf16 vocoder activations: +26 % measured on the e2e chain
@@ -112,6 +118,7 @@ class SvcPipeline:
                         device_stage: bool = True,
                         pipeline_depth: int = 1, batch_encoder: bool = False,
                         audio_in: str = "f32",
+                        mask_threshold: float = -60.0,
                         **model_kwargs):
         """Route synthesis through the dynamic request batcher
         (infer/batcher.py): concurrent `infer()` callers sharing a frame
@@ -153,7 +160,7 @@ class SvcPipeline:
 
             self.enc_batcher = BatchedEncoder(
                 self.units_encoder, frame_buckets=buckets,
-                max_batch=max_batch, max_wait_ms=max_wait_ms,
+                max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
                 # --device_f0 + --batch_encoder compose: the vmapped YIN
                 # fuses into the same batched dispatch, so the whole
                 # per-request device front-end (pitch + units) is ONE
@@ -166,9 +173,81 @@ class SvcPipeline:
                 transfer_in=audio_in,
             )
         if self.family == "ddsp":
+            builder = None
+            params = self.variables["params"]
+            out_hop = None
+            self._enh_in_batch = False
+            if self.enhancer is not None:
+                ev = self.enhancer.vocoder
+                same_grid = (
+                    ev.vocoder_sample_rate == int(self.args.data.sampling_rate)
+                    and ev.vocoder_hop_size == int(self.args.data.block_size)
+                )
+                if same_grid:
+                    # flask_api.py:83-84,136-142 serves CombSub + Enhancer
+                    # end to end; a per-request eager enhancer would be
+                    # the serving serialization killer (one device chain
+                    # per request), so the WHOLE chain — synth -> volume
+                    # mask (gui.py:114-119, BEFORE the enhancer) -> mel ->
+                    # NSF-HiFiGAN — runs inside the batched graph, one
+                    # program per batch. Static adaptive_key=0 / equal
+                    # grids only (the reference default); other settings
+                    # keep the eager per-request form via the direct path.
+                    model = self.model
+                    block = int(self.args.data.block_size)
+                    self._enh_in_batch = True
+                    self._batch_sigs = {
+                        (("mask_threshold", float(mask_threshold)),)
+                    }
+                    self._batch_max_sigs = max_signatures
+                    self._batch_sig_lock = threading.Lock()
+
+                    def builder(bucket, sig):
+                        gate = 10.0 ** (dict(sig)["mask_threshold"] / 20.0)
+
+                        def single(params, u, f, v, s, k):
+                            noise = jax.random.normal(
+                                k, (bucket * model.block_size,), jnp.float32
+                            )
+                            audio, _, _ = model.apply(
+                                {"params": params["model"]}, u[None],
+                                f[None], v[None], spk_id=s[None],
+                                infer=True, noise=noise[None],
+                            )
+                            # frame gate + edge pad 4 + max-dilate 9 +
+                            # upsample, applied BEFORE the enhancer
+                            # (gui.py:114-135 order)
+                            m = (v[None, :, 0] > gate).astype(jnp.float32)
+                            m = jnp.pad(m, ((0, 0), (4, 4)), mode="edge")
+                            m = jax.lax.reduce_window(
+                                m, -jnp.inf, jax.lax.max, (1, 9), (1, 1),
+                                "VALID")
+                            m = upsample(m[..., None], block)[..., 0]
+                            audio = audio * m[:, : audio.shape[-1]]
+                            mel = ev.extract(audio)
+                            # the eager Enhancer path vocodes with the
+                            # fixed PRNGKey(0) (Vocoder.infer default) —
+                            # same here, so batched == solo exactly
+                            return ev.model.apply(
+                                {"params": params["enh"]}, mel,
+                                f[None, : mel.shape[1], 0],
+                                key=jax.random.PRNGKey(0),
+                            )[0]
+
+                        def fwd(params, units, f0, volume, spk, keys):
+                            return jax.vmap(
+                                single, in_axes=(None, 0, 0, 0, 0, 0)
+                            )(params, units, f0, volume, spk, keys)
+
+                        return fwd
+
+                    params = {"model": self.variables["params"],
+                              "enh": ev.params}
+                    out_hop = ev.vocoder_hop_size
             self.batcher = BatchedSynth(
-                self.model, self.variables["params"], buckets=buckets,
+                self.model, params, buckets=buckets,
                 max_batch=max_batch, max_wait_ms=max_wait_ms, mesh=mesh,
+                forward_builder=builder, out_hop=out_hop,
                 transfer_int16=transfer_int16, transfer=transfer,
                 transfer_in=transfer_in, device_stage=device_stage,
                 pipeline_depth=pipeline_depth,
@@ -242,7 +321,9 @@ class SvcPipeline:
         if self.batcher is None:
             raise RuntimeError("enable_batching() first")
         sig = ()
-        if self.family != "ddsp":
+        if getattr(self, "_batch_sigs", None):
+            # non-ddsp sampler signatures AND the fused ddsp+enhancer
+            # mask-threshold signature both pre-admit their default
             with self._batch_sig_lock:
                 sig = next(iter(self._batch_sigs))
         self.batcher.warmup(int(self.args.data.encoder_out_channels), sig)
@@ -255,7 +336,8 @@ class SvcPipeline:
             if not infer_kwargs and sig:
                 # drive the drill under the ADMITTED signature (a novel
                 # default would burn a max_signatures slot + compiles)
-                name_map = {"infer_speedup": "speedup", "sampler": "method"}
+                name_map = {"infer_speedup": "speedup", "sampler": "method",
+                            "mask_threshold": "threhold"}
                 infer_kwargs = {name_map.get(k, k): v for k, v in sig}
             sr = int(self.args.data.sampling_rate)
             hop = int(self.args.data.block_size)
@@ -275,6 +357,14 @@ class SvcPipeline:
                 th.start()
             for th in threads:
                 th.join()
+            if errs:
+                raise errs[0]
+            # ALSO drill one solo request: a lone arrival forms a 1-slot
+            # batch through the fused front-end — a distinct executable
+            # chain the concurrent drill never exercises (measured r5: a
+            # 61 s first-solo compile INSIDE the serving window without
+            # this)
+            one()
             if errs:
                 raise errs[0]
             # the drill's (deliberate) startup stalls must not sit in
@@ -420,6 +510,7 @@ class SvcPipeline:
         enhancer_adaptive_key: float = 0.0,
         spk_mix_dict=None,
         use_silence: bool = False,
+        key=None,
         **model_kwargs,
     ) -> tuple[np.ndarray, int]:
         """1-D float audio -> (converted audio, out_sample_rate).
@@ -570,14 +661,20 @@ class SvcPipeline:
             volume_j = volume_j[:, start_frame:]
             t = t - start_frame
 
-        with self._key_lock:
-            with jax.default_device(self._cpu_dev):  # host-backend split
-                self._key, sub = jax.random.split(self._key)
-        # uncommitted host array: a CPU-COMMITTED key would give the
-        # consuming jit a different (device-keyed) executable-cache entry
-        # than its warmup compiled — measured as a ~20 s first-traffic
-        # retrace+load stall inside the serving window
-        sub = np.asarray(sub)
+        if key is not None:
+            # explicit per-request key (reproducibility under concurrency:
+            # the auto-split's request->key assignment follows thread
+            # scheduling; deterministic serving checks pin it instead)
+            sub = np.asarray(key)
+        else:
+            with self._key_lock:
+                with jax.default_device(self._cpu_dev):  # host-backend split
+                    self._key, sub = jax.random.split(self._key)
+            # uncommitted host array: a CPU-COMMITTED key would give the
+            # consuming jit a different (device-keyed) executable-cache
+            # entry than its warmup compiled — measured as a ~20 s
+            # first-traffic retrace+load stall inside the serving window
+            sub = np.asarray(sub)
         spk = np.array([[spk_id]], np.int32)
         common = dict(spk_id=spk, spk_mix_dict=spk_mix_dict, infer=True)
 
@@ -597,6 +694,27 @@ class SvcPipeline:
                 if batcher is not None and t > batcher.buckets[-1]:
                     # longer than the largest bucket: run direct rather
                     # than fail the request (jit's own shape cache applies)
+                    out = self._ddsp_forward_masked()(
+                        self.variables["params"], units, f0, volume_j, spk,
+                        sub, np.asarray(frame_mask, np.float32),
+                    )
+                    mask_done = True
+                elif batcher is not None and getattr(
+                        self, "_enh_in_batch", False):
+                    # CombSub + Enhancer fused into the batched graph
+                    # (flask_api.py:83-84,136-142 chain): the result comes
+                    # back masked AND enhanced; the threshold is a static
+                    # signature so per-request thresholds batch with
+                    # same-threshold peers
+                    sig = (("mask_threshold", float(threhold)),)
+                    if self._admit_sig(sig):
+                        out = batcher.infer(
+                            units[0], f0[0], volume_j[0], spk_id, sub,
+                            sig=sig, n_frames=t,
+                        )[None, :]
+                        return out[0], self.enhancer.vocoder.vocoder_sample_rate
+                    # non-admitted threshold: direct masked + eager enhancer
+                    crop_fe_rows()
                     out = self._ddsp_forward_masked()(
                         self.variables["params"], units, f0, volume_j, spk,
                         sub, np.asarray(frame_mask, np.float32),

@@ -197,6 +197,10 @@ class Unit2WavFast(nn.Module):
     k_step_max: int = 1000
     remat: bool = False
     dtype: jnp.dtype | None = None
+    # fused Pallas conformer-layer trunk (ops/pallas_conformer): params
+    # identical to the stock path; opt-in per deployment, equality
+    # hardware-checked (TPU_CHECKS fused_conformer)
+    trunk_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -240,6 +244,7 @@ class Unit2WavFast(nn.Module):
                 mel_channels=self.out_dims, dim=self.n_chans,
                 num_layers=self.n_layers, condition_dim=self.out_dims,
                 use_mlp=False, remat=self.remat, dtype=self.dtype,
+                use_pallas=self.trunk_pallas,
                 name="denoise_fn",
             ),
             out_dims=self.out_dims,
@@ -280,6 +285,10 @@ class ReflowUnit2Wav(nn.Module):
     n_chans: int = 512
     remat: bool = False
     dtype: jnp.dtype | None = None
+    # fused Pallas conformer-layer trunk (ops/pallas_conformer): params
+    # identical to the stock path; opt-in per deployment, equality
+    # hardware-checked (TPU_CHECKS fused_conformer)
+    trunk_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -323,6 +332,7 @@ class ReflowUnit2Wav(nn.Module):
                 mel_channels=self.out_dims, dim=self.n_chans,
                 num_layers=self.n_layers, condition_dim=self.out_dims,
                 use_mlp=False, remat=self.remat, dtype=self.dtype,
+                use_pallas=self.trunk_pallas,
                 name="velocity_fn",
             ),
             out_dims=self.out_dims,

@@ -36,8 +36,23 @@ class ConformerConvModule(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, edge_mask=None):
+    def __call__(self, x, deterministic: bool = True, edge_mask=None,
+                 fold_only: bool = False):
         inner = self.dim * self.expansion_factor
+        if fold_only:
+            # weight accessor for the fused conformer kernel
+            # (ops/pallas_conformer): declares the exact same params,
+            # returns (W1 (C, 4C), b1, wd (k, 2C), bd, W2 (2C, C), b2)
+            # with the 1x1 conv kernels squeezed to matmul form
+            w1, b1 = Conv1d(inner * 2, 1, dtype=self.dtype)(x, fold_only=True)
+            pad = calc_same_padding(self.kernel_size)
+            wd, bd = Conv1d(
+                inner, self.kernel_size, padding=pad, groups=inner,
+                dtype=self.dtype,
+            )(jnp.zeros(x.shape[:-1] + (inner,), x.dtype), fold_only=True)
+            w2, b2 = Conv1d(self.dim, 1, dtype=self.dtype)(
+                jnp.zeros(x.shape[:-1] + (inner,), x.dtype), fold_only=True)
+            return (w1[0], b1, wd[:, 0, :], bd, w2[0], b2)
         if self.use_norm:
             x = LayerNorm()(x)
         x = Conv1d(inner * 2, 1, dtype=self.dtype)(x)

@@ -157,10 +157,14 @@ class Enhancer:
     """NSF-HiFiGAN output enhancer for the pure-DDSP models
     (enhancer.py:8-115)."""
 
-    def __init__(self, enhancer_type: str = "nsf-hifigan", ckpt: str | None = None):
+    def __init__(self, enhancer_type: str = "nsf-hifigan", ckpt: str | None = None,
+                 dtype=None):
         if enhancer_type not in ("nsf-hifigan", "nsf-hifigan-log10"):
             raise ValueError(f" [x] Unknown enhancer: {enhancer_type}")
-        self.vocoder = Vocoder(enhancer_type, ckpt)
+        # dtype=bfloat16: bf16 generator activations (params f32) — the
+        # same lever (and the same nsf_bf16_quality hardware gate) as the
+        # mel-family Vocoder's vocoder_bf16
+        self.vocoder = Vocoder(enhancer_type, ckpt, dtype=dtype)
 
     def enhance(
         self,

@@ -41,7 +41,8 @@ def main():
             family = a.split("=")[1]
     SR, HOP = bs.SR, bs.HOP
     pipeline = bs.make_diffusion_serving_pipeline(
-        device_f0=True, vocoder_bf16=voc_bf16, family=family)
+        device_f0=True, vocoder_bf16=voc_bf16, family=family,
+        trunk_pallas="--trunk_pallas" in sys.argv)
 
     req_kw = (dict(k_step=100, speedup=10, method="dpm-solver")
               if family == "diffusion"

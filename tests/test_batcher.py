@@ -720,12 +720,17 @@ def test_batch_slots_right_sizing():
     eng.max_batch = 6  # non-pow2 cap still never exceeds max_batch
     assert [eng._batch_slots(n) for n in (5, 6)] == [6, 6]
 
-    class _M:  # mesh path: full width always
-        pass
+    class _Dev:
+        size = 2
+
+    class _M:  # mesh path (r5): right-sized but mesh-divisible
+        devices = _Dev()
 
     eng.mesh = _M()
     eng.max_batch = 8
-    assert [eng._batch_slots(n) for n in (1, 3, 8)] == [8, 8, 8]
+    assert [eng._batch_slots(n) for n in (1, 3, 5, 8)] == [2, 4, 8, 8]
+    _Dev.size = 4
+    assert [eng._batch_slots(n) for n in (1, 3, 5, 8)] == [4, 4, 8, 8]
 
 
 def test_chunks_deadline_aware_split():
@@ -779,3 +784,101 @@ def test_split_batch_outputs_match_solo(synth):
         th.join()
     for i in range(3):
         np.testing.assert_allclose(got[i], solo[i], rtol=2e-4, atol=2e-5)
+
+
+def test_ddsp_enhancer_fused_batching_matches_eager(tmp_path):
+    """flask_api.py's literal chain (CombSub + Enhancer) batched: with
+    equal grids + adaptive_key 0 the WHOLE chain (synth -> volume mask ->
+    mel -> NSF-HiFiGAN) fuses into the batched graph; results must equal
+    the eager path (mask BEFORE enhancer, gui.py:114-142 order), and a
+    non-admitted threshold falls back to direct + eager enhancer."""
+    from ddsp_svc_tpu.infer.pipeline import SvcPipeline
+    from ddsp_svc_tpu.utils.config import DotDict
+
+    voc_path = _tiny_vocoder_ckpt(tmp_path)
+    args = DotDict({
+        "data": {"sampling_rate": SR, "block_size": HOP,
+                 "encoder_out_channels": N_UNIT},
+        "model": {"type": "CombSubSuperFast", "win_length": WIN, "n_spk": 2},
+        "enhancer": {"type": "nsf-hifigan", "ckpt": voc_path},
+    })
+    model = CombSubSuperFast(SR, HOP, WIN, n_unit=N_UNIT, n_spk=2)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
+        jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+    )
+    # zero the exciter-noise branch (dense_out bias slice = noise
+    # magnitude): direct and batched paths draw that noise differently by
+    # design (rngs fold-in vs per-request key) — same device as
+    # test_pipeline_batched_matches_direct
+    f_bins = WIN // 2 + 1
+    variables = dict(variables)
+    bias = np.array(variables["params"]["unit2ctrl"]["dense_out"]["bias"])
+    bias[2 * f_bins: 3 * f_bins] = -30.0
+    variables["params"]["unit2ctrl"]["dense_out"]["bias"] = jnp.asarray(bias)
+    pipe = SvcPipeline.from_parts(
+        model, variables, args, StubUnitsEncoder(N_UNIT,
+                                                 channel_ramp=True),
+        enhance=True)
+    assert pipe.enhancer is not None
+
+    bucket = 32
+    # t == bucket pins exactness (the repo's batched-tail convention: a
+    # padded row's dummy-frame synth colors the last ~STFT-window of a
+    # shorter request's tail, same as the cascade serving path — partial
+    # rows are checked tail-cropped below). The stub encoder yields
+    # n//hop frames, so bucket*HOP samples -> exactly bucket rows.
+    n = np.arange(bucket * HOP)
+    audio = (0.3 * np.sin(2 * np.pi * 220.0 * n / SR)).astype(np.float32)
+    key = np.asarray(jax.random.PRNGKey(5))
+    eager, sr_eager = pipe.infer(audio, SR, spk_id=1, key=key)
+
+    batcher = pipe.enable_batching(buckets=(bucket,), max_batch=2,
+                                   max_wait_ms=5.0, max_signatures=2)
+    try:
+        assert pipe._enh_in_batch
+        fused, sr_fused = pipe.infer(audio, SR, spk_id=1, key=key)
+        assert sr_fused == sr_eager
+        assert fused.shape == eager.shape
+        # vmapped-fused vs eager chain: XLA lowers the mel/vocoder stages
+        # differently (the documented eager-vs-jit variance, amplified by
+        # the random-init tiny generator) — gate on an SNR bound
+        np.testing.assert_allclose(fused, eager, rtol=5e-2, atol=5e-3)
+        snr = 10 * np.log10(float((eager ** 2).sum())
+                            / max(float(((fused - eager) ** 2).sum()), 1e-20))
+        assert snr > 50.0, snr
+
+        # a distinct threshold batches under its own signature
+        pipe.batcher = None  # direct path reference
+        eager2, _ = pipe.infer(audio, SR, spk_id=1, key=key, threhold=-40.0)
+        pipe.batcher = batcher
+        fused2, _ = pipe.infer(audio, SR, spk_id=1, key=key, threhold=-40.0)
+        np.testing.assert_allclose(fused2, eager2, rtol=5e-2, atol=5e-3)
+
+        # signature cap: a third distinct threshold falls back to the
+        # direct masked + eager enhancer path (same numbers either way)
+        fused3, _ = pipe.infer(audio, SR, spk_id=1, key=key, threhold=-50.0)
+        pipe.batcher = None
+        eager3, _ = pipe.infer(audio, SR, spk_id=1, key=key, threhold=-50.0)
+        pipe.batcher = batcher
+        np.testing.assert_allclose(fused3, eager3, rtol=5e-2, atol=5e-3)
+
+        # partial row (t < bucket): equality holds away from the padded
+        # tail (the dummy-frame bleed is bounded by the mel window +
+        # vocoder receptive field)
+        short = audio[: (bucket - 8) * HOP]
+        fused4, _ = pipe.infer(short, SR, spk_id=1, key=key)
+        pipe.batcher = None
+        eager4, _ = pipe.infer(short, SR, spk_id=1, key=key)
+        pipe.batcher = batcher
+        t4 = short.shape[0] // HOP
+        body = slice(0, (t4 - 12) * HOP)
+        L = min(len(fused4), len(eager4))
+        e4, f4 = eager4[:L][body], fused4[:L][body]
+        snr4 = 10 * np.log10(float((e4 ** 2).sum())
+                             / max(float(((f4 - e4) ** 2).sum()), 1e-20))
+        assert snr4 > 40.0, snr4
+    finally:
+        batcher.close()
+        pipe.batcher = None

@@ -691,6 +691,78 @@ def check_cascade_bf16_quality():
     ))
     return {"ok": bool(snr > 25.0), "snr_db_bf16_vs_f32": round(snr, 2)}
 
+def check_fused_conformer():
+    """Fused Pallas conformer-layer trunk (ops/pallas_conformer) vs the
+    stock XLA chain on hardware: the full DiffusionFast refined-mel output
+    with trunk_pallas on/off from IDENTICAL params. Two regimes recorded
+    (the encoder_batched lesson): default matmul precision (MXU bf16-pass
+    rounding differs between the kernel's dot_generals and XLA's fused
+    convs) and float32-precision dots, which pin any real math bug."""
+    from ddsp_svc_tpu.models.cascade import Unit2WavFast
+    from ddsp_svc_tpu.ops.mel import LogMelSpectrogram
+
+    sr, hop, win, n_unit, m_bins = 44100, 512, 2048, 768, 128
+    b, t = 2, 128
+    rng = np.random.default_rng(13)
+    mel_x = LogMelSpectrogram(sr=sr, n_mels=m_bins, n_fft=2048, win_size=2048,
+                              hop_length=hop, fmin=40.0, fmax=16000.0)
+    kwargs = dict(k_step=100, infer_speedup=10, sampler="dpm-solver")
+
+    def build(fused):
+        return Unit2WavFast(sr, hop, win, n_unit, 1, out_dims=m_bins,
+                            n_layers=6, n_chans=512, k_step_max=100,
+                            trunk_pallas=fused)
+
+    stock, fused = build(False), build(True)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        params = stock.init(
+            {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 16, n_unit)), 220.0 * jnp.ones((1, 16, 1)),
+            jnp.ones((1, 16, 1)), spk_id=jnp.ones((1, 1), jnp.int32),
+            mel_extract_fn=mel_x.extract, infer=True,
+            key=jax.random.PRNGKey(3), **kwargs,
+        )["params"]
+    dev = jax.devices()[0]
+    params = jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), params)
+    units = jax.device_put(
+        rng.standard_normal((b, t, n_unit)).astype(np.float32), dev)
+    f0 = jax.device_put(
+        (220.0 * np.exp(0.1 * rng.standard_normal((b, t, 1)))).astype(
+            np.float32), dev)
+    vol = jax.device_put(0.5 * np.ones((b, t, 1), np.float32), dev)
+    spk = jax.device_put(np.ones((b, 1), np.int32), dev)
+    key = jax.random.PRNGKey(4)
+
+    def run(m, precision=None):
+        def f(p, units, f0, vol, spk):
+            return m.apply({"params": p}, units, f0, vol, spk_id=spk,
+                           mel_extract_fn=mel_x.extract, infer=True, key=key,
+                           rngs={"noise": key}, **kwargs)
+        if precision:
+            with jax.default_matmul_precision(precision):
+                return _fetch(jax.jit(f)(params, units, f0, vol, spk))
+        return _fetch(jax.jit(f)(params, units, f0, vol, spk))
+
+    out = {}
+    for label, prec in (("default", None), ("highest", "float32")):
+        ys = run(stock, prec)
+        yf = run(fused, prec)
+        denom = float(np.abs(ys).max()) or 1.0
+        rel = float(np.abs(ys - yf).max()) / denom
+        snr = float(10.0 * np.log10(
+            float((ys ** 2).sum())
+            / max(float(((ys - yf) ** 2).sum()), 1e-20)))
+        out[f"max_rel_err_{label}"] = rel
+        out[f"snr_db_{label}"] = round(snr, 2)
+    # highest-precision agreement pins the math; default-precision delta is
+    # the MXU's shape-dependent bf16-pass rounding (same mechanism as
+    # encoder_batched / nsf_subpixel)
+    out["ok"] = bool(out["max_rel_err_highest"] < 3e-4
+                     and out["snr_db_default"] > 35.0)
+    return out
+
+
 def check_device_yin():
     """Jitted on-device YIN (features/yin_jax.py) vs the host numpy tracker
     on hardware: the serving front-end lever (--device_f0) must reproduce
@@ -792,23 +864,28 @@ def check_front_fused():
     }
 
 
-def check_serving_chain_quality():
-    """End-to-end quality of the 203x serving path on hardware: the same
-    request through (a) the direct unbatched pipeline (one fused f32
-    graph, f32 d2h) and (b) the full shipped serving composition
+def _chain_quality(family: str, transfer: str, bound_db: float,
+                   trunk_pallas: bool = False):
+    """End-to-end quality of a shipped serving composition on hardware:
+    the same request through (a) the direct unbatched pipeline (one fused
+    f32 graph, f32 d2h) and (b) the full serving composition
     (--device_f0 + --batch_encoder + --audio_i16 + --batch_f16_in +
-    --batch_mulaw + voc_bf16, the serving_diffusion_max config) must
-    agree to the codec ladder's own floor — the mu-law output companding
-    (~38 dB on speech-scale signals) dominates, so the bound is SNR
-    > 25 dB. Closes the question 'does the fast path sound the same'."""
+    voc_bf16, transfer codec per tier) must agree to the ladder's own
+    floor. transfer='mulaw' tier: the companding (~38 dB on speech-scale
+    signals) dominates, bound 25 dB. transfer='f32' (the no-μ-law
+    quality tier a quality-sensitive deployment runs): bound 40 dB."""
     import bench_suite as bs
 
     sr, hop = bs.SR, bs.HOP
 
     def build(vbf16):
-        # the SAME rig the bench and probes use (one definition)
-        return bs.make_diffusion_serving_pipeline(device_f0=True,
-                                                  vocoder_bf16=vbf16)
+        # the SAME rigs the bench and probes use (one definition)
+        if family == "ddsp":
+            return bs.make_ddsp_serving_pipeline(device_f0=True,
+                                                 vocoder_bf16=vbf16)
+        return bs.make_diffusion_serving_pipeline(
+            device_f0=True, vocoder_bf16=vbf16, family=family,
+            trunk_pallas=trunk_pallas and vbf16)
 
     n = int(2.0 * sr)
     t_ax = np.arange(n) / sr
@@ -817,7 +894,12 @@ def check_serving_chain_quality():
              + 0.005 * np.random.default_rng(3).standard_normal(n)
              ).astype(np.float32)
 
-    kw = dict(spk_id=1, k_step=100, speedup=10, method="dpm-solver")
+    if family == "diffusion":
+        kw = dict(spk_id=1, k_step=100, speedup=10, method="dpm-solver")
+    elif family == "reflow":
+        kw = dict(spk_id=1, infer_step=20, method="euler", t_start=0.7)
+    else:
+        kw = dict(spk_id=1)
     cpu = jax.local_devices(backend="cpu")[0]
 
     def seed(pipe):
@@ -827,30 +909,60 @@ def check_serving_chain_quality():
         with jax.default_device(cpu):
             pipe._key = jax.random.PRNGKey(7)
 
+    key = np.asarray(jax.random.PRNGKey(7))
     # (a) direct path: fused one-graph forward, f32 everything
     pd = build(False)
     seed(pd)
-    ref, _ = pd.infer(audio, sr, **kw)
+    ref, _ = pd.infer(audio, sr, key=key, **kw)
     # (b) the shipped serving composition
     ps = build(True)
     bucket = n // hop + 2
+    req_kw = {k: v for k, v in kw.items() if k != "spk_id"}
     batcher = ps.enable_batching(
-        buckets=(bucket,), max_batch=2, max_wait_ms=5.0, transfer="mulaw",
+        buckets=(bucket,), max_batch=2, max_wait_ms=5.0, transfer=transfer,
         transfer_in="f16", pipeline_depth=2, batch_encoder=True,
-        audio_in="i16", k_step=100, speedup=10, method="dpm-solver",
+        audio_in="i16", **req_kw,
     )
     try:
         seed(ps)
-        got, _ = ps.infer(audio, sr, **kw)
+        got, _ = ps.infer(audio, sr, key=key, **kw)
     finally:
         batcher.close()
-        ps.enc_batcher.close()
+        if ps.enc_batcher is not None:
+            ps.enc_batcher.close()
     ln = min(len(ref), len(got))
     ref, got = ref[:ln], got[:ln]
     snr = float(10.0 * np.log10(
         float((ref ** 2).sum())
         / max(float(((got - ref) ** 2).sum()), 1e-20)))
-    return {"ok": bool(snr > 25.0), "snr_db_served_vs_direct": round(snr, 2)}
+    return {"ok": bool(snr > bound_db),
+            "snr_db_served_vs_direct": round(snr, 2),
+            "family": family, "transfer": transfer,
+            "bound_db": bound_db}
+
+
+def check_serving_chain_quality():
+    """The 203x diffusion composition (serving_diffusion_max), μ-law tier."""
+    return _chain_quality("diffusion", "mulaw", 25.0)
+
+
+def check_serving_chain_quality_reflow():
+    """The reflow composition (serving_reflow_max), μ-law tier (VERDICT r4
+    item 6a)."""
+    return _chain_quality("reflow", "mulaw", 25.0)
+
+
+def check_serving_chain_quality_hifi():
+    """The no-μ-law quality tier (audio-i16 + f16-units + bf16 vocoder,
+    f32 out) a quality-sensitive deployment runs — never composed before
+    r5 (VERDICT r4 item 6b): bound 40 dB."""
+    return _chain_quality("diffusion", "f32", 40.0)
+
+
+def check_serving_chain_quality_ddsp():
+    """The flask_api.py literal chain (CombSub + Enhancer) through the
+    fused batched graph + full codec ladder (serving_ddsp_max)."""
+    return _chain_quality("ddsp", "mulaw", 25.0)
 
 
 CHECKS = {
@@ -868,9 +980,13 @@ CHECKS = {
     "batcher_pipelined": check_batcher_pipelined,
     "encoder_batched": check_encoder_batched,
     "cascade_bf16_quality": check_cascade_bf16_quality,
+    "fused_conformer": check_fused_conformer,
     "device_yin": check_device_yin,
     "front_fused": check_front_fused,
     "serving_chain_quality": check_serving_chain_quality,
+    "serving_chain_quality_reflow": check_serving_chain_quality_reflow,
+    "serving_chain_quality_hifi": check_serving_chain_quality_hifi,
+    "serving_chain_quality_ddsp": check_serving_chain_quality_ddsp,
 }
 
 
