@@ -13,6 +13,10 @@ from __future__ import annotations
 
 import argparse
 import io
+import os
+import sys
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -216,6 +220,227 @@ def make_handler(pipeline, default_kwargs):
     return Handler
 
 
+def _strip_supervisor_args(argv: list[str]) -> list[str]:
+    """Child worker argv: the supervisor's own flags and the public port
+    are removed (the worker binds an ephemeral port and reports it via
+    --_port_file)."""
+    out = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in ("--worker_max_requests", "-p", "--port", "--_port_file"):
+            skip = True
+            continue
+        if (a.startswith("--worker_max_requests=") or a.startswith("-p=")
+                or a.startswith("--port=") or a.startswith("--_port_file=")):
+            continue
+        out.append(a)
+    return out
+
+
+class _Supervisor:
+    """Bounded-lifetime serving workers (``--worker_max_requests``).
+
+    Measured motivation (PERF.md r4 / BENCH_SUITE serving_soak): the axon
+    tunnel client retains every h2d staging buffer, so a serving process's
+    RSS grows ~1:1 with uploaded bytes (1.2 -> 21.8 GB over a 10-min
+    soak) — an environment bug the engine cannot free from inside the
+    process. The ops mitigation is process recycling WITHOUT downtime:
+    this supervisor owns the public socket and byte-splices each client
+    connection to the current worker process; once a worker has taken N
+    connections, a FRESH worker is started (and warmed — with the
+    persistent compile cache that is a cache load, not a recompile),
+    new connections switch to it, and the old worker is terminated after
+    its in-flight connections drain. The request lifetime bound is
+    per-CONNECTION (the API's clients send one POST per connection)."""
+
+    def __init__(self, port: int, worker_argv: list[str],
+                 max_requests: int, spawn_timeout_s: float = 3600.0):
+        import socket
+
+        self.worker_argv = worker_argv
+        self.max_requests = max_requests
+        self.spawn_timeout_s = spawn_timeout_s
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("0.0.0.0", port))
+        self._sock.listen(64)
+        self.server_address = self._sock.getsockname()
+        self._lock = threading.Lock()
+        self._stop = False
+        self._current = None  # (proc, port, served, active, generation)
+        self._retiring = []
+        self._spawning = False
+        self.generations = 0
+
+    # -- worker lifecycle -------------------------------------------------
+    def _spawn_worker(self):
+        import subprocess
+        import sys
+        import tempfile
+        import urllib.request
+
+        port_file = tempfile.NamedTemporaryFile(
+            prefix="svc_api_port_", suffix=".txt", delete=False)
+        port_file.close()
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "ddsp_svc_tpu.cli.api",
+             *self.worker_argv, "-p", "0", "--_port_file", port_file.name],
+        )
+        deadline = time.monotonic() + self.spawn_timeout_s
+        port = None
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"serving worker exited rc={proc.returncode} during "
+                    "startup")
+            try:
+                with open(port_file.name) as f:
+                    txt = f.read().strip()
+                if txt:
+                    port = int(txt)
+                    break
+            except (OSError, ValueError):
+                pass
+            time.sleep(0.2)
+        if port is None:
+            proc.terminate()
+            raise RuntimeError("serving worker did not report a port")
+        # readiness: the worker answers /health only after model load +
+        # optional warmup — recycling therefore never routes to a cold
+        # worker
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/health", timeout=2.0):
+                    break
+            except Exception:
+                time.sleep(0.5)
+        else:
+            proc.terminate()
+            raise RuntimeError("serving worker never became healthy")
+        os.unlink(port_file.name)
+        self.generations += 1
+        return {"proc": proc, "port": port, "served": 0, "active": 0,
+                "gen": self.generations}
+
+    def _retire(self, worker):
+        """Terminate once its in-flight connections drain (no downtime)."""
+        def drain():
+            deadline = time.monotonic() + 600.0
+            while time.monotonic() < deadline:
+                with self._lock:
+                    if worker["active"] <= 0:
+                        break
+                time.sleep(0.5)
+            worker["proc"].terminate()
+            try:
+                worker["proc"].wait(timeout=30)
+            except Exception:
+                worker["proc"].kill()
+
+        threading.Thread(target=drain, daemon=True).start()
+
+    def _maybe_recycle(self):
+        with self._lock:
+            if self._spawning or self._current is None:
+                return
+            if self._current["served"] < self.max_requests:
+                return
+            self._spawning = True
+
+        def swap():
+            try:
+                fresh = self._spawn_worker()
+            except Exception as e:
+                print(f"worker recycle failed (keeping old): {e}",
+                      flush=True)
+                with self._lock:
+                    self._spawning = False
+                return
+            with self._lock:
+                old = self._current
+                self._current = fresh
+                self._spawning = False
+            print(f"recycled serving worker (gen {fresh['gen']}, "
+                  f"pid {fresh['proc'].pid})", flush=True)
+            self._retire(old)
+
+        threading.Thread(target=swap, daemon=True).start()
+
+    # -- proxy ------------------------------------------------------------
+    def _splice(self, client, worker):
+        import socket
+
+        try:
+            backend = socket.create_connection(
+                ("127.0.0.1", worker["port"]), timeout=30)
+        except OSError:
+            client.close()
+            with self._lock:
+                worker["active"] -= 1
+            return
+
+        def pump(src, dst):
+            try:
+                while True:
+                    data = src.recv(65536)
+                    if not data:
+                        break
+                    dst.sendall(data)
+            except OSError:
+                pass
+            finally:
+                try:
+                    dst.shutdown(socket.SHUT_WR)
+                except OSError:
+                    pass
+
+        t = threading.Thread(target=pump, args=(backend, client),
+                             daemon=True)
+        t.start()
+        pump(client, backend)
+        t.join()
+        for s in (client, backend):
+            try:
+                s.close()
+            except OSError:
+                pass
+        with self._lock:
+            worker["active"] -= 1
+
+    def serve_forever(self):
+        self._current = self._spawn_worker()
+        print(f"supervised API on :{self.server_address[1]} "
+              f"(worker pid {self._current['proc'].pid}, recycle every "
+              f"{self.max_requests} connections)", flush=True)
+        while not self._stop:
+            try:
+                client, _ = self._sock.accept()
+            except OSError:
+                break
+            with self._lock:
+                worker = self._current
+                worker["served"] += 1
+                worker["active"] += 1
+            threading.Thread(target=self._splice, args=(client, worker),
+                             daemon=True).start()
+            self._maybe_recycle()
+
+    def shutdown(self):
+        self._stop = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        with self._lock:
+            workers = ([self._current] if self._current else [])
+        for w in workers:
+            w["proc"].terminate()
+
+
 def main(argv=None, ready_cb=None):
     """``ready_cb(server)``, if given, fires after the socket is bound and
     before ``serve_forever`` — lets embedders/tests learn the real port
@@ -276,7 +501,37 @@ def main(argv=None, ready_cb=None):
                    help="precompile every batching bucket before accepting "
                         "traffic (first requests never pay a compile; a "
                         "persistent-cache load on restart)")
+    p.add_argument("--worker_max_requests", type=int, default=0, metavar="N",
+                   help="bounded-lifetime serving workers: run the model in "
+                        "a child process and recycle it (fresh process, "
+                        "zero downtime, drained hand-off) after N client "
+                        "connections. Ops mitigation for the axon tunnel "
+                        "client's h2d staging-buffer retention (PERF.md r4 "
+                        "soak: RSS grows ~1:1 with uploaded bytes); with "
+                        "the persistent compile cache a recycle is a cache "
+                        "load, not a recompile")
+    p.add_argument("--_port_file", default=None, help=argparse.SUPPRESS)
     cmd = p.parse_args(argv)
+
+    # our own platform override: the axon plugin ignores JAX_PLATFORMS, so
+    # supervised-worker children (and tests) pin the backend through this
+    plat = os.environ.get("DDSP_SVC_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+    if cmd.worker_max_requests > 0:
+        sup = _Supervisor(
+            cmd.port,
+            _strip_supervisor_args(
+                list(argv) if argv is not None else sys.argv[1:]),
+            cmd.worker_max_requests,
+        )
+        if ready_cb is not None:
+            ready_cb(sup)
+        sup.serve_forever()
+        return
 
     from .common import enable_compile_cache
 
@@ -311,6 +566,12 @@ def main(argv=None, ready_cb=None):
             pipeline.warmup_batching()
     server = ThreadingHTTPServer(("0.0.0.0", cmd.port), make_handler(pipeline, {}))
     print(f"voiceChangeModel API on :{server.server_address[1]}")
+    if cmd._port_file:
+        # supervised-worker handshake: report the bound ephemeral port
+        # (written AFTER model load + warmup so the supervisor's health
+        # poll starts against a live server)
+        with open(cmd._port_file, "w") as f:
+            f.write(str(server.server_address[1]))
     if ready_cb is not None:
         ready_cb(server)
     server.serve_forever()

@@ -201,6 +201,9 @@ class Unit2WavFast(nn.Module):
     # identical to the stock path; opt-in per deployment, equality
     # hardware-checked (TPU_CHECKS fused_conformer)
     trunk_pallas: bool = False
+    # f32 MXU passes in the fused trunk (hardware exactness checks); the
+    # default bf16 passes match the stock convs' default precision class
+    trunk_pallas_exact: bool = False
 
     @nn.compact
     def __call__(
@@ -245,6 +248,7 @@ class Unit2WavFast(nn.Module):
                 num_layers=self.n_layers, condition_dim=self.out_dims,
                 use_mlp=False, remat=self.remat, dtype=self.dtype,
                 use_pallas=self.trunk_pallas,
+                pallas_mxu_bf16=not self.trunk_pallas_exact,
                 name="denoise_fn",
             ),
             out_dims=self.out_dims,
@@ -289,6 +293,9 @@ class ReflowUnit2Wav(nn.Module):
     # identical to the stock path; opt-in per deployment, equality
     # hardware-checked (TPU_CHECKS fused_conformer)
     trunk_pallas: bool = False
+    # f32 MXU passes in the fused trunk (hardware exactness checks); the
+    # default bf16 passes match the stock convs' default precision class
+    trunk_pallas_exact: bool = False
 
     @nn.compact
     def __call__(
@@ -333,6 +340,7 @@ class ReflowUnit2Wav(nn.Module):
                 num_layers=self.n_layers, condition_dim=self.out_dims,
                 use_mlp=False, remat=self.remat, dtype=self.dtype,
                 use_pallas=self.trunk_pallas,
+                pallas_mxu_bf16=not self.trunk_pallas_exact,
                 name="velocity_fn",
             ),
             out_dims=self.out_dims,

@@ -32,6 +32,9 @@ class NaiveV2DiffLayer(nn.Module):
     use_pallas: bool = False
     pallas_block_rows: int = 256
     pallas_interpret: bool = False
+    # bf16 MXU passes inside the kernel (the stock convs' default-precision
+    # class); False = full f32 passes (the hardware exactness regime)
+    pallas_mxu_bf16: bool = True
 
     @nn.compact
     def __call__(self, x, condition, diffusion_step, deterministic=True,
@@ -80,6 +83,7 @@ class NaiveV2DiffLayer(nn.Module):
                 x, condition, step_vec, (wc[0], bc, w1, b1, wd, bd, w2, b2),
                 block_rows=self.pallas_block_rows,
                 interpret=self.pallas_interpret,
+                mxu_bf16=self.pallas_mxu_bf16,
             )
         x = x + step_proj(diffusion_step) + cond_proj(condition)
         x = conformer(x, deterministic=deterministic, edge_mask=edge_mask)
@@ -110,6 +114,7 @@ class NaiveV2Diff(nn.Module):
     use_pallas: bool = False  # fused conformer-layer kernel (ops/pallas_conformer)
     pallas_block_rows: int = 256
     pallas_interpret: bool = False
+    pallas_mxu_bf16: bool = True  # see NaiveV2DiffLayer.pallas_mxu_bf16
 
     @nn.compact
     def __call__(self, spec, diffusion_step, cond, deterministic=True,
@@ -177,6 +182,7 @@ class NaiveV2Diff(nn.Module):
                         use_pallas=self.use_pallas,
                         pallas_block_rows=self.pallas_block_rows,
                         pallas_interpret=self.pallas_interpret,
+                        pallas_mxu_bf16=self.pallas_mxu_bf16,
                         name=f"layer_{i}",
                     ),
                     x,

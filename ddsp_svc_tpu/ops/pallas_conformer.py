@@ -131,26 +131,39 @@ def fused_conformer_layer(
     *,
     block_rows: int = 256,
     interpret: bool = False,
+    mxu_bf16: bool = True,
 ) -> jnp.ndarray:
     """Differentiable fused NaiveV2DiffLayer: Pallas forward + jnp-chain
-    backward. Matches the stock flax path to f32 rounding."""
+    backward.
+
+    ``mxu_bf16`` (default): run the three matmuls as single-pass bf16 MXU
+    ops with f32 accumulation — the SAME precision class XLA's default
+    matmul precision gives the stock convs, and the difference between
+    winning and losing on TPU: with f32 passes the kernel is
+    FLOP-bound (~3x the bf16 MXU time) and its 7x HBM-traffic reduction
+    never shows. ``mxu_bf16=False`` keeps full f32 passes (bit-comparable
+    to the stock path under `jax.default_matmul_precision('highest')`,
+    which the hardware equality check uses)."""
     return _fused_layer_vjp(x, cond, step_vec, tuple(weights),
-                            int(block_rows), bool(interpret))
+                            int(block_rows), bool(interpret),
+                            bool(mxu_bf16))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _fused_layer_vjp(x, cond, step_vec, weights, block_rows, interpret):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_layer_vjp(x, cond, step_vec, weights, block_rows, interpret,
+                     mxu_bf16):
     return _fused_layer_impl(x, cond, step_vec, weights, block_rows,
-                             interpret)
+                             interpret, mxu_bf16)
 
 
-def _fused_layer_fwd(x, cond, step_vec, weights, block_rows, interpret):
+def _fused_layer_fwd(x, cond, step_vec, weights, block_rows, interpret,
+                     mxu_bf16):
     out = _fused_layer_impl(x, cond, step_vec, weights, block_rows,
-                            interpret)
+                            interpret, mxu_bf16)
     return out, (x, cond, step_vec, weights)
 
 
-def _fused_layer_bwd(block_rows, interpret, residuals, g):
+def _fused_layer_bwd(block_rows, interpret, mxu_bf16, residuals, g):
     x, cond, step_vec, weights = residuals
     _, vjp = jax.vjp(
         lambda xx, cc, sv, ww: _stock_layer(xx, cc, sv, ww),
@@ -162,7 +175,8 @@ def _fused_layer_bwd(block_rows, interpret, residuals, g):
 _fused_layer_vjp.defvjp(_fused_layer_fwd, _fused_layer_bwd)
 
 
-def _fused_layer_impl(x, cond, step_vec, weights, block_rows, interpret):
+def _fused_layer_impl(x, cond, step_vec, weights, block_rows, interpret,
+                      mxu_bf16=False):
     b, t, c = x.shape
     wc, bc, w1, b1, wd, bd, w2, b2 = weights
     k = wd.shape[0]
@@ -178,7 +192,10 @@ def _fused_layer_impl(x, cond, step_vec, weights, block_rows, interpret):
     cs = jnp.pad(cond, ((0, 0), (halo, pad_r), (0, 0)))
     hc = cond.shape[-1]
 
-    weight_dtype = x.dtype
+    # matmul operand dtype: the kernel casts activations to the WEIGHT
+    # dtype before each dot (w_ref.dtype in the kernel body), so setting
+    # it here sets the MXU pass precision for the whole layer
+    weight_dtype = jnp.bfloat16 if mxu_bf16 else x.dtype
     wc = wc.astype(weight_dtype)
     w1 = w1.astype(weight_dtype)
     w2 = w2.astype(weight_dtype)

@@ -41,7 +41,7 @@ def test_fused_matches_stock_interpret(t, block_rows):
     x, cond, sv, w = _mk(t=t)
     want = _stock_layer(x, cond, sv, w)
     got = fused_conformer_layer(x, cond, sv, w, block_rows=block_rows,
-                                interpret=True)
+                                interpret=True, mxu_bf16=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
@@ -52,7 +52,8 @@ def test_fused_grad_matches_stock():
 
     def loss_fused(x_, sv_):
         return jnp.sum(fused_conformer_layer(
-            x_, cond, sv_, w, block_rows=16, interpret=True) ** 2)
+            x_, cond, sv_, w, block_rows=16, interpret=True,
+            mxu_bf16=False) ** 2)
 
     def loss_stock(x_, sv_):
         return jnp.sum(_stock_layer(x_, cond, sv_, w) ** 2)
@@ -79,7 +80,7 @@ def test_module_fused_path_matches_stock():
               num_layers=2, kernel_size=7)
     stock = NaiveV2Diff(**kw)
     fused = NaiveV2Diff(**kw, use_pallas=True, pallas_interpret=True,
-                        pallas_block_rows=16)
+                        pallas_block_rows=16, pallas_mxu_bf16=False)
     params = stock.init(jax.random.PRNGKey(0), spec, step, cond)
     # identical param trees: the fused path must restore stock checkpoints
     params_f = fused.init(jax.random.PRNGKey(0), spec, step, cond)
@@ -89,3 +90,16 @@ def test_module_fused_path_matches_stock():
     got = fused.apply(params, spec, step, cond)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_fused_mxu_bf16_quality_class():
+    """The default bf16-MXU-pass mode (the stock convs' default-precision
+    class on TPU) stays within bf16 rounding of the exact chain."""
+    x, cond, sv, w = _mk(t=48, c=128, hc=32, k=7, seed=9)
+    exact = fused_conformer_layer(x, cond, sv, w, block_rows=16,
+                                  interpret=True, mxu_bf16=False)
+    fast = fused_conformer_layer(x, cond, sv, w, block_rows=16,
+                                 interpret=True, mxu_bf16=True)
+    snr = 10 * np.log10(float(jnp.sum(exact ** 2))
+                        / max(float(jnp.sum((fast - exact) ** 2)), 1e-20))
+    assert snr > 35.0, snr
