@@ -113,6 +113,7 @@ class BatchedEncoder:
             self.enc.variables = jax.device_put(self.enc.variables,
                                                 self._replicated)
         self._solo_f0_fns: dict = {}
+        self._solo_enc_fns: dict = {}  # over-bucket grid-padded encodes
         self._fns: dict = {}  # (bucket_len, sample_rate) -> jitted fn
         self._q: queue.Queue = queue.Queue()
         self._pending: list[_EncRequest] = []
@@ -141,8 +142,7 @@ class BatchedEncoder:
                 bucket = b
                 break
         if bucket is None or self._stop:
-            return self.enc.encode(jnp.asarray(audio)[None], sample_rate,
-                                   hop_size)
+            return self._solo_encode(audio, sample_rate, hop_size)
         idx = self.enc.align_index(audio.shape[0], sample_rate, hop_size)
         if self.transfer_in == "i16":  # see encode_with_f0
             audio = np.clip(np.rint(audio * 32767.0), -32768,
@@ -190,8 +190,7 @@ class BatchedEncoder:
                 bucket = b
                 break
         if bucket is None or self._stop:
-            units = self.enc.encode(jnp.asarray(audio)[None], sample_rate,
-                                    hop_size)
+            units = self._solo_encode(audio, sample_rate, hop_size)
             f0 = self._solo_f0(audio, sample_rate, hop_size, shift)
             return units, f0
         idx = self.enc.align_index(audio.shape[0], sample_rate, hop_size)
@@ -215,6 +214,32 @@ class BatchedEncoder:
         if req.error is not None:
             raise req.error
         return req.result, req.result_f0
+
+    def _solo_encode(self, audio: np.ndarray, sample_rate: int,
+                     hop_size: int):
+        """Over-bucket solo encode on a coarse length grid (~0.5 s): the
+        masked batched forward (B=1, valid_samples=n) reproduces the
+        unpadded solo encode EXACTLY (the encoder batcher's masking
+        contract), so grid padding costs nothing in accuracy while a
+        stream of varying over-bucket lengths shares a handful of
+        compiled executables instead of one per length (ADVICE r4)."""
+        n = audio.shape[0]
+        grid = max(hop_size, (sample_rate // (2 * hop_size)) * hop_size)
+        padded_len = -(-n // grid) * grid
+        key = ("enc", padded_len, sample_rate)
+        fn = self._solo_enc_fns.pop(key, None)
+        if fn is None:
+            fn = jax.jit(self.enc.make_batched_encode_fn(
+                sample_rate, padded_len))
+        self._solo_enc_fns[key] = fn  # newest-last (LRU order)
+        while len(self._solo_enc_fns) > 8:
+            self._solo_enc_fns.pop(next(iter(self._solo_enc_fns)))
+        a = np.zeros(padded_len, np.float32)
+        a[:n] = audio
+        units = fn(self.enc.variables, jnp.asarray(a)[None],
+                   jnp.asarray([n], jnp.int32))
+        idx = self.enc.align_index(n, sample_rate, hop_size)
+        return jnp.take(units[0], jnp.asarray(idx), axis=0)[None]
 
     def _solo_f0(self, audio: np.ndarray, sample_rate: int, hop_size: int,
                  shift: float = 0.0):

@@ -563,8 +563,9 @@ class SvcPipeline:
             # jitted YIN on the accelerator (features/yin_jax.py): the f0
             # stays device-resident all the way into the batcher staging /
             # fused forward — no host FFTs, no barrier, no fetch
-            key = ("yin_dev", len(audio), sample_rate, hop, start_frame_f0)
-            f0_fn = self._jit_fwd.get(key)
+            cache_key = ("yin_dev", len(audio), sample_rate, hop,
+                         start_frame_f0)
+            f0_fn = self._jit_fwd.get(cache_key)
             if f0_fn is None:
                 from ..features.yin_jax import make_pipeline_f0_fn
 
@@ -572,7 +573,7 @@ class SvcPipeline:
                     len(audio), sample_rate, hop,
                     self.f0_min, self.f0_max, start_frame_f0,
                 ))
-                self._jit_fwd[key] = f0_fn
+                self._jit_fwd[cache_key] = f0_fn
             f0 = f0_fn(jnp.asarray(audio, jnp.float32))[None, :, None]
             f0 = f0 * 2 ** (key_shift / 12.0)
         else:
