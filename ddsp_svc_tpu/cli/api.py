@@ -497,6 +497,11 @@ def main(argv=None, ready_cb=None):
                         "front-end as int16 and dequantize in-graph "
                         "(halves+halves the dominant h2d cost; source "
                         "audio is 16-bit to begin with)")
+    p.add_argument("--audio_mulaw", action="store_true",
+                   help="upload request audio as 8-bit mu-law (halves the "
+                        "upload vs --audio_i16; ~38 dB input SNR, "
+                        "quality-gated end-to-end by TPU_CHECKS "
+                        "serving_chain_quality_au8)")
     p.add_argument("--warmup", action="store_true",
                    help="precompile every batching bucket before accepting "
                         "traffic (first requests never pay a compile; a "
@@ -560,7 +565,8 @@ def main(argv=None, ready_cb=None):
                                  else "f32",
                                  pipeline_depth=cmd.batch_pipeline,
                                  batch_encoder=cmd.batch_encoder,
-                                 audio_in="i16" if cmd.audio_i16 else "f32")
+                                 audio_in="mulaw" if cmd.audio_mulaw
+                                 else ("i16" if cmd.audio_i16 else "f32"))
         if cmd.warmup:
             print("warming batch buckets ...", flush=True)
             pipeline.warmup_batching()

@@ -240,3 +240,37 @@ def test_batched_encoder_audio_i16_codec():
     voiced = f32_ > 100.0
     rel = np.abs(f16_[voiced] - f32_[voiced]) / f32_[voiced]
     assert float(rel.max()) < 1e-3
+
+
+def test_batched_encoder_mulaw_input_codec():
+    """transfer_in='mulaw' (r5): the 8-bit companded upload decodes
+    in-graph; units stay within the companding noise class of the f32
+    path, and the fused with_f0 mode keeps its padding convention."""
+    from ddsp_svc_tpu.infer.enc_batcher import BatchedEncoder
+
+    sr, hop = 16000, 320
+    rng = np.random.default_rng(5)
+    audio = (0.5 * np.sin(2 * np.pi * 220 * np.arange(4000) / sr)
+             + 0.01 * rng.standard_normal(4000)).astype(np.float32)
+    outs = {}
+    for codec in ("f32", "mulaw"):
+        enc = _tiny_encoder()
+        b = BatchedEncoder(enc, frame_buckets=(16,), max_batch=2,
+                           max_wait_ms=10.0, with_f0=True,
+                           transfer_in=codec, f0_min=80.0)
+        try:
+            units, f0 = b.encode_with_f0(audio, sr, hop)
+            outs[codec] = (np.asarray(units), np.asarray(f0))
+        finally:
+            b.close()
+    u32, f32_ = outs["f32"]
+    u8, f8 = outs["mulaw"]
+    assert u8.shape == u32.shape and f8.shape == f32_.shape
+    # companded input noise through the tiny encoder: SNR-class bound
+    snr = 10 * np.log10(float((u32 ** 2).sum())
+                        / max(float(((u8 - u32) ** 2).sum()), 1e-20))
+    assert snr > 20.0, snr
+    # pitch is robust to the companding (YIN is correlation-based)
+    t = 4000 // hop + 1
+    rel = np.abs(f8[0, :t, 0] - f32_[0, :t, 0]) / f32_[0, :t, 0]
+    assert float(rel.max()) < 0.02, float(rel.max())

@@ -870,7 +870,7 @@ def check_front_fused():
 
 
 def _chain_quality(family: str, transfer: str, bound_db: float,
-                   trunk_pallas: bool = False):
+                   trunk_pallas: bool = False, audio_in: str = "i16"):
     """End-to-end quality of a shipped serving composition on hardware:
     the same request through (a) the direct unbatched pipeline (one fused
     f32 graph, f32 d2h) and (b) the full serving composition
@@ -926,7 +926,7 @@ def _chain_quality(family: str, transfer: str, bound_db: float,
     batcher = ps.enable_batching(
         buckets=(bucket,), max_batch=2, max_wait_ms=5.0, transfer=transfer,
         transfer_in="f16", pipeline_depth=2, batch_encoder=True,
-        audio_in="i16", **req_kw,
+        audio_in=audio_in, **req_kw,
     )
     try:
         seed(ps)
@@ -942,7 +942,7 @@ def _chain_quality(family: str, transfer: str, bound_db: float,
         / max(float(((got - ref) ** 2).sum()), 1e-20)))
     return {"ok": bool(snr > bound_db),
             "snr_db_served_vs_direct": round(snr, 2),
-            "family": family, "transfer": transfer,
+            "family": family, "transfer": transfer, "audio_in": audio_in,
             "bound_db": bound_db}
 
 
@@ -962,6 +962,15 @@ def check_serving_chain_quality_hifi():
     f32 out) a quality-sensitive deployment runs — never composed before
     r5 (VERDICT r4 item 6b): bound 40 dB."""
     return _chain_quality("diffusion", "f32", 40.0)
+
+
+def check_serving_chain_quality_au8():
+    """The r5 mu-law INPUT tier (8-bit audio upload — halves the dominant
+    h2d cost vs i16 on degraded tunnel windows): the full diffusion
+    composition with companded input + mu-law output. The input
+    companding rides through YIN + HuBERT + the cascade, so the bound is
+    looser than the i16 tier's."""
+    return _chain_quality("diffusion", "mulaw", 18.0, audio_in="mulaw")
 
 
 def check_serving_chain_quality_ddsp():
@@ -992,6 +1001,7 @@ CHECKS = {
     "serving_chain_quality_reflow": check_serving_chain_quality_reflow,
     "serving_chain_quality_hifi": check_serving_chain_quality_hifi,
     "serving_chain_quality_ddsp": check_serving_chain_quality_ddsp,
+    "serving_chain_quality_au8": check_serving_chain_quality_au8,
 }
 
 
