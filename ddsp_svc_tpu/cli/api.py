@@ -48,6 +48,17 @@ def make_handler(pipeline, default_kwargs):
         # HTTP/1.1 for Transfer-Encoding: chunked (the streaming mode);
         # every non-chunked response still sets Content-Length
         protocol_version = "HTTP/1.1"
+        # under a recycling supervisor the lifetime bound counts
+        # CONNECTIONS, so keep-alive must not batch many requests onto
+        # one connection (a pooling client would otherwise never trigger
+        # a recycle and defeat the RSS mitigation)
+        _close_per_request = bool(os.environ.get("DDSP_SVC_TPU_SUPERVISED"))
+
+        def send_response(self, code, message=None):
+            super().send_response(code, message)
+            if self._close_per_request:
+                self.send_header("Connection", "close")
+                self.close_connection = True
 
         def do_GET(self):
             """Monitoring endpoints (beyond the reference's flask_api):
@@ -271,7 +282,7 @@ class _Supervisor:
         self._lock = threading.Lock()
         self._stop = False
         self._current = None  # (proc, port, served, active, generation)
-        self._retiring = []
+        self._retiring: list = []  # draining old workers (shutdown kills)
         self._spawning = False
         self.generations = 0
 
@@ -285,54 +296,68 @@ class _Supervisor:
         port_file = tempfile.NamedTemporaryFile(
             prefix="svc_api_port_", suffix=".txt", delete=False)
         port_file.close()
+        env = dict(os.environ)
+        # one request per connection in the worker (see
+        # Handler._close_per_request): the recycle bound stays exact for
+        # keep-alive / pooling clients
+        env["DDSP_SVC_TPU_SUPERVISED"] = "1"
         proc = subprocess.Popen(
             [sys.executable, "-m", "ddsp_svc_tpu.cli.api",
              *self.worker_argv, "-p", "0", "--_port_file", port_file.name],
+            env=env,
         )
         deadline = time.monotonic() + self.spawn_timeout_s
         port = None
-        while time.monotonic() < deadline:
-            if proc.poll() is not None:
-                raise RuntimeError(
-                    f"serving worker exited rc={proc.returncode} during "
-                    "startup")
+        try:
+            while time.monotonic() < deadline:
+                if proc.poll() is not None:
+                    raise RuntimeError(
+                        f"serving worker exited rc={proc.returncode} during "
+                        "startup")
+                try:
+                    with open(port_file.name) as f:
+                        txt = f.read().strip()
+                    if txt:
+                        port = int(txt)
+                        break
+                except (OSError, ValueError):
+                    pass
+                time.sleep(0.2)
+            if port is None:
+                proc.terminate()
+                raise RuntimeError("serving worker did not report a port")
+            # readiness: the worker answers /health only after model load
+            # + optional warmup — recycling therefore never routes to a
+            # cold worker
+            while time.monotonic() < deadline:
+                try:
+                    with urllib.request.urlopen(
+                            f"http://127.0.0.1:{port}/health", timeout=2.0):
+                        break
+                except Exception:
+                    time.sleep(0.5)
+            else:
+                proc.terminate()
+                raise RuntimeError("serving worker never became healthy")
+        finally:
             try:
-                with open(port_file.name) as f:
-                    txt = f.read().strip()
-                if txt:
-                    port = int(txt)
-                    break
-            except (OSError, ValueError):
+                os.unlink(port_file.name)
+            except OSError:
                 pass
-            time.sleep(0.2)
-        if port is None:
-            proc.terminate()
-            raise RuntimeError("serving worker did not report a port")
-        # readiness: the worker answers /health only after model load +
-        # optional warmup — recycling therefore never routes to a cold
-        # worker
-        while time.monotonic() < deadline:
-            try:
-                with urllib.request.urlopen(
-                        f"http://127.0.0.1:{port}/health", timeout=2.0):
-                    break
-            except Exception:
-                time.sleep(0.5)
-        else:
-            proc.terminate()
-            raise RuntimeError("serving worker never became healthy")
-        os.unlink(port_file.name)
         self.generations += 1
         return {"proc": proc, "port": port, "served": 0, "active": 0,
                 "gen": self.generations}
 
     def _retire(self, worker):
         """Terminate once its in-flight connections drain (no downtime)."""
+        with self._lock:
+            self._retiring.append(worker)
+
         def drain():
             deadline = time.monotonic() + 600.0
             while time.monotonic() < deadline:
                 with self._lock:
-                    if worker["active"] <= 0:
+                    if worker["active"] <= 0 or self._stop:
                         break
                 time.sleep(0.5)
             worker["proc"].terminate()
@@ -340,6 +365,9 @@ class _Supervisor:
                 worker["proc"].wait(timeout=30)
             except Exception:
                 worker["proc"].kill()
+            with self._lock:
+                if worker in self._retiring:
+                    self._retiring.remove(worker)
 
         threading.Thread(target=drain, daemon=True).start()
 
@@ -437,6 +465,7 @@ class _Supervisor:
             pass
         with self._lock:
             workers = ([self._current] if self._current else [])
+            workers += list(self._retiring)
         for w in workers:
             w["proc"].terminate()
 
@@ -575,9 +604,12 @@ def main(argv=None, ready_cb=None):
     if cmd._port_file:
         # supervised-worker handshake: report the bound ephemeral port
         # (written AFTER model load + warmup so the supervisor's health
-        # poll starts against a live server)
-        with open(cmd._port_file, "w") as f:
+        # poll starts against a live server; tmp+rename so the watching
+        # supervisor can never read a truncated number)
+        tmp = cmd._port_file + ".tmp"
+        with open(tmp, "w") as f:
             f.write(str(server.server_address[1]))
+        os.replace(tmp, cmd._port_file)
     if ready_cb is not None:
         ready_cb(server)
     server.serve_forever()

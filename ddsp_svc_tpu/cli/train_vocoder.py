@@ -89,13 +89,21 @@ def main(argv=None):
     periods_cfg = args.vocoder.discriminator_periods if args.vocoder else None
     msd_cfg = args.vocoder.msd_scales if args.vocoder else None
     if periods_cfg is not None or msd_cfg is not None:
+        periods = tuple((2, 3, 5, 7, 11) if periods_cfg is None
+                        else periods_cfg)
+        msd = 3 if msd_cfg is None else int(msd_cfg)
+        if not periods and not msd:
+            # an empty bundle would run GAN steps with zero
+            # sub-discriminators; disc_cfg=None would silently mean the
+            # FULL default recipe — neither is what "both off" asks for
+            raise SystemExit(
+                "config error: discriminator_periods=[] with msd_scales=0 "
+                "disables every sub-discriminator; this trainer is the GAN "
+                "recipe (nsf_hifigan/models.py) and needs at least one of "
+                "MPD periods or MSD scales")
         from ..train.vocoder_solver import Discriminators
 
-        disc_cfg = Discriminators(
-            periods=tuple((2, 3, 5, 7, 11) if periods_cfg is None
-                          else periods_cfg),
-            msd_scales=3 if msd_cfg is None else int(msd_cfg),
-        )
+        disc_cfg = Discriminators(periods=periods, msd_scales=msd)
     state_g, state_d, disc = init_vocoder_training(
         gen,
         jnp.zeros((1, t_ex, cfg["num_mels"]), jnp.float32),

@@ -30,9 +30,25 @@ class VolumeExtractor:
         EDGE-pad win//2 each side (constant_values=(mask[0], mask[-1])),
         max-dilate over `win` frames. The single implementation of this
         rule — sample-level upsampling is the caller's (host/device)
-        choice."""
+        choice; ``get_mask_jnp`` below is its jittable twin for fused
+        serving graphs."""
         mask = (volume > 10 ** (threshold / 20.0)).astype(np.float32)
         pad = win // 2
         mp = np.pad(mask, (pad, pad), constant_values=(mask[0], mask[-1]))
         windows = np.lib.stride_tricks.sliding_window_view(mp, win)
         return windows.max(axis=-1)
+
+
+def get_mask_jnp(volume, gate: float, win: int = 9):
+    """Jittable twin of VolumeExtractor.get_mask for batched rows:
+    ``volume`` (B, T), ``gate`` the already-exponentiated linear
+    threshold (10^(dB/20)). Same rule: gate, edge-pad win//2, max-dilate
+    over win frames — keep the two implementations in lockstep."""
+    import jax
+    import jax.numpy as jnp
+
+    pad = win // 2
+    m = (volume > gate).astype(jnp.float32)
+    m = jnp.pad(m, ((0, 0), (pad, pad)), mode="edge")
+    return jax.lax.reduce_window(m, -jnp.inf, jax.lax.max, (1, win),
+                                 (1, 1), "VALID")

@@ -32,6 +32,44 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..ops.codec import mulaw_decode, mulaw_encode_u8
+
+
+def right_sized_slots(n_real: int, max_batch: int, mesh=None) -> int:
+    """Padded row count for a batch: the next power of two >= n_real
+    (right-sizing erased the 1/occupancy dummy-row compute of full-width
+    padding, r4) — capped at max_batch; on a mesh, the smallest pow-2
+    per-device row count times the mesh size, so sharded serving keeps
+    both the occupancy win and the dp row split. ONE policy for both
+    serving engines (BatchedSynth / BatchedEncoder)."""
+    if mesh is not None:
+        m = mesh.devices.size
+        per_dev = -(-n_real // m)
+        per_dev = 1 << max(0, (per_dev - 1).bit_length())
+        return min(max_batch, m * per_dev)
+    return min(max_batch, 1 << max(0, (n_real - 1).bit_length()))
+
+
+def deadline_chunks(batch: list, slots_fn) -> list[list]:
+    """Deadline-aware slot sizing (VERDICT r4 item 2): when the wait
+    deadline expires with a partial batch, dispatching the largest
+    power-of-two prefix plus a right-sized remainder can beat padding the
+    whole batch up — e.g. 9 rows cost 8+1=9 slots instead of 16. Split
+    only when it saves >=2 dummy slots (an extra dispatch is ~1-5 ms of
+    submit work; a dummy slot is ~10-15 ms of batch compute at production
+    sizes). ``slots_fn`` is the engine's right-sizing rule."""
+    n = len(batch)
+    if n < 3:
+        return [batch]
+    slots = slots_fn(n)
+    big = 1 << (n.bit_length() - 1)  # largest pow2 <= n
+    if big == n or slots - n < 2:
+        return [batch]
+    rest = batch[big:]
+    if big + slots_fn(len(rest)) > slots - 2:
+        return [batch]
+    return [batch[:big], rest]
+
 
 @dataclass
 class _Request:
@@ -488,13 +526,7 @@ class BatchedSynth:
                 def fwd(params, units, f0, volume, spk, keys, _inner=inner):
                     audio = _inner(params, units, f0, volume, spk, keys)
                     # G.711-style μ-law companding, μ=255, on device
-                    y = jnp.sign(audio) * (
-                        jnp.log1p(255.0 * jnp.minimum(jnp.abs(audio), 1.0))
-                        / np.log(256.0)
-                    )
-                    return jnp.clip(
-                        jnp.round((y + 1.0) * 127.5), 0.0, 255.0
-                    ).astype(jnp.uint8)
+                    return mulaw_encode_u8(audio, xp=jnp)
 
             if self.mesh is not None:
                 bs, rep = self._batch_sharding, self._replicated
@@ -546,25 +578,11 @@ class BatchedSynth:
         return batch
 
     def _chunks(self, batch: list[_Request]) -> list[list[_Request]]:
-        """Deadline-aware slot sizing (VERDICT r4 item 2): when the wait
-        deadline expires with a partial batch, dispatching the largest
-        power-of-two prefix plus a right-sized remainder can beat padding
-        the whole batch up — e.g. 9 rows cost 8+1=9 slots instead of 16.
-        Split only when it saves ≥2 dummy slots (an extra dispatch is
-        ~1-5 ms of submit work; a dummy slot is ~10-15 ms of batch
-        compute at production sizes). The mesh path keeps one full-width
-        batch (sharding divisibility)."""
-        n = len(batch)
-        if self.mesh is not None or n < 3:
+        """deadline_chunks with this engine's sizing; mesh batches stay
+        whole (their slots are already right-sized mesh-divisible)."""
+        if self.mesh is not None:
             return [batch]
-        slots = self._batch_slots(n)
-        big = 1 << (n.bit_length() - 1)  # largest pow2 <= n
-        if big == n or slots - n < 2:
-            return [batch]
-        rest = batch[big:]
-        if big + self._batch_slots(len(rest)) > slots - 2:
-            return [batch]
-        return [batch[:big], rest]
+        return deadline_chunks(batch, self._batch_slots)
 
     def _loop(self):
         while not self._stop:
@@ -607,12 +625,7 @@ class BatchedSynth:
         right-sized but mesh-DIVISIBLE: the smallest pow-2 per-device row
         count times the mesh size, so sharded serving keeps both the
         occupancy win and the dp row split."""
-        if self.mesh is not None:
-            m = self.mesh.devices.size
-            per_dev = -(-n_real // m)
-            per_dev = 1 << max(0, (per_dev - 1).bit_length())
-            return min(self.max_batch, m * per_dev)
-        return min(self.max_batch, 1 << max(0, (n_real - 1).bit_length()))
+        return right_sized_slots(n_real, self.max_batch, self.mesh)
 
     def _run(self, batch: list[_Request], t_formed: float | None = None):
         t_formed = t_formed if t_formed is not None else time.monotonic()
@@ -696,8 +709,7 @@ class BatchedSynth:
         if self.transfer == "i16":
             out = out.astype(np.float32) / 32767.0
         elif self.transfer == "mulaw":
-            y = out.astype(np.float32) / 127.5 - 1.0
-            out = np.sign(y) * ((256.0 ** np.abs(y) - 1.0) / 255.0)
+            out = mulaw_decode(out)
         for i, r in enumerate(batch):
             r.result = out[i, : r.n_frames * self.hop]
             r.done.set()

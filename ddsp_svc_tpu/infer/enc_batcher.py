@@ -34,6 +34,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops.codec import mulaw_decode, mulaw_encode_u8
+from .batcher import deadline_chunks, right_sized_slots
+
 
 @dataclass
 class _EncRequest:
@@ -220,10 +223,7 @@ class BatchedEncoder:
             return np.clip(np.rint(audio * 32767.0), -32768,
                            32767).astype(np.int16)
         if self.transfer_in == "mulaw":
-            y = np.sign(audio) * (np.log1p(255.0 * np.minimum(
-                np.abs(audio), 1.0)) / np.log(256.0))
-            return np.clip(np.rint((y + 1.0) * 127.5), 0.0,
-                           255.0).astype(np.uint8)
+            return mulaw_encode_u8(audio)
         return audio
 
     def _solo_encode(self, audio: np.ndarray, sample_rate: int,
@@ -364,9 +364,7 @@ class BatchedEncoder:
                 if audio.dtype == jnp.int16:
                     return audio.astype(jnp.float32) * (1.0 / 32767.0)
                 if audio.dtype == jnp.uint8:  # mu-law expansion
-                    y = audio.astype(jnp.float32) / 127.5 - 1.0
-                    return jnp.sign(y) * ((256.0 ** jnp.abs(y) - 1.0)
-                                          / 255.0)
+                    return mulaw_decode(audio, xp=jnp)
                 return audio
 
             if self.with_f0:
@@ -448,22 +446,12 @@ class BatchedEncoder:
         return batch
 
     def _chunks(self, batch: list[_EncRequest]) -> list[list[_EncRequest]]:
-        """Deadline-aware slot sizing — same policy as
-        BatchedSynth._chunks: split a deadline-expired partial batch into
-        a pow-2 prefix + right-sized remainder when that saves ≥2 dummy
-        slots (the fused YIN makes a dummy front-end row as expensive as
-        a real one)."""
-        n = len(batch)
-        if n < 3 or self.mesh is not None:
+        """deadline_chunks with this engine's sizing (the fused YIN makes
+        a dummy front-end row as expensive as a real one); mesh batches
+        stay whole."""
+        if self.mesh is not None:
             return [batch]
-        slots = self._batch_slots(n)
-        big = 1 << (n.bit_length() - 1)
-        if big == n or slots - n < 2:
-            return [batch]
-        rest = batch[big:]
-        if big + self._batch_slots(len(rest)) > slots - 2:
-            return [batch]
-        return [batch[:big], rest]
+        return deadline_chunks(batch, self._batch_slots)
 
     def _loop(self):
         while not self._stop:
@@ -484,12 +472,7 @@ class BatchedEncoder:
         1/occupancy x dummy front-end compute, and the fused YIN makes a
         dummy row as expensive as a real one). On a mesh: right-sized but
         mesh-divisible (smallest pow-2 per-device count x mesh size)."""
-        if self.mesh is not None:
-            m = self.mesh.devices.size
-            per_dev = -(-n_real // m)
-            per_dev = 1 << max(0, (per_dev - 1).bit_length())
-            return min(self.max_batch, m * per_dev)
-        return min(self.max_batch, 1 << max(0, (n_real - 1).bit_length()))
+        return right_sized_slots(n_real, self.max_batch, self.mesh)
 
     def _run(self, batch: list[_EncRequest]):
         t_formed = time.monotonic()

@@ -214,17 +214,21 @@ class SvcPipeline:
                                 f[None], v[None], spk_id=s[None],
                                 infer=True, noise=noise[None],
                             )
-                            # frame gate + edge pad 4 + max-dilate 9 +
+                            # frame gate + edge pad + max-dilate +
                             # upsample, applied BEFORE the enhancer
-                            # (gui.py:114-135 order)
-                            m = (v[None, :, 0] > gate).astype(jnp.float32)
-                            m = jnp.pad(m, ((0, 0), (4, 4)), mode="edge")
-                            m = jax.lax.reduce_window(
-                                m, -jnp.inf, jax.lax.max, (1, 9), (1, 1),
-                                "VALID")
+                            # (gui.py:114-135 order; the in-graph twin of
+                            # VolumeExtractor.get_mask)
+                            from ..features.volume import get_mask_jnp
+
+                            m = get_mask_jnp(v[None, :, 0], gate)
                             m = upsample(m[..., None], block)[..., 0]
                             audio = audio * m[:, : audio.shape[-1]]
                             mel = ev.extract(audio)
+                            if ev.type == "nsf-hifigan-log10":
+                                # Vocoder.infer parity: extract() scaled
+                                # the log-mel by log10(e); invert before
+                                # the generator
+                                mel = mel / 0.434294
                             # the eager Enhancer path vocodes with the
                             # fixed PRNGKey(0) (Vocoder.infer default) —
                             # same here, so batched == solo exactly
@@ -706,9 +710,13 @@ class SvcPipeline:
                     # (flask_api.py:83-84,136-142 chain): the result comes
                     # back masked AND enhanced; the threshold is a static
                     # signature so per-request thresholds batch with
-                    # same-threshold peers
+                    # same-threshold peers. The fused graph hardcodes
+                    # adaptive_key=0 and no silence skip — requests using
+                    # those levers take the direct + eager-enhancer path
                     sig = (("mask_threshold", float(threhold)),)
-                    if self._admit_sig(sig):
+                    if (enhancer_adaptive_key in (0, 0.0)
+                            and silence_front == 0.0
+                            and self._admit_sig(sig)):
                         out = batcher.infer(
                             units[0], f0[0], volume_j[0], spk_id, sub,
                             sig=sig, n_frames=t,

@@ -202,7 +202,6 @@ def _fused_layer_impl(x, cond, step_vec, weights, block_rows, interpret,
     inner = w1.shape[-1] // 2
 
     spec = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
-    row = lambda arr: spec(arr.shape, lambda bi, i: (0, 0))  # noqa: E731
     out = pl.pallas_call(
         partial(_layer_kernel, bl, halo, t, k, x.dtype),
         out_shape=jax.ShapeDtypeStruct((b, nb * bl, c), x.dtype),

@@ -864,6 +864,19 @@ def test_ddsp_enhancer_fused_batching_matches_eager(tmp_path):
         pipe.batcher = batcher
         np.testing.assert_allclose(fused3, eager3, rtol=5e-2, atol=5e-3)
 
+        # per-request levers the fused graph cannot honor fall back to
+        # the direct + eager-enhancer path (silently-dropped parameters
+        # were the r5 review's finding)
+        fused5, _ = pipe.infer(audio, SR, spk_id=1, key=key,
+                               enhancer_adaptive_key=2.0)
+        pipe.batcher = None
+        eager5, _ = pipe.infer(audio, SR, spk_id=1, key=key,
+                               enhancer_adaptive_key=2.0)
+        pipe.batcher = batcher
+        L5 = min(len(fused5), len(eager5))
+        np.testing.assert_allclose(fused5[:L5], eager5[:L5],
+                                   rtol=5e-2, atol=5e-3)
+
         # partial row (t < bucket): equality holds away from the padded
         # tail (the dummy-frame bleed is bounded by the mel window +
         # vocoder receptive field)
