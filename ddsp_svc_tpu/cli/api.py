@@ -483,6 +483,11 @@ def main(argv=None, ready_cb=None):
                         "to N concurrent requests sharing a (frame bucket, "
                         "sampler settings) signature run as one device call")
     p.add_argument("--batch_wait_ms", type=float, default=5.0)
+    p.add_argument("--batch_buckets", default="128,256,512,1024",
+                   help="comma-separated frame buckets for batching; "
+                        "fewer buckets = fewer compiled graphs (faster "
+                        "warmup/restart), at the cost of more padding for "
+                        "mixed request lengths")
     p.add_argument("--batch_i16", action="store_true",
                    help="transfer batched audio device->host as int16 "
                         "(halves d2h bytes; <=1-LSB rounding, free at the "
@@ -585,7 +590,8 @@ def main(argv=None, ready_cb=None):
 
             mesh = Mesh(np.array(jax.devices()[: cmd.batch_devices]),
                         ("data",))
-        pipeline.enable_batching(max_batch=cmd.batch,
+        buckets = tuple(int(b) for b in cmd.batch_buckets.split(","))
+        pipeline.enable_batching(buckets=buckets, max_batch=cmd.batch,
                                  max_wait_ms=cmd.batch_wait_ms, mesh=mesh,
                                  max_signatures=cmd.batch_max_signatures,
                                  transfer_int16=cmd.batch_i16,

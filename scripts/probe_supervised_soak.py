@@ -33,10 +33,14 @@ def _rss_mb(pid: int) -> float:
         return 0.0
 
 
-def _ckpt_dir() -> str:
+def _ckpt_dir(tiny: bool = False) -> str:
     """Production-scale DiffusionFast checkpoint + config on disk (the
-    bench rig saved once under /tmp, reused across runs)."""
-    d = "/tmp/ddsp_svc_tpu_serving_ckpt"
+    bench rig saved once under /tmp, reused across runs). ``tiny``: the
+    smoke-tier dims + tiny encoder — a CPU-runnable flow test of the
+    whole supervised-soak rig so a script bug never costs a healthy
+    hardware window."""
+    d = ("/tmp/ddsp_svc_tpu_serving_ckpt_tiny" if tiny
+         else "/tmp/ddsp_svc_tpu_serving_ckpt")
     ck = os.path.join(d, "model_1.ckpt")
     if os.path.exists(ck):
         return ck
@@ -49,9 +53,16 @@ def _ckpt_dir() -> str:
     from ddsp_svc_tpu.utils.config import save_config
 
     SR, HOP, WIN, N_UNIT, M = 44100, 512, 2048, 768, 128
+    n_layers, n_chans, encoder, enc_sr, enc_hop = (
+        6, 512, "contentvec768l12", 16000, 320)
+    if tiny:
+        SR, HOP, WIN, N_UNIT, M = 16000, 64, 256, 256, 16
+        n_layers, n_chans, encoder, enc_sr, enc_hop = (
+            2, 32, "tiny", 16000, 320)
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         model = Unit2WavFast(SR, HOP, WIN, N_UNIT, 1, out_dims=M,
-                             n_layers=6, n_chans=512, k_step_max=100)
+                             n_layers=n_layers, n_chans=n_chans,
+                             k_step_max=100)
         variables = model.init(
             {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
             jnp.zeros((1, 16, N_UNIT)), 220.0 * jnp.ones((1, 16, 1)),
@@ -61,22 +72,49 @@ def _ckpt_dir() -> str:
             sampler="dpm-solver",
         )
     save_checkpoint(d, 1, jax.device_get(variables["params"]))
+    voc_ckpt = None
+    if tiny:
+        # a tiny NSF-HiFiGAN ckpt (the full-size default would dominate
+        # the CPU flow test)
+        from flax import serialization
+
+        from ddsp_svc_tpu.models.nsf_hifigan import Generator
+
+        cfg = dict(sampling_rate=SR, num_mels=M, n_fft=WIN, win_size=WIN,
+                   hop_size=HOP, fmin=40, fmax=7000,
+                   upsample_rates=[4, 4, 4], upsample_kernel_sizes=[8, 8, 8],
+                   upsample_initial_channel=16, resblock="1",
+                   resblock_kernel_sizes=[3],
+                   resblock_dilation_sizes=[[1, 3]])
+        gen = Generator(sampling_rate=SR, num_mels=M,
+                        upsample_rates=(4, 4, 4),
+                        upsample_kernel_sizes=(8, 8, 8),
+                        upsample_initial_channel=16, resblock="1",
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 3),))
+        vp = gen.init({"params": jax.random.PRNGKey(3),
+                       "noise": jax.random.PRNGKey(4)},
+                      jnp.zeros((1, 8, M)), 220.0 * jnp.ones((1, 8)))["params"]
+        voc_ckpt = os.path.join(d, "voc.msgpack")
+        with open(voc_ckpt, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                {"params": jax.device_get(vp), "config": cfg}))
     save_config(os.path.join(d, "config.yaml"), {
         "data": {"sampling_rate": SR, "block_size": HOP, "duration": 2,
-                 "encoder": "contentvec768l12", "encoder_ckpt": None,
-                 "encoder_sample_rate": 16000, "encoder_hop_size": 320,
+                 "encoder": encoder, "encoder_ckpt": None,
+                 "encoder_sample_rate": enc_sr, "encoder_hop_size": enc_hop,
                  "encoder_out_channels": N_UNIT,
                  "f0_extractor": "yin", "f0_min": 50, "f0_max": 1100},
         "model": {"type": "DiffusionFast", "win_length": WIN, "n_spk": 1,
-                  "n_layers": 6, "n_chans": 512, "k_step_max": 100,
-                  "out_dims": M, "timesteps": 1000},
-        "vocoder": {"type": "nsf-hifigan", "ckpt": None},
+                  "n_layers": n_layers, "n_chans": n_chans,
+                  "k_step_max": 100, "out_dims": M, "timesteps": 1000},
+        "vocoder": {"type": "nsf-hifigan", "ckpt": voc_ckpt},
         "infer": {},
     })
     return ck
 
 
-def _wav_bytes(seconds=5.0, freq=200.0, sr=44100):
+def _wav_bytes(seconds=5.0, freq=200.0, sr=44100):  # noqa: D103
     n = np.arange(int(sr * seconds))
     a = (0.3 * np.sin(2 * np.pi * freq * n / sr)
          + 0.01 * np.random.default_rng(0).standard_normal(len(n)))
@@ -111,6 +149,7 @@ def _post(base, wav):
 def main():
     seconds, clients, recycle = 360.0, 12, 150
     supervised = "--no_supervisor" not in sys.argv
+    tiny = "--tiny" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--seconds="):
             seconds = float(a.split("=")[1])
@@ -119,10 +158,22 @@ def main():
         elif a.startswith("--recycle="):
             recycle = int(a.split("=")[1])
 
-    ck = _ckpt_dir()
+    if supervised and not os.environ.get("DDSP_SVC_TPU_PLATFORM"):
+        # the PARENT never touches the accelerator in supervised mode
+        # (ckpt building + HTTP only) — pin it to CPU so only the worker
+        # children attach the tunnel; children read the env, not this
+        # in-process config
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    ck = _ckpt_dir(tiny=tiny)
     from ddsp_svc_tpu.cli import api as api_cli
 
+    # ONE bucket sized for the soak's request length: worker warmup (and
+    # every recycle's cache load) covers one bucket's shapes, not four
+    bucket = "256" if tiny else "512"
     argv = ["-m", ck, "-p", "0", "--batch", "16", "--batch_wait_ms", "200",
+            "--batch_buckets", bucket,
             "--batch_mulaw", "--batch_f16_in", "--batch_pipeline", "3",
             "--batch_encoder", "--device_f0", "--audio_i16", "--voc_bf16",
             "--warmup"]
@@ -151,7 +202,8 @@ def main():
             time.sleep(2)
     print("serving healthy; soaking", flush=True)
 
-    wav = _wav_bytes()
+    wav = _wav_bytes(seconds=1.0 if tiny else 5.0,
+                     sr=16000 if tiny else 44100)
     stop = time.monotonic() + seconds
     lat, errs = [], []
     rss_samples = []
