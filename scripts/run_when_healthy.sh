@@ -6,7 +6,7 @@
 cd /root/repo || exit 1
 PY=/opt/venv/bin/python
 probe() {
-  $PY - <<'EOF' 2>/dev/null | tail -1
+  timeout 180 $PY - <<'EOF' 2>/dev/null | tail -1
 import time, numpy as np, jax
 from ddsp_svc_tpu.cli.common import enable_compile_cache
 enable_compile_cache()
