@@ -123,7 +123,9 @@ class BatchedSynth:
         ``max_batch`` must be divisible by the mesh size.
 
         ``forward_builder``: optional ``builder(bucket, sig) -> fwd(params,
-        units, f0, volume, spk, keys) -> audio (n, bucket*out_hop)`` for
+        units, f0, volume, spk, keys, tframes) -> audio
+        (n, bucket*out_hop)`` (``tframes`` = per-row real frame counts,
+        for in-graph padded-tail masking) for
         non-ddsp synthesis graphs (e.g. cascade + vocoder; see
         SvcPipeline.enable_batching). ``sig`` is the request's static
         sampler signature — only requests sharing (bucket, sig) ride one
@@ -386,7 +388,8 @@ class BatchedSynth:
                                            np.float32)),
                        jnp.asarray(np.zeros((n, bucket, 1), np.float32)),
                        jnp.ones((n, 1), jnp.int32),
-                       jnp.stack([self._dummy_key] * n))
+                       jnp.stack([self._dummy_key] * n),
+                       jnp.full((n,), bucket, jnp.int32))
             jax.effects_barrier()
 
     def reset_stats(self) -> None:
@@ -493,7 +496,11 @@ class BatchedSynth:
             if self.forward_builder is not None:
                 fwd = self.forward_builder(bucket, sig)
             else:
-                def fwd(params, units, f0, volume, spk, keys):
+                # tframes (n,) int32 = each row's REAL frame count (dummy
+                # rows: bucket) — builders use it to mask the padded-tail
+                # bleed in-graph (the r5 quality finding); the plain ddsp
+                # forward is frame-local enough (OLA win only) to skip it
+                def fwd(params, units, f0, volume, spk, keys, tframes):
                     noise = jax.vmap(
                         lambda k: jax.random.normal(
                             k, (bucket * model.block_size,), jnp.float32
@@ -508,23 +515,28 @@ class BatchedSynth:
             if self.transfer_in == "f16":
                 inner_in = fwd
 
-                def fwd(params, units, f0, volume, spk, keys, _in=inner_in):
+                def fwd(params, units, f0, volume, spk, keys, tframes,
+                        _in=inner_in):
                     return _in(params, units.astype(jnp.float32), f0, volume,
-                               spk, keys)
+                               spk, keys, tframes)
 
             if self.transfer == "i16":
                 inner = fwd
 
-                def fwd(params, units, f0, volume, spk, keys, _inner=inner):
-                    audio = _inner(params, units, f0, volume, spk, keys)
+                def fwd(params, units, f0, volume, spk, keys, tframes,
+                        _inner=inner):
+                    audio = _inner(params, units, f0, volume, spk, keys,
+                                   tframes)
                     return jnp.clip(
                         jnp.round(audio * 32767.0), -32768.0, 32767.0
                     ).astype(jnp.int16)
             elif self.transfer == "mulaw":
                 inner = fwd
 
-                def fwd(params, units, f0, volume, spk, keys, _inner=inner):
-                    audio = _inner(params, units, f0, volume, spk, keys)
+                def fwd(params, units, f0, volume, spk, keys, tframes,
+                        _inner=inner):
+                    audio = _inner(params, units, f0, volume, spk, keys,
+                                   tframes)
                     # G.711-style μ-law companding, μ=255, on device
                     return mulaw_encode_u8(audio, xp=jnp)
 
@@ -532,7 +544,7 @@ class BatchedSynth:
                 bs, rep = self._batch_sharding, self._replicated
                 fn = jax.jit(
                     fwd,
-                    in_shardings=(rep, bs, bs, bs, bs, bs),
+                    in_shardings=(rep, bs, bs, bs, bs, bs, bs),
                     out_shardings=bs,
                 )
             else:
@@ -597,16 +609,20 @@ class BatchedSynth:
                         r.error = e
                         r.done.set()
 
-    def _spk_keys(self, batch: list[_Request], n: int):
-        """Shared dummy-row scaffolding of both staging paths."""
+    def _spk_keys(self, batch: list[_Request], n: int, bucket: int):
+        """Shared dummy-row scaffolding of both staging paths: spk ids,
+        per-request keys, and per-row REAL frame counts (dummy rows get
+        the full bucket)."""
         spk = np.ones((n, 1), np.int32)
+        tframes = np.full((n,), bucket, np.int32)
         keys = []
         for i, r in enumerate(batch):
             spk[i, 0] = r.spk_id
+            tframes[i] = r.n_frames
             keys.append(r.key)
         while len(keys) < n:  # dummy rows
             keys.append(self._dummy_key)
-        return jnp.asarray(spk), jnp.stack(keys)
+        return jnp.asarray(spk), jnp.stack(keys), jnp.asarray(tframes)
 
     def _dispatch(self, out, batch: list[_Request], trace: dict | None = None):
         if self._deliver_q is not None:
@@ -643,11 +659,11 @@ class BatchedSynth:
             units[i] = r.units
             f0[i] = r.f0
             volume[i] = r.volume
-        spk, keys = self._spk_keys(batch, n)
+        spk, keys, tframes = self._spk_keys(batch, n, bucket)
         t_staged = time.monotonic()
         out = self._fn(bucket, batch[0].sig)(
             self.params, jnp.asarray(units), jnp.asarray(f0),
-            jnp.asarray(volume), spk, keys,
+            jnp.asarray(volume), spk, keys, tframes,
         )
         self._dispatch(out, batch,
                        {"formed": t_formed, "staged": t_staged,
@@ -670,10 +686,10 @@ class BatchedSynth:
         units = stack(lambda r: r.units, 0.0, c)
         f0 = stack(lambda r: r.f0, 220.0, 1)
         volume = stack(lambda r: r.volume, 0.0, 1)
-        spk, keys = self._spk_keys(batch, n)
+        spk, keys, tframes = self._spk_keys(batch, n, bucket)
         t_staged = time.monotonic()
         out = self._fn(bucket, batch[0].sig)(
-            self.params, units, f0, volume, spk, keys,
+            self.params, units, f0, volume, spk, keys, tframes,
         )
         self._dispatch(out, batch,
                        {"formed": t_formed, "staged": t_staged,

@@ -205,7 +205,13 @@ class SvcPipeline:
                     def builder(bucket, sig):
                         gate = 10.0 ** (dict(sig)["mask_threshold"] / 20.0)
 
-                        def single(params, u, f, v, s, k):
+                        def single(params, u, f, v, s, k, t):
+                            # per-row live-frame mask: padded dummy frames
+                            # must not color the request's tail through
+                            # the mel window + generator receptive field
+                            # (the r5 padded-tail finding)
+                            live = (jnp.arange(bucket) < t).astype(
+                                jnp.float32)
                             noise = jax.random.normal(
                                 k, (bucket * model.block_size,), jnp.float32
                             )
@@ -221,9 +227,12 @@ class SvcPipeline:
                             from ..features.volume import get_mask_jnp
 
                             m = get_mask_jnp(v[None, :, 0], gate)
+                            m = m * live[None, :]
                             m = upsample(m[..., None], block)[..., 0]
                             audio = audio * m[:, : audio.shape[-1]]
-                            mel = ev.extract(audio)
+                            # zero mel rows beyond the request (the eager
+                            # path's conv zero-padding at its true length)
+                            mel = ev.extract(audio) * live[None, :, None]
                             if ev.type == "nsf-hifigan-log10":
                                 # Vocoder.infer parity: extract() scaled
                                 # the log-mel by log10(e); invert before
@@ -232,16 +241,18 @@ class SvcPipeline:
                             # the eager Enhancer path vocodes with the
                             # fixed PRNGKey(0) (Vocoder.infer default) —
                             # same here, so batched == solo exactly
+                            f0g = f[None, : mel.shape[1], 0] * (
+                                live[None, : mel.shape[1]])
                             return ev.model.apply(
-                                {"params": params["enh"]}, mel,
-                                f[None, : mel.shape[1], 0],
+                                {"params": params["enh"]}, mel, f0g,
                                 key=jax.random.PRNGKey(0),
                             )[0]
 
-                        def fwd(params, units, f0, volume, spk, keys):
+                        def fwd(params, units, f0, volume, spk, keys,
+                                tframes):
                             return jax.vmap(
-                                single, in_axes=(None, 0, 0, 0, 0, 0)
-                            )(params, units, f0, volume, spk, keys)
+                                single, in_axes=(None, 0, 0, 0, 0, 0, 0)
+                            )(params, units, f0, volume, spk, keys, tframes)
 
                         return fwd
 
@@ -275,7 +286,7 @@ class SvcPipeline:
                     )
                 )
 
-            def single(params, u, f, v, s, k):
+            def single(params, u, f, v, s, k, t):
                 mel = model.apply(
                     {"params": params["model"]}, u[None], f[None], v[None],
                     spk_id=s[None], spk_mix_dict=None, infer=True,
@@ -283,16 +294,25 @@ class SvcPipeline:
                 )
                 if vocoder.type == "nsf-hifigan-log10":  # Vocoder.infer parity
                     mel = mel / 0.434294
+                # per-row live-frame mask: zero the mel rows and silence
+                # the source f0 beyond the request's real frames, so the
+                # padded dummy frames (units 0 / f0 220 convention) don't
+                # color the returned tail through the vocoder's receptive
+                # field (the r5 padded-tail finding; mirrors the direct
+                # path's conv zero-padding at its true length)
+                live = (jnp.arange(bucket) < t).astype(mel.dtype)
+                mel = mel * live[None, :, None]
+                f0g = f[None, :, 0] * live[None, :]
                 audio = vocoder.model.apply(
-                    {"params": params["vocoder"]}, mel, f[None, :, 0],
+                    {"params": params["vocoder"]}, mel, f0g,
                     key=k,
                 )
                 return audio[0]
 
-            def fwd(params, units, f0, volume, spk, keys):
+            def fwd(params, units, f0, volume, spk, keys, tframes):
                 return jax.vmap(
-                    single, in_axes=(None, 0, 0, 0, 0, 0)
-                )(params, units, f0, volume, spk, keys)
+                    single, in_axes=(None, 0, 0, 0, 0, 0, 0)
+                )(params, units, f0, volume, spk, keys, tframes)
 
             return fwd
 

@@ -85,7 +85,9 @@ def main():
     vol = jnp.asarray(0.5 * np.ones((B, bucket, 1), np.float32))
     spk = jnp.ones((B, 1), jnp.int32)
     keys = jnp.stack([np.asarray(jax.random.PRNGKey(i)) for i in range(B)])
-    t_vmap = timeit(lambda: sf(batcher.params, units, f0, vol, spk, keys))
+    tfr = jnp.full((B,), bucket, jnp.int32)
+    t_vmap = timeit(lambda: sf(batcher.params, units, f0, vol, spk, keys,
+                               tfr))
     print(f"serving vmap graph B={B}: min {t_vmap[0]*1e3:.0f} ms "
           f"median {t_vmap[1]*1e3:.0f} ms", flush=True)
 
