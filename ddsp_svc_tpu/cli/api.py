@@ -241,11 +241,14 @@ def _strip_supervisor_args(argv: list[str]) -> list[str]:
         if skip:
             skip = False
             continue
-        if a in ("--worker_max_requests", "-p", "--port", "--_port_file"):
+        if a in ("--worker_max_requests", "--worker_max_rss_mb", "-p",
+                 "--port", "--_port_file"):
             skip = True
             continue
-        if (a.startswith("--worker_max_requests=") or a.startswith("-p=")
-                or a.startswith("--port=") or a.startswith("--_port_file=")):
+        if (a.startswith("--worker_max_requests=")
+                or a.startswith("--worker_max_rss_mb=")
+                or a.startswith("-p=") or a.startswith("--port=")
+                or a.startswith("--_port_file=")):
             continue
         out.append(a)
     return out
@@ -268,12 +271,17 @@ class _Supervisor:
     per-CONNECTION (the API's clients send one POST per connection)."""
 
     def __init__(self, port: int, worker_argv: list[str],
-                 max_requests: int, spawn_timeout_s: float = 3600.0):
+                 max_requests: int, spawn_timeout_s: float = 3600.0,
+                 max_rss_mb: int = 0):
         import socket
 
         self.worker_argv = worker_argv
         self.max_requests = max_requests
         self.spawn_timeout_s = spawn_timeout_s
+        # optional second recycle trigger: worker RSS (the leak is
+        # upload-RATE-proportional, so a degraded-retrying tunnel can blow
+        # past a connection-count budget long before N connections)
+        self.max_rss_mb = int(max_rss_mb)
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._sock.bind(("0.0.0.0", port))
@@ -371,11 +379,20 @@ class _Supervisor:
 
         threading.Thread(target=drain, daemon=True).start()
 
-    def _maybe_recycle(self):
+    @staticmethod
+    def _worker_rss_mb(worker) -> float:
+        try:
+            with open(f"/proc/{worker['proc'].pid}/statm") as f:
+                return (int(f.read().split()[1])
+                        * os.sysconf("SC_PAGE_SIZE") / 1e6)
+        except (OSError, ValueError):
+            return 0.0
+
+    def _maybe_recycle(self, force: bool = False):
         with self._lock:
             if self._spawning or self._current is None:
                 return
-            if self._current["served"] < self.max_requests:
+            if not force and self._current["served"] < self.max_requests:
                 return
             self._spawning = True
 
@@ -439,11 +456,29 @@ class _Supervisor:
         with self._lock:
             worker["active"] -= 1
 
+    def _rss_monitor(self):
+        """Trigger a recycle whenever the live worker's RSS exceeds the
+        cap — the bound a recycle can actually enforce is
+        leak_rate x (trigger_interval + spawn_time), so on a degraded
+        tunnel (slow spawn) the cap is best-effort: the swap starts as
+        early as possible and the old worker keeps serving meanwhile."""
+        while not self._stop:
+            with self._lock:
+                worker = self._current
+            if worker is not None and (
+                    self._worker_rss_mb(worker) >= self.max_rss_mb):
+                self._maybe_recycle(force=True)
+            time.sleep(5.0)
+
     def serve_forever(self):
         self._current = self._spawn_worker()
         print(f"supervised API on :{self.server_address[1]} "
               f"(worker pid {self._current['proc'].pid}, recycle every "
-              f"{self.max_requests} connections)", flush=True)
+              f"{self.max_requests} connections"
+              + (f" or {self.max_rss_mb} MB RSS" if self.max_rss_mb
+                 else "") + ")", flush=True)
+        if self.max_rss_mb > 0:
+            threading.Thread(target=self._rss_monitor, daemon=True).start()
         while not self._stop:
             try:
                 client, _ = self._sock.accept()
@@ -549,6 +584,13 @@ def main(argv=None, ready_cb=None):
                         "soak: RSS grows ~1:1 with uploaded bytes); with "
                         "the persistent compile cache a recycle is a cache "
                         "load, not a recompile")
+    p.add_argument("--worker_max_rss_mb", type=int, default=0, metavar="MB",
+                   help="with --worker_max_requests: ALSO recycle the "
+                        "worker when its RSS exceeds MB (the axon leak is "
+                        "upload-rate-proportional; a retrying degraded "
+                        "tunnel can outrun any connection-count budget). "
+                        "Best-effort: RSS keeps growing during the "
+                        "replacement's warm spawn")
     p.add_argument("--_port_file", default=None, help=argparse.SUPPRESS)
     cmd = p.parse_args(argv)
 
@@ -566,6 +608,7 @@ def main(argv=None, ready_cb=None):
             _strip_supervisor_args(
                 list(argv) if argv is not None else sys.argv[1:]),
             cmd.worker_max_requests,
+            max_rss_mb=cmd.worker_max_rss_mb,
         )
         if ready_cb is not None:
             ready_cb(sup)

@@ -178,7 +178,8 @@ def main():
             "--batch_encoder", "--device_f0", "--audio_i16", "--voc_bf16",
             "--warmup"]
     if supervised:
-        argv += ["--worker_max_requests", str(recycle)]
+        argv += ["--worker_max_requests", str(recycle),
+                 "--worker_max_rss_mb", "6000"]
     holder, ready = {}, threading.Event()
 
     def ready_cb(server):
