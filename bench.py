@@ -274,6 +274,17 @@ def main():
     except Exception as e:
         last_err = e
         print(f"# warmup failed: {str(e)[:80]}", flush=True)
+    # stamp the tunnel-health axis early (plenty of watchdog budget left;
+    # probing at emit time raced the watchdog when the probe hung). The
+    # flagship number itself syncs via an in-graph scalar so it is barely
+    # wire-sensitive, but the stamp documents the window for the record.
+    d2h_mb_s = None
+    try:
+        import bench_suite
+        d2h_mb_s = bench_suite.probe_d2h_mb_s(timeout_s=45)
+        print(f"# d2h {d2h_mb_s} MB/s", flush=True)
+    except Exception:
+        pass
     for batch, seconds in attempts:
         try:
             got = measure(batch, seconds)
@@ -292,12 +303,15 @@ def main():
             break  # session likely poisoned; keep what we banked
 
     if rtf is not None:
-        emit({
+        payload = {
             "metric": METRIC,
             "value": round(rtf, 2),
             "unit": "x_realtime_per_chip",
             "vs_baseline": round(rtf / 200.0, 3),
-        })
+        }
+        if d2h_mb_s is not None:
+            payload["d2h_mb_s"] = d2h_mb_s
+        emit(payload)
         return
 
     emit(_cached_or_null_payload(

@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -51,6 +52,41 @@ def _cpu():
 def _put(tree):
     dev = jax.devices()[0]
     return jax.tree.map(lambda a: jax.device_put(np.asarray(a), dev), tree)
+
+
+@jax.jit
+def _probe_inc(a):
+    return a + 1
+
+
+def probe_d2h_mb_s(size_mb: int = 4, timeout_s: float = 60.0):
+    """One-shot device->host bandwidth probe (the tunnel's health axis).
+
+    Serving/realtime aggregates on the tunneled backend are wire-bound when
+    the tunnel degrades (PERF.md r5: 0.8-6 MB/s windows vs ~30 healthy), so
+    every serving row stamps the window it was measured in. Returns MB/s,
+    or None on the CPU backend / probe failure / timeout. The fetch runs in
+    a bounded daemon thread: axon's failure mode is a HANG, not an error,
+    and a hung probe must never discard the measurement it annotates."""
+    if jax.default_backend() == "cpu":
+        return None
+    box: list = []
+
+    def run():
+        try:
+            x = jax.device_put(np.zeros(size_mb * 1024 * 1024, np.uint8))
+            y = _probe_inc(x)
+            jax.effects_barrier()
+            t0 = time.perf_counter()
+            _ = np.asarray(y)
+            box.append(round(size_mb / (time.perf_counter() - t0), 1))
+        except Exception:
+            pass
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return box[0] if box else None
 
 
 def measure(fn, audio_seconds_per_call: float) -> float:
@@ -1727,8 +1763,15 @@ def main(names=None):
     for name in names:
         if name in DICT_CONFIGS:
             fn, metric, unit = DICT_CONFIGS[name]
+            wire_bound = name.startswith(("serving", "realtime"))
             try:
+                d2h_pre = probe_d2h_mb_s() if wire_bound else None
                 line = fn()
+                if wire_bound:
+                    d2h_post = probe_d2h_mb_s()
+                    if d2h_pre is not None or d2h_post is not None:
+                        line["d2h_mb_s_pre"] = d2h_pre
+                        line["d2h_mb_s_post"] = d2h_post
                 results[name] = {**line, "measured_at_unix": time.time()}
                 _save_results(results_path, results)
             except Exception as e:

@@ -290,6 +290,7 @@ class _Supervisor:
         self._lock = threading.Lock()
         self._stop = False
         self._current = None  # (proc, port, served, active, generation)
+        self._spawn_proc = None  # replacement mid-spawn (shutdown kills)
         self._retiring: list = []  # draining old workers (shutdown kills)
         self._spawning = False
         self.generations = 0
@@ -314,6 +315,10 @@ class _Supervisor:
              *self.worker_argv, "-p", "0", "--_port_file", port_file.name],
             env=env,
         )
+        # visible to shutdown(): a replacement mid-spawn is in neither
+        # _current nor _retiring and would otherwise outlive the supervisor
+        # (observed: an orphaned warming worker after a short soak exits)
+        self._spawn_proc = proc
         deadline = time.monotonic() + self.spawn_timeout_s
         port = None
         try:
@@ -388,9 +393,14 @@ class _Supervisor:
         except (OSError, ValueError):
             return 0.0
 
-    def _maybe_recycle(self, force: bool = False):
+    def _maybe_recycle(self, force: bool = False, worker=None):
         with self._lock:
             if self._spawning or self._current is None:
+                return
+            if worker is not None and self._current is not worker:
+                # the measured-over-cap worker was already swapped out by a
+                # concurrent count-triggered recycle; don't burn the fresh
+                # replacement's warm spawn
                 return
             if not force and self._current["served"] < self.max_requests:
                 return
@@ -467,7 +477,7 @@ class _Supervisor:
                 worker = self._current
             if worker is not None and (
                     self._worker_rss_mb(worker) >= self.max_rss_mb):
-                self._maybe_recycle(force=True)
+                self._maybe_recycle(force=True, worker=worker)
             time.sleep(5.0)
 
     def serve_forever(self):
@@ -501,15 +511,21 @@ class _Supervisor:
         with self._lock:
             workers = ([self._current] if self._current else [])
             workers += list(self._retiring)
+            spawn_proc = self._spawn_proc
         for w in workers:
             w["proc"].terminate()
+        if spawn_proc is not None and spawn_proc.poll() is None:
+            spawn_proc.terminate()
 
 
 def main(argv=None, ready_cb=None):
     """``ready_cb(server)``, if given, fires after the socket is bound and
     before ``serve_forever`` — lets embedders/tests learn the real port
     (``-p 0``) and stop the server via ``server.shutdown()``."""
-    p = argparse.ArgumentParser()
+    # no abbreviations: _strip_supervisor_args matches canonical spellings,
+    # and an abbreviated --worker_max_request* surviving into worker_argv
+    # would make every worker child a supervisor (recursive spawning)
+    p = argparse.ArgumentParser(allow_abbrev=False)
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-p", "--port", type=int, default=6842)
     p.add_argument("-pe", "--pitch_extractor", default="yin")
@@ -602,12 +618,15 @@ def main(argv=None, ready_cb=None):
 
         jax.config.update("jax_platforms", plat)
 
-    if cmd.worker_max_requests > 0:
+    if cmd.worker_max_requests > 0 or cmd.worker_max_rss_mb > 0:
+        # either trigger alone enables the supervisor (an RSS-only cap
+        # previously was silently inert); 0 = that trigger disabled
         sup = _Supervisor(
             cmd.port,
             _strip_supervisor_args(
                 list(argv) if argv is not None else sys.argv[1:]),
-            cmd.worker_max_requests,
+            cmd.worker_max_requests if cmd.worker_max_requests > 0
+            else float("inf"),
             max_rss_mb=cmd.worker_max_rss_mb,
         )
         if ready_cb is not None:
@@ -633,7 +652,14 @@ def main(argv=None, ready_cb=None):
 
             mesh = Mesh(np.array(jax.devices()[: cmd.batch_devices]),
                         ("data",))
-        buckets = tuple(int(b) for b in cmd.batch_buckets.split(","))
+        try:
+            buckets = tuple(int(b.strip()) for b in
+                            cmd.batch_buckets.split(",") if b.strip())
+            if not buckets or any(b <= 0 for b in buckets):
+                raise ValueError(cmd.batch_buckets)
+        except ValueError:
+            p.error(f"--batch_buckets: expected comma-separated positive "
+                    f"frame counts, got {cmd.batch_buckets!r}")
         pipeline.enable_batching(buckets=buckets, max_batch=cmd.batch,
                                  max_wait_ms=cmd.batch_wait_ms, mesh=mesh,
                                  max_signatures=cmd.batch_max_signatures,

@@ -158,6 +158,15 @@ def main():
         elif a.startswith("--recycle="):
             recycle = int(a.split("=")[1])
 
+    if tiny:
+        # CPU-runnable flow test: pin the WHOLE tree to CPU — the env var
+        # reaches supervised worker children (which would otherwise attach
+        # the axon tunnel and burn minutes of remote compile on a script
+        # test), jax.config covers this in-process parent
+        os.environ["DDSP_SVC_TPU_PLATFORM"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if supervised and not os.environ.get("DDSP_SVC_TPU_PLATFORM"):
         # the PARENT never touches the accelerator in supervised mode
         # (ckpt building + HTTP only) — pin it to CPU so only the worker

@@ -19,7 +19,7 @@ dt = time.perf_counter() - t0
 print(f"{4/dt:.1f}")
 EOF
 }
-for i in $(seq 1 70); do
+for i in $(seq 1 200); do
   MBPS=$(probe)
   echo "$(date +%H:%M:%S) d2h ${MBPS:-probe-failed} MB/s"
   ok=$($PY -c "print(1 if float('${MBPS:-0}' or 0) >= 20 else 0)" 2>/dev/null)
@@ -38,7 +38,7 @@ for i in $(seq 1 70); do
     echo "=== queue done ==="
     exit 0
   fi
-  sleep 600
+  sleep 120
 done
 echo "no healthy window found"
 exit 2

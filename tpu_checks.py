@@ -974,8 +974,7 @@ def _chain_quality(family: str, transfer: str, bound_db: float,
             bc.close()
             if pc.enc_batcher is not None:
                 pc.enc_batcher.close()
-        lc = min(len(ref), len(ctl))
-        control = snr_of(ref[:lc], ctl[:lc])
+        control = ctl
     # the request does not fill its frame bucket, so the batch row's
     # dummy-frame synth colors the last ~mel-window + vocoder receptive
     # field of the returned tail (the engine's documented padded-tail
@@ -992,8 +991,16 @@ def _chain_quality(family: str, transfer: str, bound_db: float,
            "family": family, "transfer": transfer, "audio_in": audio_in,
            "bound_db": bound_db}
     if control is not None:
-        cost = control - snr_full
-        out["snr_db_uncoded_batched_control"] = round(control, 2)
+        # codec cost gates on BODY SNRs of both legs over a COMMON length:
+        # the padded-tail region is excluded from gating (its residual
+        # differs between legs and is not a codec effect), mirroring the
+        # body-vs-full split above
+        lb = min(ln, len(control))
+        body_c = slice(0, max(lb - tail, 1))
+        control_body = snr_of(ref[body_c], control[body_c])
+        coded_body = snr_of(ref[body_c], got[body_c])
+        cost = control_body - coded_body
+        out["snr_db_uncoded_batched_control_body"] = round(control_body, 2)
         out["codec_cost_db_vs_control"] = round(cost, 2)
         out["ok"] = bool(snr_body > bound_db and cost <= 8.0)
     return out
